@@ -1,0 +1,103 @@
+"""Pairwise feature expressions — the reference's scalar UDF layer (F1-F5)
+rebuilt as Catalyst expressions so nothing crosses the JVM↔Python
+boundary (SURVEY.md §2.5 policy: zero row-UDFs).
+
+Reference UDFs:
+
+- F1 ``split(authors, ",")``                      Predictor.scala:135
+- F2 ``countCommonWords(a, b)``                   Predictor.scala:68-75
+- F3 ``isPublishedOnSameJournal(a, b)``           Predictor.scala:52-59
+- F4 ``getPublicationYearDifference(a, b)``       Predictor.scala:41-43
+- F5 ``toDouble`` label cast                      Predictor.scala:257, 265
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase + whitespace-split → array<string>; the Tokenizer (M1)
+    contract (Predictor.scala:107-109) as a plain expression.
+
+    ``trim`` first so leading whitespace doesn't yield a spurious empty
+    leading token; a fully-empty string yields [""], filtered out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def common_token_count(a: Column | str, b: Column | str) -> Column:
+    """F2, set semantics: ``|set(a) ∩ set(b)|``.
+
+    The reference's Scala ``Seq.intersect`` is *multiset* intersection
+    (Predictor.scala:68-75); the idiomatic Catalyst target
+    ``array_intersect`` dedupes. Set semantics is our default (and the
+    oracle-checkable one — DuckDB ``list_intersect`` also dedupes);
+    exact multiset parity lives in :func:`common_token_count_multiset`.
+    Nulls → 0, matching the reference's explicit null guard.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.coalesce(F.size(F.array_intersect(a, b)), F.lit(0)).cast("int")
+
+
+def common_token_count_multiset(a: Column | str, b: Column | str) -> Column:
+    """F2, exact multiset parity with Scala ``Seq.intersect``: each
+    element counts up to its min multiplicity in either side.
+
+    Implemented with higher-order functions (stays in codegen):
+    sum over distinct elements of min(count_a, count_b).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+
+    def count_in(arr: Column, x: Column) -> Column:
+        return F.size(F.filter(arr, lambda e: e == x))
+
+    per_elem = F.transform(
+        F.array_distinct(a), lambda x: F.least(count_in(a, x), count_in(b, x))
+    )
+    total = F.aggregate(per_elem, F.lit(0), lambda acc, n: acc + n)
+    return F.coalesce(total, F.lit(0)).cast("int")
+
+
+def equality_flag(a: Column | str, b: Column | str) -> Column:
+    """F3: 1 if equal else 0. The reference compares *after* na.fill(""),
+    so two missing journals compare equal (Predictor.scala:52-59 with
+    132-134); we reproduce that with a null-safe equality."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.when(a.eqNullSafe(b), F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+
+def year_difference(a: Column | str, b: Column | str) -> Column:
+    """F4: ``abs(int(a) - int(b))`` with the reference's cast-then-null
+    semantics — string years are implicitly cast, unparseable → null,
+    null propagates (rows dropped later by na.drop; Predictor.scala:41-43,
+    256, 263, 283-286)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.abs(a.cast("int") - b.cast("int"))
+
+
+def to_double_label(c: Column | str) -> Column:
+    """F5: int label → double for the ML layer (Predictor.scala:257)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("double")
+
+
+def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
+    """Set Jaccard similarity of two token arrays:
+    ``|a∩b| / |a∪b|`` (0.0 when the union is empty).
+
+    Extension beyond the reference's UDF set — the exact-similarity
+    primitive behind n-gram near-dup detection and LSH verification.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,143 @@
+"""Text-analysis column expressions for the LLM-data-pipeline extension:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen; no Python in the hot
+path) and all DuckDB-oracle-expressible, so every one is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# heuristic language detector. Chosen to be high-frequency closed-class
+# words; detection = argmax of per-language hit counts over the token set.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "una", "por", "para", "con"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "it", "for", "on", "as", "are", "was")
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space
+# symbols — a GPT-2-style pre-tokenization regex without lookaheads so
+# the same pattern runs in Spark and DuckDB/RE2-class engines.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Punctuation class counted by the quality score (explicit list — POSIX
+# classes differ subtly between regex engines).
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _tokens(c: Column) -> Column:
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(_tokens(_col(text))).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs / single
+    symbols) — a cheap proxy for LLM token counts, computed by counting
+    regex matches via length arithmetic so it ports to any SQL engine."""
+    c = _col(text)
+    # count(matches) = len - len(after removing matches) is wrong for
+    # multi-char matches, so count boundaries instead: replace every
+    # match with a single sentinel char and count sentinels.
+    collapsed = F.regexp_replace(c, BPE_ISH_PATTERN, "\x01")
+    return (
+        F.length(collapsed) - F.length(F.regexp_replace(collapsed, "\x01", ""))
+    ).cast("long")
+
+
+def punct_count(text: Column | str) -> Column:
+    c = _col(text)
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("long")
+
+
+def detect_language(text: Column | str) -> Column:
+    """Stopword-marker language ID: count marker-token hits per language
+    over the token *set*, return the argmax language (ties broken by
+    language code order), 'und' (undetermined) when no marker hits.
+    """
+    toks = F.array_distinct(_tokens(_col(text)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax by hits, tie-break by lang asc: sort by (-hits, lang), take head.
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] > b["hits"], F.lit(-1))
+        .when(a["hits"] < b["hits"], F.lit(1))
+        .otherwise(
+            F.when(a["lang"] < b["lang"], F.lit(-1))
+            .when(a["lang"] > b["lang"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Document quality signals (C4/Gopher-style cheap filters):
+    char length, token count, mean token length, punctuation ratio,
+    stopword ratio, all as codegen'd expressions. Returned as a dict of
+    named columns so callers can select a subset."""
+    c = _col(text)
+    toks = _tokens(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+        )
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(
+            F.when(
+                n_tokens > 0,
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+                / n_tokens,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, punct_count(c).cast("double") / n_chars).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+            4,
+        ),
+    }
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 over the
+    whitespace-normalized, lowercased text. Engine-portable (identical
+    in Spark and DuckDB) — the exact-dedup key."""
+    c = _col(text)
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,273 @@
+"""Deduplication operators for the LLM-data-pipeline extension:
+exact (fingerprint groupBy), MinHash+LSH, SimHash, and n-gram Jaccard
+near-dup detection — all pure DataFrame compositions (no Python UDFs;
+hashing via ``xxhash64``, folds via higher-order functions, candidate
+generation via band-bucket equi-joins).
+
+Scale posture (the point of each design choice):
+
+- Exact dedup shuffles only (fingerprint, id) pairs, never text.
+- MinHash/SimHash candidate generation is a *bucket equi-join* on band
+  keys — linear shuffle, no cross join; hot buckets (boilerplate docs)
+  are capped with ``max_bucket_size`` so one degenerate bucket can't
+  produce O(n²) pairs.
+- Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+- Pair canonicalization (src < dst) halves the candidate volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.pairwise import jaccard_tokens, tokenize
+from ..functions.textstats import doc_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact near-identical dedup: md5 fingerprint of normalized text →
+    keep the min-id representative per fingerprint.
+
+    Returns (fingerprint, keeper_id, n_dups). A full-table hash-shuffle
+    on the 32-byte fingerprint only — at 100 TB the text stays columnar
+    at the scan and never moves.
+    """
+    return (
+        docs.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text, each
+    rendered as a single string (space-joined)."""
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, ``min over shingles of
+    xxhash64(i, shingle)``. One array column of ``num_hashes`` longs,
+    computed entirely inside codegen."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(i, sh))),
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
+
+    shingle → minhash → band → bucket-join → verify. Emits
+    (src_id, dst_id, jaccard) with src_id < dst_id and jaccard ≥
+    threshold. Bands of r = num_hashes/bands rows; a pair collides if
+    any band's sub-signature matches exactly.
+
+    Spark-first replacement for the reference's
+    ``MinHashLSH.approxSimilarityJoin`` (Predictor.scala:394-405) with
+    the threshold pushed *into* candidate verification rather than
+    filtered post-hoc, and canonical (src<dst) pairs (SURVEY.md §2.7-3).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_n).alias("__shingles"),
+    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+
+    # (band_idx, band_key, id, shingles): band_key hashes the band slice.
+    banded = base.select(
+        "__id",
+        "__shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("__band", "__key"),
+    )
+
+    # Cap degenerate buckets (e.g. empty/boilerplate docs all colliding).
+    w = Window.partitionBy("__band", "__key")
+    banded = (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+    a = banded.select(
+        F.col("__band"), F.col("__key"),
+        F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a"),
+    )
+    b = banded.select(
+        F.col("__band"), F.col("__key"),
+        F.col("__id").alias("dst_id"), F.col("__shingles").alias("__sh_b"),
+    )
+    candidates = (
+        a.join(b, on=["__band", "__key"], how="inner")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "__sh_a", "__sh_b")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+
+    return (
+        candidates.withColumn(
+            "jaccard", F.round(jaccard_tokens(F.col("__sh_a"), F.col("__sh_b")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("src_id", "dst_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit b of the signature is 1 iff
+    the sum over distinct tokens of ±1 (sign of bit b of xxhash64(token))
+    is positive. Returns a long."""
+    toks = F.array_distinct(tokenize(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.bit_get(h, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    # MSB-first fold (shift amounts can't be Columns): sig = Σ [vote>0]·2^b.
+    return F.aggregate(
+        F.reverse(bit_votes),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: by pigeonhole, two signatures within
+    Hamming distance < blocks must agree exactly on ≥1 of ``blocks``
+    bit-blocks — block equality is the LSH bucket key; candidates are
+    verified with ``bit_count(xor) <= max_hamming``.
+
+    Emits (src_id, dst_id, hamming) with src_id < dst_id.
+    """
+    assert bits % blocks == 0
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+
+    base = docs.select(F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__sh"))
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * block_bits).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+    w = Window.partitionBy("__block", "__key")
+    banded = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
+    a = banded.select("__block", "__key", F.col("__id").alias("src_id"), F.col("__sh").alias("__sh_a"))
+    b = banded.select("__block", "__key", F.col("__id").alias("dst_id"), F.col("__sh").alias("__sh_b"))
+    return (
+        a.join(b, on=["__block", "__key"], how="inner")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).alias("hamming"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with blocking
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    ngram: int = 2,
+    threshold: float = 0.2,
+    window: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity over blocked candidate
+    pairs: pairs share ``block_col`` (e.g. source/partition key) and —
+    optionally — have ids within ``window`` of each other. Fully
+    SQL-expressible (the oracle-checkable exact-similarity operator;
+    MinHash above approximates exactly this).
+
+    Emits (src_id, dst_id, jaccard) with src_id < dst_id, jaccard ≥
+    threshold, rounded to 6 decimals.
+    """
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),
+        word_shingles(text_col, ngram).alias("__grams"),
+    )
+    a = base.select(F.col("__blk"), F.col("__id").alias("src_id"), F.col("__grams").alias("__ga"))
+    b = base.select(F.col("__blk"), F.col("__id").alias("dst_id"), F.col("__grams").alias("__gb"))
+    pairs = a.join(b, on="__blk", how="inner").filter(F.col("src_id") < F.col("dst_id"))
+    if window is not None:
+        pairs = pairs.filter(F.col("dst_id") - F.col("src_id") <= window)
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard_tokens(F.col("__ga"), F.col("__gb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src_id", "dst_id", "jaccard")
+    )

@@ -1,0 +1,114 @@
+"""Join operators — the reference's J1-J4 patterns (SURVEY.md §2.3),
+re-expressed with alias hygiene and scale hints.
+
+Scale posture: the node/info table is the small side of every join in
+the reference workload (27,770 rows vs 100 TB-class edge tables at the
+north star), so both endpoint-enrichment joins take an optional
+broadcast hint; the existence join uses composite null-safe keys, which
+remain hash-joinable (``EqualNullSafe`` is an equi-key for Catalyst).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, keys: Sequence[tuple[str, str]]) -> Column:
+    cond = None
+    for lk, rk in keys:
+        c = left[lk].eqNullSafe(right[rk])
+        cond = c if cond is None else (cond & c)
+    assert cond is not None
+    return cond
+
+
+def enrich_edges_both_sides(
+    edges: DataFrame,
+    info: DataFrame,
+    *,
+    info_id: str = "srcId",
+    src: str = "srcId",
+    dst: str = "dstId",
+    attrs: Sequence[str] | None = None,
+    broadcast_info: bool = True,
+) -> DataFrame:
+    """J1+J2 — the double self-join: one row per edge carrying both
+    endpoints' attributes, suffixed ``_from`` / ``_to``.
+
+    Reference: ``joinDataFrames`` (Predictor.scala:213-243) — two
+    null-safe equi joins against the node table with rename chains. We
+    project the needed attrs *before* joining (the reference carries
+    every intermediate ML column through both shuffles — a known perf
+    bug, SURVEY.md §4) and broadcast the info side.
+
+    ``attrs=None`` carries all non-id columns.
+    """
+    if attrs is None:
+        attrs = [c for c in info.columns if c != info_id]
+
+    def side(suffix: str) -> DataFrame:
+        proj = info.select(
+            F.col(info_id).alias(f"__id{suffix}"),
+            *[F.col(a).alias(f"{a}{suffix}") for a in attrs],
+        )
+        return F.broadcast(proj) if broadcast_info else proj
+
+    from_info = side("_from")
+    to_info = side("_to")
+    out = (
+        edges.join(from_info, edges[src].eqNullSafe(from_info["__id_from"]), "inner")
+        .join(to_info, edges[dst].eqNullSafe(to_info["__id_to"]), "inner")
+        .drop("__id_from", "__id_to")
+    )
+    return out
+
+
+def label_by_existence(
+    pairs: DataFrame,
+    truth: DataFrame,
+    *,
+    keys: Sequence[tuple[str, str]] = (("srcId", "srcId"), ("dstId", "dstId")),
+    label_col: str = "label",
+) -> DataFrame:
+    """J3 — composite-key null-safe LEFT join + null-flag labeling:
+    ``label = 1`` iff the pair exists in ``truth``.
+
+    Reference: ``addLabelsToTestDataFrame`` (Predictor.scala:297-312) —
+    left outer join, ``when(isNull, 0).otherwise(1)``, drop right cols.
+    Semantically a left-semi existence flag; we keep the reference's
+    left-join formulation (one shuffle either way) but project the truth
+    side to its key columns first so the shuffle moves only keys.
+    """
+    right_keys = [rk for _, rk in keys]
+    truth_proj = truth.select(
+        *[F.col(rk).alias(f"__t_{rk}") for rk in right_keys]
+    ).dropDuplicates([f"__t_{rk}" for rk in right_keys])
+    cond = None
+    for lk, rk in keys:
+        c = pairs[lk].eqNullSafe(truth_proj[f"__t_{rk}"])
+        cond = c if cond is None else (cond & c)
+    probe = F.col(f"__t_{right_keys[0]}")
+    out = (
+        pairs.join(truth_proj, cond, "left")
+        .withColumn(label_col, F.when(probe.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int"))
+        .drop(*[f"__t_{rk}" for rk in right_keys])
+    )
+    return out
+
+
+def cross_validate_count(
+    predicted: DataFrame,
+    truth: DataFrame,
+    *,
+    keys: Sequence[tuple[str, str]] = (("srcId", "srcId"), ("dstId", "dstId")),
+) -> tuple[int, int]:
+    """J4+A1 — inner join on composite null-safe keys; returns
+    (predicted_count, correct_count). Reference: Predictor.scala:411-421.
+    """
+    truth_proj = truth.select(*[rk for _, rk in keys]).dropDuplicates()
+    cond = _null_safe_on(predicted, truth_proj, keys)
+    correct = predicted.join(truth_proj, cond, "inner").count()
+    return predicted.count(), correct

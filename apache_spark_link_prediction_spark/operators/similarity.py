@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``):
+
+- :func:`brute_force_top_k` — exact cosine top-k; the correctness
+  baseline. Broadcast the (small) query set against the (huge) corpus:
+  the corpus never shuffles, work is embarrassingly parallel, top-k is
+  a per-query window over the scored pairs.
+- :func:`lsh_bucketed_top_k` — random-hyperplane (sign-LSH) bucketed
+  ANN: corpus and queries are bucketed by sign-bit keys, candidates are
+  scored only within colliding buckets (multi-probe over ``tables``
+  independent hyperplane sets). The 100 TB path — shuffle is linear in
+  corpus size, scoring is linear in candidates, never |Q|×|C|.
+- :func:`embedding_near_dup_pairs` — cosine near-dup pairs within
+  LSH buckets (dedup by embedding similarity).
+
+Hyperplanes are generated deterministically from ``xxhash64(table,
+plane, dim)`` → uniform in [-1, 1] — no driver-side randomness, no
+collect, reproducible across runs/clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def _rank_window(query_id: str = "query_id"):
+    # Deterministic tie-break: score desc, neighbor id asc.
+    return Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every
+    (query, corpus) pair JVM-side, keep k best per query.
+
+    Emits (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    ``cosine`` is rounded *before* ranking so ordering is stable across
+    engines (floating-point last-bit noise can't flip ranks).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"), "inner")
+        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), round_to))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_keys(vec: Column, *, tables: int, planes: int, dim: int) -> Column:
+    """Sign-LSH bucket key per table: for table t, key = integer whose
+    bit p is sign(dot(vec, h_{t,p})), hyperplane components derived from
+    xxhash64(t, p, d) scaled to [-1, 1]. Returns array<long> of length
+    ``tables``."""
+
+    def hyper_component(t: Column, p: Column, d: Column) -> Column:
+        h = F.xxhash64(t, p, d)
+        # map int64 → [-1, 1] (double): h / 2^63
+        return h.cast("double") / F.lit(float(2**63))
+
+    def table_key(t: Column) -> Column:
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda x, d: x.cast("double") * hyper_component(t, p, d),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        # MSB-first fold (shift amounts can't be Columns): key = Σ bit·2^p.
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(tables - 1)), table_key)
+
+
+def lsh_bucketed_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    tables: int = 4,
+    planes: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only (query, corpus) pairs that collide
+    in ≥1 of ``tables`` sign-LSH tables. Same output contract as
+    :func:`brute_force_top_k` (ranks may differ — it's approximate)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, idname: str, vname: str) -> DataFrame:
+        v = F.col(vec_col)
+        return df.select(
+            F.col(id_col).alias(idname),
+            v.alias(vname),
+            F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
+                "__table", "__key"
+            ),
+        )
+
+    c = with_buckets(corpus, "neighbor_id", "__cv")
+    q = with_buckets(queries, "query_id", "__qv")
+    candidates = (
+        c.join(q, on=["__table", "__key"], how="inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cosine", F.round(cosine_similarity("__qv", "__cv"), round_to)
+    ).select("query_id", "neighbor_id", "cosine")
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    tables: int = 4,
+    planes: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH self-bucket-join,
+    canonical (src_id < dst_id), exact cosine verification ≥ threshold.
+    Emits (src_id, dst_id, cosine)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    banded = corpus.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
+            "__table", "__key"
+        ),
+    )
+    a = banded.select("__table", "__key", F.col("__id").alias("src_id"), F.col("__v").alias("__va"))
+    b = banded.select("__table", "__key", F.col("__id").alias("dst_id"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, on=["__table", "__key"], how="inner")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .dropDuplicates(["src_id", "dst_id"])
+        .withColumn("cosine", F.round(cosine_similarity("__va", "__vb"), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("src_id", "dst_id", "cosine")
+    )

@@ -1,0 +1,949 @@
+"""Query registry — the driver-facing inventory of every implemented
+operator (SURVEY.md §2 + the LLM-data-pipeline extensions), each as a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible,
+a DuckDB oracle twin with *identical column names and value semantics*.
+
+Determinism rules applied throughout (so order-insensitive value-hash
+comparison is exact):
+
+- no raw double aggregation: doubles are cast to DECIMAL before SUM
+  (exact in both engines), final values cast back to DOUBLE;
+- every similarity/ratio is rounded to a fixed scale in both engines;
+- every top-k has a total-order tie-break key;
+- token semantics pinned: lower → trim → split on ``\\s+`` → drop empty.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.pairwise import common_token_count, equality_flag, jaccard_tokens, tokenize, year_difference
+from .functions.textstats import (
+    BPE_ISH_PATTERN,
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    bpe_ish_token_count,
+    detect_language,
+    doc_fingerprint,
+    quality_features,
+    whitespace_token_count,
+)
+from .functions.vectors import cosine_similarity
+from .operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .operators.joins import enrich_edges_both_sides, label_by_existence
+from .operators.similarity import brute_force_top_k, embedding_near_dup_pairs, lsh_bucketed_top_k
+from .sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL fragment shared by every token-level oracle (mirror of
+# functions.pairwise.tokenize).
+def _toks_sql(col: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim(lower({col})), '\\s+'), t -> t != '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 — scans, projections, filters, column ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "s1_scan_project_filter",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
+    """,
+)
+def s1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P2+P8: projection + predicate, both pushed to the parquet scan
+    (verify with .explain: PushedFilters + 3-col ReadSchema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", "n_chars").filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(200, 400)
+    )
+
+
+@register(
+    "null_fill_group",
+    """
+    SELECT coalesce(nullif(lang, 'zh'), 'unknown') AS lang_filled,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def null_fill_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 na.fill semantics (Predictor.scala:132-134): synthesize nulls
+    (the testbed has none), fill, aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_filled", F.nullif(F.col("lang"), F.lit("zh")))
+        .na.fill({"lang_filled": "unknown"})
+        .groupBy("lang_filled")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "conditional_label_agg",
+    """
+    SELECT CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def conditional_label_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 when/otherwise (Predictor.scala:307) + exact decimal agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.when(F.col("o_totalprice") > 150000, "high").otherwise("low")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "split_part_type",
+    """
+    SELECT p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
+           string_split(p_type, ' ')[1] AS first_word
+    FROM part
+    """,
+)
+def split_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 split-on-delimiter (Predictor.scala:135)."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_type"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(toks).cast("int").alias("n_words"),
+        toks.getItem(0).alias("first_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins (J1-J4) and the flagship pair-feature query
+# ---------------------------------------------------------------------------
+
+_PAIR_FEATURES_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars, {_toks_sql('text')} AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS common_tokens,
+           CASE WHEN a.lang IS NOT DISTINCT FROM b.lang THEN 1 ELSE 0 END AS same_lang,
+           CASE WHEN a.source IS NOT DISTINCT FROM b.source THEN 1 ELSE 0 END AS same_source,
+           abs(CAST(a.n_chars AS INTEGER) - CAST(b.n_chars AS INTEGER)) AS n_chars_diff
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@register("pair_features_flagship", _PAIR_FEATURES_ORACLE)
+def pair_features_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship slice (SURVEY.md §7 step 1): edge list → null-safe
+    double self-join against the node table (J1+J2,
+    Predictor.scala:213-243) → pairwise features F2/F3/F4
+    (Predictor.scala:251-287), on the ``documents`` testbed.
+
+    Edges = adjacent doc ids; node attrs = token set, lang, source,
+    n_chars. The info side is broadcast (small dim vs edge fact —
+    the 100 TB join shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    info = docs.select(
+        F.col("doc_id").alias("id"),
+        tokenize("text").alias("toks"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    edges = docs.select(
+        F.col("doc_id").alias("src_id"), (F.col("doc_id") + 1).alias("dst_id")
+    )
+    enriched = enrich_edges_both_sides(
+        edges, info, info_id="id", src="src_id", dst="dst_id",
+        attrs=["toks", "lang", "source", "n_chars"],
+    )
+    return enriched.select(
+        "src_id",
+        "dst_id",
+        common_token_count("toks_from", "toks_to").alias("common_tokens"),
+        equality_flag("lang_from", "lang_to").alias("same_lang"),
+        equality_flag("source_from", "source_to").alias("same_source"),
+        year_difference("n_chars_from", "n_chars_to").alias("n_chars_diff"),
+    )
+
+
+@register(
+    "left_existence_label",
+    """
+    SELECT c.c_custkey,
+           CASE WHEN t.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000) t
+      ON c.c_custkey IS NOT DISTINCT FROM t.o_custkey
+    """,
+)
+def left_existence_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (Predictor.scala:297-312): null-safe LEFT join + null-flag
+    existence labeling, via operators.joins.label_by_existence."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    truth = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    labeled = label_by_existence(
+        customer.select("c_custkey"), truth, keys=(("c_custkey", "o_custkey"),)
+    )
+    return labeled.select("c_custkey", "label")
+
+
+@register(
+    "crossvalidate_counts",
+    """
+    WITH pairs AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.source AS sa, b.source AS sb,
+             a.lang AS la, b.lang AS lb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    predicted AS (SELECT src_id, dst_id FROM pairs WHERE sa = sb),
+    truth     AS (SELECT src_id, dst_id FROM pairs WHERE la = lb)
+    SELECT (SELECT count(*) FROM predicted) AS n_predicted,
+           (SELECT count(*) FROM predicted p JOIN truth t
+              ON p.src_id = t.src_id AND p.dst_id = t.dst_id) AS n_correct
+    """,
+)
+def crossvalidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+A1 (Predictor.scala:411-421): predicted edges ⋈ ground truth
+    on composite key → (total, correct) counts as a 1-row DataFrame."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("src_id"), F.col("source").alias("sa"), F.col("lang").alias("la"))
+    b = docs.select((F.col("doc_id") - 1).alias("src_id"), F.col("doc_id").alias("dst_id"),
+                    F.col("source").alias("sb"), F.col("lang").alias("lb"))
+    pairs = a.join(b, "src_id")
+    predicted = pairs.filter(F.col("sa") == F.col("sb")).select("src_id", "dst_id")
+    truth = pairs.filter(F.col("la") == F.col("lb")).select("src_id", "dst_id")
+    n_pred = predicted.agg(F.count(F.lit(1)).alias("n_predicted"))
+    n_corr = predicted.join(truth, ["src_id", "dst_id"], "inner").agg(
+        F.count(F.lit(1)).alias("n_correct")
+    )
+    return n_pred.crossJoin(n_corr)
+
+
+@register("global_count", "SELECT count(*) AS n FROM lineitem")
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (Predictor.scala:420-421)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extensions — aggregation shapes the north star needs
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-groupBy with exact decimal sums —
+    partial (map-side) aggregation + single shuffle on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → global
+    top-k with total-order tie-break. The filtered customer side is
+    broadcast; lineitem (the 100 TB fact) never re-partitions except on
+    its join key."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS "O",
+           count(*) FILTER (WHERE l_linestatus = 'F') AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).count()
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT — segment customers with no high-value order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    high = orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(high)
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return auto.intersect(big)
+
+
+# ---------------------------------------------------------------------------
+# Time-series / sessionization over events (batch twins of streaming ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM (SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running-sum session ids + per-
+    session agg — the batch twin of streaming session_window."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate — batch twin of the Structured
+    Streaming windowed agg in streaming/events.py."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) - 1 AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_JACCARD_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_distinct({_toks_sql('text')}) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND b.doc_id > a.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+"""
+
+
+@register("dedup_token_jaccard", _TOKEN_JACCARD_ORACLE)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by source —
+    the fully-SQL-checkable exact-similarity dedup (MinHash's target)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    a = base.select(F.col("source"), F.col("doc_id").alias("src_id"), F.col("toks").alias("ta"))
+    b = base.select(F.col("source"), F.col("doc_id").alias("dst_id"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("dst_id") > F.col("src_id"))
+        .withColumn("jaccard", F.round(jaccard_tokens("ta", "tb"), 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("src_id", "dst_id", "jaccard")
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_toks_sql('text')} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM d
+    )
+    SELECT src_id, dst_id, jaccard FROM (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      FROM g a JOIN g b ON a.source = b.source AND b.doc_id > a.doc_id)
+    WHERE jaccard >= 0.3
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-2-gram Jaccard near-dup pairs (operators.dedup.ngram_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_col="source", ngram=2, threshold=0.3, window=None
+    )
+
+
+@register("dedup_minhash")  # approx — hash functions not portable to SQL: rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    verify); verified-exact jaccard output, so recall<1 but precision=1
+    vs dedup_ngram_jaccard's ground truth (asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, shingle_n=2, num_hashes=32, bands=16, threshold=0.3
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 not portable to SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, bits=32, blocks=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 4) AS cosine
+           FROM q, c WHERE query_id != neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@register("embedding_topk_bruteforce", _TOPK_ORACLE)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (broadcast queries × corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_top_k(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_PAIRS_EXACT_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT src_id, dst_id, cosine FROM (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      FROM e a JOIN e b ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 20)
+    WHERE cosine >= 0.2
+"""
+
+
+@register("embedding_pairs_exact", _PAIRS_EXACT_ORACLE)
+def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine pairs within an id window — range-join blocking +
+    JVM-side vector math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(
+            b,
+            (F.col("dst_id") > F.col("src_id")) & (F.col("dst_id") - F.col("src_id") <= 20),
+        )
+        .withColumn("cosine", F.round(cosine_similarity("va", "vb"), 4))
+        .filter(F.col("cosine") >= 0.2)
+        .select("src_id", "dst_id", "cosine")
+    )
+
+
+@register("embedding_ann_lsh")  # approx — rows-only
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (the 100 TB scale path; recall vs
+    brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_top_k(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, tables=8, planes=6
+    )
+
+
+@register("embedding_near_dup")  # approx — rows-only
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64, tables=8, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_oracle() -> str:
+    toks = f"list_distinct({_toks_sql('text')})"
+
+    def lst(words: tuple[str, ...]) -> str:
+        inner = ", ".join("'" + w + "'" for w in words)
+        return f"[{inner}]"
+
+    hit_exprs = {
+        lang: f"len(list_intersect(t, {lst(words)}))"
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN h_{l} = m THEN '{l}'" for l in langs)
+    hits_cols = ", ".join(f"{e} AS h_{l}" for l, e in hit_exprs.items())
+    return f"""
+      WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+           h AS (SELECT doc_id, {hits_cols} FROM d),
+           m AS (SELECT *, {greatest} AS m FROM h)
+      SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred
+      FROM m
+    """
+
+
+@register("lang_id", _lang_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax over per-language marker
+    hits, tie-break by language code)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+
+
+def _quality_oracle() -> str:
+    toks = _toks_sql("text")
+    stop = "[" + ", ".join("'" + w + "'" for w in ENGLISH_STOPWORDS) + "]"
+    punct_sql = "[.,!?;:''\"()\\[\\]{}-]"  # '' = escaped quote inside SQL literal
+    return f"""
+      WITH d AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             round(CASE WHEN len(toks) > 0
+               THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
+               ELSE 0.0 END, 4) AS mean_token_len,
+             round(CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '{punct_sql}', '', 'g')))::DOUBLE / length(text)
+               ELSE 0.0 END, 4) AS punct_ratio,
+             round(CASE WHEN len(toks) > 0
+               THEN len(list_intersect(list_distinct(toks), {stop}))::DOUBLE / len(toks)
+               ELSE 0.0 END, 4) AS stopword_ratio
+      FROM d
+    """
+
+
+@register("text_quality", _quality_oracle())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in qf.items()])
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')) AS n_ws_tokens,
+           length(regexp_replace(text, '{BPE_ISH_PATTERN}', chr(1), 'g'))
+             - length(regexp_replace(regexp_replace(text, '{BPE_ISH_PATTERN}', chr(1), 'g'), chr(1), '', 'g')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: text → binary payload → byte
+    length + content hash, all JVM-side. The decode/feature-extract
+    path for real image/audio payloads is operators/multimodal.py
+    (stubbed decoders, real Spark plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph features (degrees, common neighbors) — supersedes the unused
+# graphx dependency (build.sbt:13); pure DataFrame self-join aggs.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degrees",
+    """
+    SELECT l_partkey AS node_id, count(DISTINCT l_orderkey) AS degree
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node degree over the (order, part) bipartite edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_partkey").alias("node_id")).agg(
+        F.countDistinct("l_orderkey").alias("degree")
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    """
+    SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id,
+           count(DISTINCT a.l_orderkey) AS common_neighbors
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(DISTINCT a.l_orderkey) >= 2
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor counts (the classic link-prediction feature) via
+    self-join on the shared neighbor + pair aggregation. Co-partitioned
+    self-join: both sides shuffle once on l_orderkey; skew handled by
+    AQE skew-join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("dst_id") > F.col("src_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.countDistinct("l_orderkey").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling + ML pipelines (rows-only: seeds/hashes not SQL-portable)
+# ---------------------------------------------------------------------------
+
+@register("sample_bernoulli")
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (Predictor.scala:352-353): deterministic Bernoulli sample,
+    seed 12345."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=12345).select("doc_id", "source")
+
+
+@register("p1_link_prediction")
+def p1_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p1 end-to-end on the documents testbed: citation-shaped node
+    table synthesized from documents, train edges (i, i+1) labeled by
+    same-source, test edges (i, i+2) labeled via ground-truth existence
+    join, 6 features incl. destination tf·idf, LR(maxIter=100),
+    prediction output. Rows-only: LR coefficients are not
+    SQL-expressible; quality floor asserted in tests."""
+    from .plans.p1 import run_p1
+
+    docs = load_table(spark, sf_dir, "documents")
+    info = docs.select(
+        F.col("doc_id").cast("string").alias("srcId"),
+        (1990 + F.col("doc_id") % 14).cast("string").alias("year"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("source").alias("authors"),
+        F.col("lang").alias("journal"),
+        F.col("text").alias("abstract"),
+    )
+    pairs1 = docs.alias("a").join(
+        docs.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1
+    )
+    train = pairs1.select(
+        F.col("a.doc_id").cast("string").alias("srcId"),
+        F.col("b.doc_id").cast("string").alias("dstId"),
+        F.when(F.col("a.source") == F.col("b.source"), 1).otherwise(0).alias("label"),
+    )
+    pairs2 = docs.alias("a").join(
+        docs.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 2
+    )
+    test = pairs2.select(
+        F.col("a.doc_id").cast("string").alias("srcId"),
+        F.col("b.doc_id").cast("string").alias("dstId"),
+    )
+    truth = pairs2.filter(F.col("a.source") == F.col("b.source")).select(
+        F.col("a.doc_id").cast("string").alias("srcId"),
+        F.col("b.doc_id").cast("string").alias("dstId"),
+    )
+    res = run_p1(spark, info, train, test, truth)
+    return res.predictions.select("srcId", "dstId", "label", "prediction")
+
+
+@register("p2_lsh_similarity")
+def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p2 (Predictor.scala:388-422) on the documents testbed: tf·idf →
+    MinHashLSH(3 tables) → approx similarity self-join at Jaccard ≥ 0.8
+    (intent mode, threshold pushed into the join, canonical pairs)."""
+    from .plans.p2 import lsh_similarity_join
+    from .plans.text_pipeline import preprocess_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("srcId"), F.col("text")
+    )
+    processed, _ = preprocess_documents(docs, text_cols=["text"])
+    feats = processed.select("srcId", "tf_idf")
+    return lsh_similarity_join(feats, threshold=0.8, mode="intent")

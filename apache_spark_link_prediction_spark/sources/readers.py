@@ -1,0 +1,135 @@
+"""Schema'd sources/sinks — the reference's scan operators re-expressed.
+
+Reference scans (SURVEY.md §2.1):
+
+- S1  headerless quoted CSV → 6 positional string cols
+      (``getInfoDataFrame``, Predictor.scala:83-97)
+- S2  space-delimited text → (srcId, dstId, label:int)
+      (``getTrainingDataFrame``, Predictor.scala:158-167)
+- S3  space-delimited text → (srcId, dstId)
+      (``getTestingDataFrame``, Predictor.scala:176-185)
+- S4  tab-delimited text → (srcId, dstId)
+      (``getGroundTruthDataFrame``, Predictor.scala:194-203)
+- S5  sink: the reference only println's; we provide a parquet writer
+- S6  deterministic Bernoulli sample, seed 12345 (Predictor.scala:26-28, 353)
+
+The reference parses S2-S4 with ``sc.textFile`` + RDD ``map``; here every
+scan is a ``spark.read`` with an explicit schema, so Catalyst keeps
+pushdown/pruning and nothing leaves the JVM. All IDs stay strings
+(SURVEY.md §2.7-4: no zero-pad normalization, string-vs-string joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# S1 — node_information.csv column layout (Predictor.scala:84-90).
+NODE_INFO_COLUMNS = ["srcId", "year", "title", "authors", "journal", "abstract"]
+NODE_INFO_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in NODE_INFO_COLUMNS]
+)
+
+# S2 — training_set.txt (Predictor.scala:162-166).
+EDGE_LABELED_SCHEMA = T.StructType(
+    [
+        T.StructField("srcId", T.StringType(), True),
+        T.StructField("dstId", T.StringType(), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+# S3/S4 — testing_set.txt / Cit-HepTh.txt (Predictor.scala:176-203).
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("srcId", T.StringType(), True),
+        T.StructField("dstId", T.StringType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_node_info(spark: SparkSession, path: str) -> DataFrame:
+    """S1: headerless CSV with quoted fields (authors contain commas)."""
+    return (
+        spark.read.schema(NODE_INFO_SCHEMA)
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_labeled_edges(spark: SparkSession, path: str) -> DataFrame:
+    """S2: ``srcId dstId label`` space-separated."""
+    return (
+        spark.read.schema(EDGE_LABELED_SCHEMA)
+        .option("sep", " ")
+        .option("header", "false")
+        .csv(path)
+    )
+
+
+def read_edges(spark: SparkSession, path: str) -> DataFrame:
+    """S3: ``srcId dstId`` space-separated."""
+    return (
+        spark.read.schema(EDGE_SCHEMA).option("sep", " ").option("header", "false").csv(path)
+    )
+
+
+def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
+    """S4: ``srcId\\tdstId`` tab-separated."""
+    return (
+        spark.read.schema(EDGE_SCHEMA).option("sep", "\t").option("header", "false").csv(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects by default — read it as int64 nanos (legacy conf, runtime-
+    settable) and convert to a microsecond timestamp (integer ``div`` —
+    a double division would lose precision on epoch-nanos magnitudes).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def sample_deterministic(df: DataFrame, fraction: float, seed: int = 12345) -> DataFrame:
+    """S6: Bernoulli sample with the reference's fixed seed
+    (Predictor.scala:352-353, 390-391)."""
+    if fraction >= 1.0:
+        return df
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5: materializing sink (the reference only println's results;
+    at 100 TB results must land columnar + partition-pruned)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
