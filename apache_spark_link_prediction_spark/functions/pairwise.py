@@ -77,10 +77,11 @@ def year_difference(a: Column | str, b: Column | str) -> Column:
     """F4: ``abs(int(a) - int(b))`` with the reference's cast-then-null
     semantics — string years are implicitly cast, unparseable → null,
     null propagates (rows dropped later by na.drop; Predictor.scala:41-43,
-    256, 263, 283-286)."""
+    256, 263, 283-286). ``try_cast`` because Spark 4's default ANSI mode
+    would throw on malformed input where Spark 2.4 returned null."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return F.abs(a.cast("int") - b.cast("int"))
+    return F.abs(a.try_cast("int") - b.try_cast("int"))
 
 
 def to_double_label(c: Column | str) -> Column:

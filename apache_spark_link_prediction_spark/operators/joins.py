@@ -80,21 +80,26 @@ def label_by_existence(
     left outer join, ``when(isNull, 0).otherwise(1)``, drop right cols.
     Semantically a left-semi existence flag; we keep the reference's
     left-join formulation (one shuffle either way) but project the truth
-    side to its key columns first so the shuffle moves only keys.
+    side to its key columns first so the shuffle moves only keys, and
+    probe a constant marker column rather than the key itself — the
+    reference's ``isNull`` probe mislabels a null-keyed pair that DID
+    null-safely match (its matched key is null), a corner its own data
+    never hits.
     """
     right_keys = [rk for _, rk in keys]
-    truth_proj = truth.select(
-        *[F.col(rk).alias(f"__t_{rk}") for rk in right_keys]
-    ).dropDuplicates([f"__t_{rk}" for rk in right_keys])
+    truth_proj = (
+        truth.select(*[F.col(rk).alias(f"__t_{rk}") for rk in right_keys])
+        .dropDuplicates([f"__t_{rk}" for rk in right_keys])
+        .withColumn("__t_exists", F.lit(1))
+    )
     cond = None
     for lk, rk in keys:
         c = pairs[lk].eqNullSafe(truth_proj[f"__t_{rk}"])
         cond = c if cond is None else (cond & c)
-    probe = F.col(f"__t_{right_keys[0]}")
     out = (
         pairs.join(truth_proj, cond, "left")
-        .withColumn(label_col, F.when(probe.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int"))
-        .drop(*[f"__t_{rk}" for rk in right_keys])
+        .withColumn(label_col, F.coalesce(F.col("__t_exists"), F.lit(0)).cast("int"))
+        .drop("__t_exists", *[f"__t_{rk}" for rk in right_keys])
     )
     return out
 

@@ -565,6 +565,7 @@ _TOKEN_JACCARD_ORACLE = f"""
            round(len(list_intersect(a.toks, b.toks))::DOUBLE /
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
     FROM d a JOIN d b ON a.source = b.source AND b.doc_id > a.doc_id
+                      AND b.doc_id - a.doc_id <= 400
     WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
                 len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
 """
@@ -572,17 +573,41 @@ _TOKEN_JACCARD_ORACLE = f"""
 
 @register("dedup_token_jaccard", _TOKEN_JACCARD_ORACLE)
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs, blocked by source —
-    the fully-SQL-checkable exact-similarity dedup (MinHash's target)."""
+    """Exact token-set Jaccard near-dup pairs, blocked by (source,
+    id-window) — the fully-SQL-checkable exact-similarity dedup
+    (MinHash's target).
+
+    Candidate pairs satisfy ``0 < dst_id − src_id ≤ W``, so the join
+    key is (source, id-bucket of width W): the src side probes its own
+    bucket and the next one, the dst side posts exactly its bucket —
+    each qualifying pair matches exactly once (no dedup needed), join
+    keys scale with corpus size (not just |sources|), and no pair
+    outside the window is ever materialized."""
+    W = 400
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
     )
-    a = base.select(F.col("source"), F.col("doc_id").alias("src_id"), F.col("toks").alias("ta"))
-    b = base.select(F.col("source"), F.col("doc_id").alias("dst_id"), F.col("toks").alias("tb"))
+    a = base.select(
+        F.col("source"),
+        F.explode(
+            F.array((F.col("doc_id") / W).cast("long"), (F.col("doc_id") / W).cast("long") + 1)
+        ).alias("bucket"),
+        F.col("doc_id").alias("src_id"),
+        F.col("toks").alias("ta"),
+    )
+    b = base.select(
+        F.col("source"),
+        (F.col("doc_id") / W).cast("long").alias("bucket"),
+        F.col("doc_id").alias("dst_id"),
+        F.col("toks").alias("tb"),
+    )
     return (
-        a.join(b, "source")
-        .filter(F.col("dst_id") > F.col("src_id"))
+        a.join(b, ["source", "bucket"])
+        .filter(
+            (F.col("dst_id") > F.col("src_id"))
+            & (F.col("dst_id") - F.col("src_id") <= W)
+        )
         .withColumn("jaccard", F.round(jaccard_tokens("ta", "tb"), 6))
         .filter(F.col("jaccard") >= 0.8)
         .select("src_id", "dst_id", "jaccard")
@@ -624,14 +649,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs dedup_ngram_jaccard's ground truth (asserted in tests)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
-        docs, shingle_n=2, num_hashes=32, bands=16, threshold=0.3
+        docs, shingle_n=1, num_hashes=32, bands=8, threshold=0.8
     )
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 not portable to SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, bits=32, blocks=4, max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs, bits=32, blocks=4, max_hamming=3, max_bucket_size=256
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -697,14 +724,14 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_top_k(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, tables=8, planes=6
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, tables=8, planes=4
     )
 
 
 @register("embedding_near_dup")  # approx — rows-only
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64, tables=8, planes=6)
+    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64, tables=8, planes=4)
 
 
 # ---------------------------------------------------------------------------
@@ -941,8 +968,13 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.p2 import lsh_similarity_join
     from .plans.text_pipeline import preprocess_documents
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("srcId"), F.col("text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # Reference feasibility ceiling: INFO_DATAFRAME_PORTION ≤ 0.2
+        # with seed 12345 (Predictor.scala:26-28, 391) — sampled
+        # *before* preprocessing so IDF stats match that semantics.
+        .sample(fraction=0.2, seed=12345)
+        .select(F.col("doc_id").cast("string").alias("srcId"), F.col("text"))
     )
     processed, _ = preprocess_documents(docs, text_cols=["text"])
     feats = processed.select("srcId", "tf_idf")

@@ -1,0 +1,79 @@
+"""Benchmark runner (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (computes every
+column, writes nothing — unlike ``count()``, which lets Catalyst prune
+the projection and would under-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pair_features_flagship",
+    "tpch_q1_agg",
+    "tpch_q3_topk",
+    "window_running_sum",
+    "sessionize_events",
+    "graph_common_neighbors",
+    "dedup_exact",
+    "dedup_token_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk_bruteforce",
+    "embedding_ann_lsh",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "p2_lsh_similarity",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # Warm the JVM/codegen paths and the parquet footers so query
+    # timings measure the plans, not first-touch initialization.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from apache_spark_link_prediction_spark.sources.readers import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Unit tests for the scalar/pairwise expression layer (reference F1-F5
+semantics, SURVEY.md §2.5) on literal fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_spark_link_prediction_spark.functions.pairwise import (
+    common_token_count,
+    common_token_count_multiset,
+    equality_flag,
+    jaccard_tokens,
+    tokenize,
+    year_difference,
+)
+from apache_spark_link_prediction_spark.functions.textstats import (
+    bpe_ish_token_count,
+    detect_language,
+    doc_fingerprint,
+    whitespace_token_count,
+)
+from apache_spark_link_prediction_spark.functions.vectors import cosine_similarity
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_tokenize_trims_lowercases_drops_empty(spark):
+    row = spark.createDataFrame([("  Hello   WORLD  ",), ("",), (None,)], ["t"])
+    out = [r["toks"] for r in row.select(tokenize("t").alias("toks")).collect()]
+    assert out[0] == ["hello", "world"]
+    assert out[1] == []
+    assert out[2] is None
+
+
+def test_common_token_count_set_vs_multiset(spark):
+    df = spark.createDataFrame([(["a", "a", "b"], ["a", "a", "c"])], ["x", "y"])
+    got = df.select(
+        common_token_count("x", "y").alias("s"),
+        common_token_count_multiset("x", "y").alias("m"),
+    ).first()
+    # set semantics dedupes ({a}); multiset counts min multiplicity (a,a)
+    # — Scala Seq.intersect parity (Predictor.scala:68-75).
+    assert got["s"] == 1
+    assert got["m"] == 2
+
+
+def test_common_token_count_null_is_zero(spark):
+    df = spark.createDataFrame([(None, ["a"])], "x array<string>, y array<string>")
+    got = df.select(
+        common_token_count("x", "y").alias("s"),
+        common_token_count_multiset("x", "y").alias("m"),
+    ).first()
+    assert got["s"] == 0 and got["m"] == 0
+
+
+def test_equality_flag_null_safe(spark):
+    # Reference compares post-fill("") values: missing==missing → 1
+    # (Predictor.scala:52-59 with 132-134); eqNullSafe reproduces that
+    # even without the fill.
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), (None, None), (None, "a")], "x string, y string"
+    )
+    got = [r["f"] for r in df.select(equality_flag("x", "y").alias("f")).collect()]
+    assert got == [1, 0, 1, 0]
+
+
+def test_year_difference_cast_null_semantics(spark):
+    # String years implicitly cast; unparseable → null propagates
+    # (Predictor.scala:41-43, 256; SURVEY.md §1.2).
+    df = spark.createDataFrame(
+        [("1999", "2003"), ("2003", "1999"), ("n/a", "1999")], "x string, y string"
+    )
+    got = [r["d"] for r in df.select(year_difference("x", "y").alias("d")).collect()]
+    assert got == [4, 4, None]
+
+
+def test_jaccard_tokens(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b", "c"]), ([], [])],
+        "x array<string>, y array<string>",
+    )
+    got = [r["j"] for r in df.select(jaccard_tokens("x", "y").alias("j")).collect()]
+    assert got[0] == pytest.approx(1 / 3)
+    assert got[1] == 0.0
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat est dans la maison pour toujours",),
+            ("zzz qqq xxx",),
+        ],
+        ["t"],
+    )
+    got = [r["l"] for r in df.select(detect_language("t").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], ["t"])
+    got = df.select(
+        whitespace_token_count("t").alias("w"), bpe_ish_token_count("t").alias("b")
+    ).first()
+    assert got["w"] == 4
+    # Hello , world ! 42 times → 6 BPE-ish pre-tokens
+    assert got["b"] == 6
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different text",)], ["t"]
+    )
+    got = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert got[0] == got[1]
+    assert got[2] != got[0]
+
+
+def test_cosine_similarity_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "x array<double>, y array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_similarity("x", "y").alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == 0.0  # degenerate → 0, not NaN

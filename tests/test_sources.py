@@ -1,0 +1,55 @@
+"""Reader tests: the reference's four scan formats (S1-S4) parsed with
+exact positional/separator semantics (Predictor.scala:83-203), plus the
+deterministic sample (S6)."""
+
+from __future__ import annotations
+
+from apache_spark_link_prediction_spark.sources import (
+    read_edges,
+    read_ground_truth,
+    read_labeled_edges,
+    read_node_info,
+    sample_deterministic,
+)
+
+
+def test_read_node_info_quoted_csv(spark, tmp_path):
+    p = tmp_path / "node_information.csv"
+    p.write_text(
+        '1001,1999,"A title","Smith, J., Doe, A.",Nature,"An abstract, with comma"\n'
+        "1002,,No year,,,\n"
+    )
+    df = read_node_info(spark, str(p))
+    rows = {r["srcId"]: r for r in df.collect()}
+    assert rows["1001"]["authors"] == "Smith, J., Doe, A."  # quoted commas kept
+    assert rows["1001"]["abstract"] == "An abstract, with comma"
+    assert rows["1002"]["year"] is None  # empty → null (pre-fill)
+    assert df.columns == ["srcId", "year", "title", "authors", "journal", "abstract"]
+
+
+def test_read_labeled_edges_space_separated(spark, tmp_path):
+    p = tmp_path / "training_set.txt"
+    p.write_text("9510123 9502114 1\n9707075 9604178 0\n")
+    rows = read_labeled_edges(spark, str(p)).collect()
+    assert [(r["srcId"], r["dstId"], r["label"]) for r in rows] == [
+        ("9510123", "9502114", 1),
+        ("9707075", "9604178", 0),
+    ]
+
+
+def test_read_edges_and_ground_truth_separators(spark, tmp_path):
+    e = tmp_path / "testing_set.txt"
+    e.write_text("1182 9807076\n")
+    g = tmp_path / "truth.txt"
+    g.write_text("1182\t9807076\n")
+    assert read_edges(spark, str(e)).first()["dstId"] == "9807076"
+    assert read_ground_truth(spark, str(g)).first()["dstId"] == "9807076"
+    # variable-width string ids, no zero-pad normalization (§2.7-4)
+    assert read_edges(spark, str(e)).first()["srcId"] == "1182"
+
+
+def test_sample_deterministic_seed(spark, docs):
+    a = sample_deterministic(docs, 0.2).select("doc_id").collect()
+    b = sample_deterministic(docs, 0.2).select("doc_id").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert sample_deterministic(docs, 1.0) is docs  # fraction 1 short-circuits
