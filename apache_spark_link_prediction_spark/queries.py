@@ -979,3 +979,45 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed, _ = preprocess_documents(docs, text_cols=["text"])
     feats = processed.select("srcId", "tf_idf")
     return lsh_similarity_join(feats, threshold=0.8, mode="intent")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twins (rows-only: streaming execution is not
+# DuckDB-expressible; batch-equivalence is pinned in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+def _events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-materialize events (ns→µs ts) into a temp dir and open it as
+    a bounded file stream — the local stand-in for a Kafka source."""
+    import tempfile
+
+    from .sources.readers import write_parquet
+    from .streaming.events import read_events_stream
+
+    path = tempfile.mkdtemp(prefix="events_stream_")
+    write_parquet(load_table(spark, sf_dir, "events").repartition(4), path)
+    return read_events_stream(spark, path)
+
+
+@register("streaming_window_agg")
+def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming agg driven to completion
+    through a memory sink; must equal ``tumbling_window_agg``."""
+    from .streaming.events import run_stream_to_memory, streaming_window_agg
+
+    return run_stream_to_memory(
+        streaming_window_agg(_events_as_stream(spark, sf_dir)),
+        name="q_streaming_window_agg",
+    )
+
+
+@register("streaming_sessionize")
+def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based ``session_window`` streaming sessionization; session
+    size profile must equal ``sessionize_events`` (tests)."""
+    from .streaming.events import run_stream_to_memory, streaming_session_agg
+
+    return run_stream_to_memory(
+        streaming_session_agg(_events_as_stream(spark, sf_dir)),
+        name="q_streaming_sessionize",
+    )

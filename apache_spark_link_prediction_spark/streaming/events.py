@@ -1,0 +1,106 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY.md §1.1: "No streams"); this module
+is the §7-step-7 extension: the engine's windowed/sessionized event
+aggregations as streaming queries with watermarked late-data handling.
+The batch twins (``tumbling_window_agg``, ``sessionize_events`` in
+queries.py) are the oracle-checked semantics; these run the same logic
+incrementally.
+
+Local smoke: parquet readStream + memory sink + processAllAvailable()
+drives a bounded batch through the streaming engine synchronously.
+At scale the same plans run against Kafka with checkpointing — only the
+source/sink lines change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of the events stream with ts already materialized as a proper
+# timestamp. The raw testdata parquet stores TIMESTAMP(NANOS) which
+# Spark can't stream-read directly; stream tests re-materialize via
+# sources.load_table first (see tests/test_streaming.py).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over parquet event files."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_window_agg(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data
+    watermark — the streaming twin of ``tumbling_window_agg``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation via the native ``session_window``
+    (gap-based dynamic windows) — the streaming twin of
+    ``sessionize_events``'s lag/cumsum formulation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, *, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming aggregation to completion through a
+    memory sink; returns the result as a batch DataFrame. Test harness
+    only — real deployments writeStream to kafka/parquet with
+    checkpointLocation."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}")
