@@ -65,11 +65,35 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed i, ``min over shingles of
-    xxhash64(i, shingle)``. One array column of ``num_hashes`` longs,
-    computed entirely inside codegen."""
+    xxhash64(i, shingle)``. One array column of ``num_hashes`` longs.
+
+    NOTE: referencing this column from further derived expressions makes
+    Catalyst's ``CollapseProject`` inline the whole nested-HOF tree into
+    every use site (measured 30× blowup on the band keys) — prefer
+    :func:`minhash_signature_cols` for anything downstream."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(i, sh))),
+    )
+
+
+def minhash_signature_cols(
+    docs: DataFrame, id_col: str, shingles: Column, num_hashes: int
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` plain long columns
+    ``__h0..__h{n-1}`` via explode → hash → min-aggregate.
+
+    The groupBy's partial (map-side) aggregation means the shuffle moves
+    only ``num_hashes`` longs per (doc, partition) — never the shingles
+    — and the aggregation boundary doubles as a projection barrier, so
+    band-key expressions over ``__h*`` stay simple codegen'd columns
+    instead of inlined nested-HOF trees (the 200s→7s fix at sf0.1)."""
+    ex = docs.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
+    return ex.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -102,18 +126,34 @@ def minhash_near_dup_pairs(
     base = docs.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_n).alias("__shingles"),
-    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    )
 
-    # (band_idx, band_key, id, shingles): band_key hashes the band slice.
-    banded = base.select(
+    # Signatures as plain columns behind an aggregation barrier (see
+    # minhash_signature_cols — avoids CollapseProject's nested-HOF
+    # recompute blowup in the band keys below).
+    sig = minhash_signature_cols(base, "__id", F.col("__shingles"), num_hashes)
+
+    # Candidate generation is ids-only: shingle sets (the wide payload —
+    # ~|doc| strings each) must NOT ride through the band explode, the
+    # bucket-cap shuffle, or the bucket self-join, where they'd be
+    # replicated ``bands``× . They rejoin once per side at verification.
+    banded = sig.select(
         "__id",
-        "__shingles",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band))
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"__h{i}")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        ),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__band", "__key"),
     )
@@ -126,23 +166,30 @@ def minhash_near_dup_pairs(
         .drop("__bucket_n")
     )
 
-    a = banded.select(
-        F.col("__band"), F.col("__key"),
-        F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a"),
-    )
-    b = banded.select(
-        F.col("__band"), F.col("__key"),
-        F.col("__id").alias("dst_id"), F.col("__shingles").alias("__sh_b"),
-    )
+    a = banded.select(F.col("__band"), F.col("__key"), F.col("__id").alias("src_id"))
+    b = banded.select(F.col("__band"), F.col("__key"), F.col("__id").alias("dst_id"))
     candidates = (
         a.join(b, on=["__band", "__key"], how="inner")
         .filter(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id", "__sh_a", "__sh_b")
+        .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
 
+    shingle_sets = base.select("__id", "__shingles")
     return (
-        candidates.withColumn(
+        candidates.join(
+            shingle_sets.select(
+                F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a")
+            ),
+            on="src_id",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("__id").alias("dst_id"), F.col("__shingles").alias("__sh_b")
+            ),
+            on="dst_id",
+        )
+        .withColumn(
             "jaccard", F.round(jaccard_tokens(F.col("__sh_a"), F.col("__sh_b")), 6)
         )
         .filter(F.col("jaccard") >= threshold)
@@ -157,7 +204,13 @@ def minhash_near_dup_pairs(
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: bit b of the signature is 1 iff
     the sum over distinct tokens of ±1 (sign of bit b of xxhash64(token))
-    is positive. Returns a long."""
+    is positive. Returns a long.
+
+    Single-expression form — the ``hashes`` subtree is duplicated into
+    all ``bits`` vote aggregates (no sharing across a projection), so
+    per-row cost is bits×|tokens| hash evals. Fine for ad-hoc column
+    use; :func:`simhash_cols` is the linear-cost form used by the
+    near-dup operator."""
     toks = F.array_distinct(tokenize(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_votes = F.transform(
@@ -174,6 +227,34 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
     )
+
+
+def simhash_cols(docs: DataFrame, id_col: str, text: Column | str, bits: int) -> DataFrame:
+    """SimHash as ``(__id, __sh)`` via explode → hash-once-per-token →
+    per-bit vote aggregation. Each token is hashed exactly once; the
+    groupBy's map-side combine shuffles ``bits`` ints per (doc,
+    partition); the aggregation is also a projection barrier, so the
+    block keys built over ``__sh`` never re-inline the vote tree.
+
+    Zero-token docs are excluded (explode of an empty array) — the
+    expression form gave them all signature 0, i.e. one degenerate
+    all-empty-docs bucket, which is never the wanted behavior."""
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokenize(text))).alias("__tok"),
+    ).withColumn("__hash", F.xxhash64("__tok"))
+    votes = ex.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.bit_get(F.col("__hash"), F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in reversed(range(bits)):
+        sig = sig * 2 + F.when(F.col(f"__v{b}") > 0, 1).otherwise(0)
+    return votes.select("__id", sig.alias("__sh"))
 
 
 def simhash_near_dup_pairs(
@@ -197,7 +278,7 @@ def simhash_near_dup_pairs(
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
 
-    base = docs.select(F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__sh"))
+    base = simhash_cols(docs, id_col, text_col, bits)
     banded = base.select(
         "__id",
         "__sh",
