@@ -142,6 +142,88 @@ def lsh_bucketed_top_k(
     )
 
 
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 12345,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → corpus
+    bucketed by nearest-centroid cell → queries probe their ``nprobe``
+    nearest cells → exact cosine within probed cells → top-k.
+
+    The scale path next to :func:`lsh_bucketed_top_k`: the corpus
+    shuffles once on cell id (|C| rows), queries are replicated only
+    ``nprobe``×, and scoring touches ~``nprobe/num_cells`` of the
+    corpus per query instead of all of it. Centroids (num_cells × dim
+    floats) are driver-side model metadata, broadcast as a tiny
+    DataFrame — never the data.
+
+    Same output contract as :func:`brute_force_top_k`; approximate
+    (recall depends on num_cells/nprobe).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(c_vec.select("__features"))
+    bucketed = model.transform(c_vec).select("neighbor_id", "__cv", "__cell")
+
+    # Centroid table (num_cells rows) for multi-probe assignment —
+    # model.transform only gives the single nearest cell.
+    spark = corpus.sparkSession
+    centroids = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            schema="__cell int, __centroid array<double>",
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("__cell").asc()
+    )
+    probes = (
+        q.crossJoin(centroids)
+        .withColumn(
+            "__dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv").cast("array<double>"),
+                    F.col("__centroid"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("__probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("__probe_rank") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+    scored = (
+        bucketed.join(probes, on="__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), round_to))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     *,

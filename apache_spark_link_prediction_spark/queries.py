@@ -205,6 +205,42 @@ def pair_features_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTISET_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.toks AS ta, b.toks AS tb
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+    ca AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(ta) AS tok FROM p) GROUP BY ALL),
+    cb AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(tb) AS tok FROM p) GROUP BY ALL),
+    m AS (SELECT src_id, dst_id, SUM(LEAST(ca.c, cb.c)) AS n
+          FROM ca JOIN cb USING (src_id, dst_id, tok) GROUP BY ALL)
+    SELECT p.src_id, p.dst_id, CAST(COALESCE(m.n, 0) AS INT) AS n_common
+    FROM p LEFT JOIN m USING (src_id, dst_id)
+"""
+
+
+@register("pair_multiset_common_tokens", _MULTISET_ORACLE)
+def pair_multiset_common_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 with exact multiset-intersect parity (Scala ``Seq.intersect``,
+    Predictor.scala:68-75): each common token counts up to its min
+    multiplicity — the semantics ``array_intersect`` can't express
+    (SURVEY.md §2.5 caveat), via higher-order functions, oracle-checked
+    against a DuckDB unnest/group/least formulation."""
+    from .functions.pairwise import common_token_count_multiset
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("toks"))
+    pairs = base.alias("a").join(
+        base.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("src_id"),
+        F.col("b.doc_id").alias("dst_id"),
+        common_token_count_multiset(F.col("a.toks"), F.col("b.toks")).alias("n_common"),
+    )
+
+
 @register(
     "left_existence_label",
     """
@@ -725,6 +761,19 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_top_k(
         emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, tables=8, planes=4
+    )
+
+
+@register("embedding_ann_ivf")  # approx — rows-only (k-means not SQL-portable)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer, nprobe-cell probing,
+    exact cosine within probed cells (recall vs brute force asserted in
+    tests)."""
+    from .operators.similarity import ivf_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_k(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, num_cells=16, nprobe=4
     )
 
 

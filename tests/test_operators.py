@@ -186,3 +186,23 @@ def test_embedding_near_dup_self_consistency(spark, emb):
     for r in out:
         assert r["src_id"] < r["dst_id"]
         assert r["cosine"] >= 0.5
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, emb):
+    """IVF (k-means cells, multi-probe) must hit ≥60% of exact top-5;
+    probing 4/16 cells bounds work to ~25% of the corpus per query."""
+    from apache_spark_link_prediction_spark.operators.similarity import ivf_top_k
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_top_k(emb, queries, k=5)
+    approx = ivf_top_k(emb, queries, k=5, num_cells=16, nprobe=4)
+    t = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    # scoring is exact on candidates: any returned cosine matches brute force
+    exact_all = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                 for r in brute_force_top_k(emb, queries, k=10**9).collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert abs(exact_all[key] - r["cosine"]) < 1e-9
