@@ -117,3 +117,40 @@ def cross_validate_count(
     cond = _null_safe_on(predicted, truth_proj, keys)
     correct = predicted.join(truth_proj, cond, "inner").count()
     return predicted.count(), correct
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    dim_key: str | None = None,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: salt the fact side's key with a random
+    shard in [0, salts), replicate the (small-ish but too big to
+    broadcast) dim side ``salts``×, join on (key, salt).
+
+    A hot key that would land its entire fact volume on one reducer is
+    spread over ``salts`` tasks instead. This is the manual fallback for
+    shapes AQE's skew-join splitting can't fix (e.g. a downstream
+    aggregation pinned to the same key, or a first-shuffle skew AQE only
+    mitigates after materializing the skewed map output). Prefer plain
+    joins + AQE first; reach for this when a profile shows one straggler
+    task per hot key.
+
+    The salt is ``pmod(xxhash64(monotonically_increasing_id()), salts)``
+    — deterministic per-row placement is NOT required (any shard is
+    correct), only even spread.
+    """
+    dim_key = dim_key or key
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
+    f = fact.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    cond = (f[key] == d[dim_key]) & (f["__salt"] == d["__salt"])
+    out = f.join(d, cond, how)
+    drop = [d["__salt"], f["__salt"]] + ([d[dim_key]] if dim_key == key else [])
+    for c in drop:
+        out = out.drop(c)
+    return out

@@ -1035,16 +1035,22 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB-expressible; batch-equivalence is pinned in tests/test_streaming.py)
 # ---------------------------------------------------------------------------
 
-def _events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_as_stream(
+    spark: SparkSession, sf_dir: str, *, duplicate: bool = False
+) -> DataFrame:
     """Re-materialize events (ns→µs ts) into a temp dir and open it as
-    a bounded file stream — the local stand-in for a Kafka source."""
+    a bounded file stream — the local stand-in for a Kafka source.
+    ``duplicate=True`` writes two copies (dedup-operator input)."""
     import tempfile
 
     from .sources.readers import write_parquet
     from .streaming.events import read_events_stream
 
     path = tempfile.mkdtemp(prefix="events_stream_")
-    write_parquet(load_table(spark, sf_dir, "events").repartition(4), path)
+    ev = load_table(spark, sf_dir, "events")
+    if duplicate:
+        ev = ev.unionAll(ev)
+    write_parquet(ev.repartition(4), path)
     return read_events_stream(spark, path)
 
 
@@ -1069,4 +1075,53 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         streaming_session_agg(_events_as_stream(spark, sf_dir)),
         name="q_streaming_sessionize",
+    )
+
+
+@register(
+    "streaming_dedup",
+    "SELECT DISTINCT event_id, user_id, event_type, value FROM events",
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state) over a stream carrying every event twice; the surviving set
+    must equal DISTINCT events — the one streaming operator with an
+    exact SQL oracle (ts excluded from the projection: the oracle
+    comparator has no nanosecond-faithful timestamp normalization)."""
+    from .streaming.events import run_stream_to_memory, streaming_dedup
+
+    # Watermark must cover the testdata's full 30-day ts span: in
+    # append mode, events older than (max seen ts - delay) arriving in a
+    # later micro-batch are dropped as late data, which here would be
+    # rows lost to batch boundaries, not dedup semantics.
+    deduped = streaming_dedup(
+        _events_as_stream(spark, sf_dir, duplicate=True), watermark="35 days"
+    )
+    return run_stream_to_memory(
+        deduped.select("event_id", "user_id", "event_type", "value"),
+        name="q_streaming_dedup",
+        output_mode="append",
+    )
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi join (operators.joins.salted_join):
+    fact keys sharded over 16 salts, dim replicated 16× — result must be
+    row-for-row the plain join (the oracle IS the plain join)."""
+    from .operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    ).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(orders, customer, key="o_custkey", dim_key="c_custkey").select(
+        "o_orderkey", "c_name"
     )

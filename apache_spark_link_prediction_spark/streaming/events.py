@@ -86,6 +86,23 @@ def streaming_session_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicate
+    state expires past the watermark (bounded state — the property that
+    makes exact dedup feasible on an unbounded 100 TB/day stream; a
+    global ``dropDuplicates`` would grow state forever).
+
+    Batch twin: ``row_number() over (partition by keys order by ts) = 1``.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     agg: DataFrame, *, name: str, output_mode: str = "complete"
 ) -> DataFrame:

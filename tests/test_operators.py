@@ -206,3 +206,26 @@ def test_ivf_ann_recall_vs_brute_force(spark, emb):
     for r in approx.collect():
         key = (r["query_id"], r["neighbor_id"])
         assert abs(exact_all[key] - r["cosine"]) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be row-for-row equivalent to the plain equi join
+    (salting changes placement, never the result multiset)."""
+    from apache_spark_link_prediction_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 9 else f"k{i}") for i in range(1000)],
+        "row_id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(1000)],
+        "k string, weight double",
+    )
+    got = salted_join(fact, dim, key="k", salts=8)
+    want = fact.join(dim, "k")
+    assert sorted((r.row_id, r.weight) for r in got.collect()) == \
+           sorted((r.row_id, r.weight) for r in want.collect())
+    got_left = salted_join(fact, dim.filter("weight < 100"), key="k", how="left")
+    want_left = fact.join(dim.filter("weight < 100"), "k", "left")
+    assert sorted((r.row_id, r.weight) for r in got_left.collect()) == \
+           sorted((r.row_id, r.weight) for r in want_left.collect())

@@ -64,3 +64,27 @@ def test_streaming_session_agg_matches_batch_profile(spark, sf_dir, events_strea
         )
 
     assert profile(got) == profile(want)
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path_factory):
+    from apache_spark_link_prediction_spark.sources.readers import write_parquet
+    from apache_spark_link_prediction_spark.streaming.events import streaming_dedup
+
+    path = str(tmp_path_factory.mktemp("events_dup"))
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    # two copies in separate files → duplicates arrive across micro-batches
+    write_parquet(ev.unionAll(ev).repartition(4), path)
+    # watermark > the 30-day data span: append mode treats older-than-
+    # watermark rows in later micro-batches as late data; this test pins
+    # dedup semantics, not late-data drop.
+    got = run_stream_to_memory(
+        streaming_dedup(
+            read_events_stream(spark, path, max_files_per_trigger=1),
+            watermark="35 days",
+        ),
+        name="t_dedup",
+        output_mode="append",
+    )
+    n_distinct = ev.select("event_id").distinct().count()
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == n_distinct
