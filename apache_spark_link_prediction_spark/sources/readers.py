@@ -21,6 +21,9 @@ pushdown/pruning and nothing leaves the JVM. All IDs stay strings
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -133,3 +136,37 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table sink: pre-shuffles once at write time so
+    every later equi join/aggregation on ``bucket_by`` between
+    co-bucketed tables runs shuffle-free (Exchange elided — asserted in
+    tests/test_sources.py). The 100 TB pattern for fact tables joined
+    repeatedly on the same key; ``sort_by`` additionally elides the
+    sort-merge join's Sort. Requires saveAsTable (bucket metadata lives
+    in the catalog, not the files)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # saveAsTable(overwrite) still refuses a managed location left
+        # behind by a dropped/crashed session — clear both catalog entry
+        # and orphaned directory.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        loc = os.path.join(warehouse, table.lower())
+        if warehouse and os.path.isdir(loc):
+            shutil.rmtree(loc)
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

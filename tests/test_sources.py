@@ -53,3 +53,32 @@ def test_sample_deterministic_seed(spark, docs):
     b = sample_deterministic(docs, 0.2).select("doc_id").collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     assert sample_deterministic(docs, 1.0) is docs  # fraction 1 short-circuits
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Co-bucketed tables joined on the bucket key must plan without a
+    shuffle (no Exchange below the join) — bucketing's whole point."""
+    from apache_spark_link_prediction_spark.sources.readers import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "orders_b", bucket_by="o_orderkey", num_buckets=8, sort_by="o_orderkey")
+    write_bucketed(li, "lineitem_b", bucket_by="l_orderkey", num_buckets=8, sort_by="l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = spark.table("orders_b"), spark.table("lineitem_b")
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually runs
+        assert j.count() == a.join(b, a.o_orderkey == b.l_orderkey).count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
