@@ -1125,3 +1125,45 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, customer, key="o_custkey", dim_key="c_custkey").select(
         "o_orderkey", "c_name"
     )
+
+
+@register(
+    "json_props_extract_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: JSON props string → typed struct
+    (``from_json`` with explicit schema — parsed once, JVM-side) →
+    per-type aggregate. At scale, parse-once-into-struct beats repeated
+    ``get_json_object`` path probes (one parse per row vs one per path)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "__p", F.from_json(F.col("props"), "k BIGINT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__p.k")).alias("sum_k"),
+        F.min(F.col("__p.k")).alias("min_k"),
+        F.max(F.col("__p.k")).alias("max_k"),
+    )
+
+
+@register("streaming_stateful_ema")  # rows-only: order-dependent custom state
+def streaming_stateful_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user EMA of event value; pinned against an independent pandas
+    fold in tests/test_streaming.py."""
+    from .streaming.events import run_stream_to_memory, streaming_user_ema
+
+    return run_stream_to_memory(
+        streaming_user_ema(_events_as_stream(spark, sf_dir)),
+        name="q_streaming_ema",
+        output_mode="update",
+    )

@@ -121,3 +121,54 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_user_ema(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user exponential moving average of ``value`` (EMA is
+    order-dependent — no built-in windowed agg expresses it).
+
+    State per user = (event_count, ema) — two scalars, so state size is
+    O(distinct users) regardless of stream length. Each micro-batch
+    folds its (ts-sorted) new events into the state and emits the
+    user's updated (n_events, ema). Arrow-batched like every pandas
+    exchange; grouping shuffles once on user_id.
+
+    Cross-batch event order follows micro-batch arrival (files/offsets),
+    as with any stateful stream; within a batch, events fold in ts
+    order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            n, ema = state.get
+        else:
+            n, ema = 0, 0.0
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for v in rows["value"]:
+            ema = float(v) if n == 0 else alpha * float(v) + (1.0 - alpha) * ema
+            n += 1
+        state.update((n, ema))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ema": [round(ema, 6)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events int, ema double",
+            stateStructType="n int, ema double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

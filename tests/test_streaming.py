@@ -88,3 +88,38 @@ def test_streaming_dedup_drops_duplicates(spark, sf_dir, tmp_path_factory):
     n_distinct = ev.select("event_id").distinct().count()
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == n_distinct
+
+
+def test_streaming_user_ema_matches_pandas(spark, sf_dir, events_stream_dir):
+    """applyInPandasWithState EMA: single micro-batch (all 4 files in
+    one trigger) so fold order is the global ts order; must equal a
+    pandas groupby EMA computed independently."""
+    import pandas as pd
+
+    from apache_spark_link_prediction_spark.streaming.events import streaming_user_ema
+
+    alpha = 0.3
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=4)
+    got = {
+        r.user_id: (r.n_events, r.ema)
+        for r in run_stream_to_memory(
+            streaming_user_ema(stream, alpha=alpha), name="t_ema", output_mode="update"
+        ).collect()
+    }
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values("ts")
+    )
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        ema = None
+        for v in grp["value"]:
+            ema = float(v) if ema is None else alpha * float(v) + (1 - alpha) * ema
+        want[int(uid)] = (len(grp), round(ema, 6))
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert abs(got[uid][1] - want[uid][1]) < 1e-9, uid
