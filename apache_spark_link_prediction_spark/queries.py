@@ -1167,3 +1167,46 @@ def streaming_stateful_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="q_streaming_ema",
         output_mode="update",
     )
+
+
+@register(
+    "semi_anti_existence",
+    """
+    SELECT c_custkey, 1 AS label FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    UNION ALL
+    SELECT c_custkey, 0 AS label FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def semi_anti_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3's pure-flag formulation (SURVEY.md §2.3): left-semi ∪ left-anti
+    instead of left-outer + null probe — the semi/anti sides shuffle only
+    keys and short-circuit on first match."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    ).select("o_custkey")
+    on = customer["c_custkey"] == big["o_custkey"]
+    pos = customer.join(big, on, "left_semi").withColumn("label", F.lit(1))
+    neg = customer.join(big, on, "left_anti").withColumn("label", F.lit(0))
+    return pos.unionAll(neg)
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations in one pass — partial
+    aggregation handles the fan-out map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
