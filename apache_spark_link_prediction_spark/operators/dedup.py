@@ -352,3 +352,93 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("src_id", "dst_id", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: pairs → connected components → keeper per cluster
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over
+    DataFrames (GraphX has no Python API; this is the PySpark-native
+    formulation, SURVEY.md §7-6).
+
+    Each node's component starts as its own id; every round each node
+    adopts the min component among itself and its neighbors; converged
+    when no label changes. Rounds are O(diameter) — near-dup clusters
+    are dense and shallow, so few rounds in practice (cap asserts).
+    ``localCheckpoint`` truncates lineage each round (an iterative plan
+    would otherwise grow exponentially and re-execute from the scan).
+
+    Returns (node_id, component) with component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node_id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node_id"])
+            .groupBy(F.col("a").alias("node_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node_id", how="left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: every doc mapped to its
+    cluster representative (min doc id in the component); singletons map
+    to themselves. The output drives the actual dedup filter
+    (``keep iff doc_id == keeper_id``)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_id"),
+        )
+    )

@@ -1210,3 +1210,16 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register("dedup_clusters")  # rows-only: iterative fixpoint not SQL-expressible
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (iterative min-label
+    propagation with lineage checkpoints) → one keeper per duplicate
+    cluster; singletons keep themselves. Pinned against a Python
+    union-find in tests."""
+    from .operators.dedup import dedup_clusters, minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
+    return dedup_clusters(docs, pairs)

@@ -229,3 +229,42 @@ def test_salted_join_matches_plain_join(spark):
     want_left = fact.join(dim.filter("weight < 100"), "k", "left")
     assert sorted((r.row_id, r.weight) for r in got_left.collect()) == \
            sorted((r.row_id, r.weight) for r in want_left.collect())
+
+
+def test_connected_components_vs_union_find(spark, docs):
+    """CC over the minhash near-dup graph must equal a Python
+    union-find on the same pairs."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.8)
+    edges = [(r.src_id, r.dst_id) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {r.node_id: r.component for r in connected_components(pairs).collect()}
+    assert got == want
+
+    clusters = dedup_clusters(docs, pairs)
+    rows = {r.doc_id: r.keeper_id for r in clusters.collect()}
+    assert len(rows) == docs.count()
+    for doc_id, keeper in rows.items():
+        assert keeper == want.get(doc_id, doc_id)
+        assert keeper <= doc_id

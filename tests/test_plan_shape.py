@@ -14,8 +14,20 @@ import io
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from apache_spark_link_prediction_spark.queries import QUERIES
 from apache_spark_link_prediction_spark.sources.readers import load_table, write_parquet
+
+
+@pytest.fixture()
+def sf_dir() -> str:
+    # NOT the conftest sf_dir: the session-scoped ``docs`` fixture caches
+    # the sf0.001 documents table, and Spark's cache manager substitutes
+    # InMemoryTableScan for any matching logical plan — which would hide
+    # exactly the parquet-scan properties these tests assert. A different
+    # path means a different plan, so the scan stays a real file scan.
+    return "/root/testdata/sf0.01"
 
 
 def plan_of(df) -> str:
