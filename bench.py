@@ -33,6 +33,10 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "p2_lsh_similarity",
+    "embedding_ann_ivf",
+    "json_props_extract_agg",
+    "semi_anti_existence",
+    "salted_skew_join",
 ]
 
 
