@@ -23,6 +23,11 @@ def tokenize(col: Column | str) -> Column:
 
     ``trim`` first so leading whitespace doesn't yield a spurious empty
     leading token; a fully-empty string yields [""], filtered out.
+
+    Whitespace is Java regex ``\\s`` — the ASCII class [ \\t\\n\\x0B\\f\\r]
+    (property-pinned in tests/test_properties.py). Python's ``\\s`` adds
+    Unicode whitespace; RE2 (the DuckDB oracles) drops ``\\x0B`` — both
+    diverge only on characters absent from the testbed.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")

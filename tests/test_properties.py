@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): the Catalyst expression functions
+must agree with straightforward Python references on arbitrary inputs —
+including the whitespace/empty/null corners hand-written fixtures miss.
+
+One SparkSession round-trip per example is too slow, so each property
+generates a BATCH of examples, runs them through Spark as one DataFrame,
+and compares row-wise.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_spark_link_prediction_spark.functions.pairwise import (
+    common_token_count,
+    common_token_count_multiset,
+    jaccard_tokens,
+    tokenize,
+)
+from apache_spark_link_prediction_spark.functions.textstats import (
+    bpe_ish_token_count,
+    whitespace_token_count,
+)
+from apache_spark_link_prediction_spark.functions.vectors import cosine_similarity
+
+# Text with whitespace variety; avoid surrogates Spark can't encode.
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=60,
+)
+BATCH = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# Java regex \s (what Spark executes) is the ASCII class
+# [ \t\n\x0B\f\r] — unlike Python's \s, which adds Unicode
+# whitespace (\x85, \xa0, U+2000…) — and Spark's ``trim`` strips only
+# 0x20 (filtered-empty tokens make that equivalent here). The reference
+# mirrors Java; the engine and its DuckDB oracles already agree on this.
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def py_tokenize(s: str) -> list[str]:
+    return [t for t in re.split(_JAVA_WS, s.lower()) if t]
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@BATCH
+def test_tokenize_matches_python(spark, rows):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], "i long, s string")
+    got = {r.i: r.t for r in df.select("i", tokenize("s").alias("t")).collect()}
+    for i, s in enumerate(rows):
+        assert got[i] == py_tokenize(s), repr(s)
+
+
+@given(st.lists(st.tuples(texts, texts), min_size=1, max_size=8))
+@BATCH
+def test_token_pair_functions_match_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    out = df.select(
+        "i",
+        common_token_count(tokenize("a"), tokenize("b")).alias("set_common"),
+        common_token_count_multiset(tokenize("a"), tokenize("b")).alias("ms_common"),
+        jaccard_tokens(
+            F.array_distinct(tokenize("a")), F.array_distinct(tokenize("b"))
+        ).alias("jac"),
+    )
+    got = {r.i: r for r in out.collect()}
+    for i, (a, b) in enumerate(pairs):
+        ta, tb = py_tokenize(a), py_tokenize(b)
+        assert got[i].set_common == len(set(ta) & set(tb))
+        # multiset: Scala Seq.intersect semantics — min multiplicity
+        ms = sum(min(ta.count(x), tb.count(x)) for x in dict.fromkeys(ta))
+        assert got[i].ms_common == ms
+        union = set(ta) | set(tb)
+        want = len(set(ta) & set(tb)) / len(union) if union else 0.0
+        assert math.isclose(got[i].jac, want, abs_tol=1e-9)
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@BATCH
+def test_token_counts_match_python(spark, rows):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], "i long, s string")
+    out = df.select(
+        "i",
+        whitespace_token_count("s").alias("ws"),
+        bpe_ish_token_count("s").alias("bpe"),
+    )
+    got = {r.i: r for r in out.collect()}
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+    for i, s in enumerate(rows):
+        assert got[i].ws == len(py_tokenize(s))
+        assert got[i].bpe == len(pat.findall(s)), repr(s)
+
+
+finite_floats = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@given(st.lists(st.tuples(st.lists(finite_floats, min_size=4, max_size=4),
+                          st.lists(finite_floats, min_size=4, max_size=4)),
+                min_size=1, max_size=8))
+@BATCH
+def test_cosine_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<float>, b array<float>",
+    )
+    got = {r.i: r.c for r in df.select("i", cosine_similarity("a", "b").alias("c")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        # float32 storage round-trip, then double math — mirror Spark
+        import struct
+
+        a = [struct.unpack("f", struct.pack("f", x))[0] for x in a]
+        b = [struct.unpack("f", struct.pack("f", x))[0] for x in b]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        want = dot / (na * nb) if na * nb > 0 else 0.0
+        assert math.isclose(got[i], want, rel_tol=1e-9, abs_tol=1e-12), (a, b)
