@@ -55,6 +55,9 @@ FEATURE_SCHEMA = T.StructType(
 # tests): magic 'SGM1' + u16 width + u16 height + u32 duration_ms + body.
 _STUB_MAGIC = b"SGM1"
 _STUB_HEADER = struct.Struct(">4sHHI")
+# plain int for mapInPandas closures: a captured struct.Struct would fail
+# cloudpickle serialization of the worker function
+_STUB_HEADER_SIZE = _STUB_HEADER.size
 
 
 def make_stub_payload(width: int, height: int, duration_ms: int, body: bytes = b"") -> bytes:
@@ -150,3 +153,118 @@ def _be_hex(col, width_bytes: int):
     unhex(concat(...)) builds the binary header JVM-side (no Python in
     the plan, concat stays whole-stage-codegen'd)."""
     return F.lpad(F.hex(col.cast("long")), width_bytes * 2, "0")
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Resize every decodable image payload so its longer side is
+    ``max_side`` (aspect preserved, never upscaled). The transform runs
+    in ``mapInPandas`` — payload in, payload out, one Arrow batch at a
+    time, so a partition's media never sits fully in Python memory.
+
+    STUB CODEC: with no image library in-container, "resizing" rewrites
+    the SGM1 header dims and truncates the body proportionally to the
+    area ratio — deterministic, testable plumbing with the exact
+    signature a Pillow-backed resize drops into. Undecodable payloads
+    pass through unchanged (quarantine-not-crash)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, out_p = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    meta = decode_stub(bytes(payload))
+                    w, h = meta["width"], meta["height"]
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    body = bytes(payload)[_STUB_HEADER_SIZE:]
+                    keep = max(1, int(len(body) * scale * scale)) if body else 0
+                    out_p.append(
+                        make_stub_payload(nw, nh, meta["duration_ms"], body[:keep])
+                    )
+                    out_w.append(nw)
+                    out_h.append(nh)
+                except Exception:
+                    out_p.append(None if payload is None else bytes(payload))
+                    out_w.append(None)
+                    out_h.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "payload": out_p,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
+    """Sample frames from video payloads at a fixed period — a 1→N
+    exploding ``mapInPandas`` (each input row yields up to
+    ``max_frames`` frame rows; downstream feature extraction then
+    treats frames as independent images).
+
+    STUB CODEC: a "frame" is an SGM1 image payload at the video's dims
+    whose body is a deterministic slice of the source body keyed by the
+    frame timestamp — the shape (schema, fan-out, batch memory) is what
+    an ffmpeg/PyAV-backed sampler produces. Undecodable or non-video
+    rows yield no frames."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "video" or payload is None:
+                    continue
+                try:
+                    meta = decode_stub(bytes(payload))
+                except Exception:
+                    continue
+                body = bytes(payload)[_STUB_HEADER_SIZE:]
+                n = min(max_frames, max(1, meta["duration_ms"] // every_ms))
+                for i in range(n):
+                    ts = i * every_ms
+                    off = (ts % max(len(body), 1)) if body else 0
+                    frames.append(
+                        make_stub_payload(
+                            meta["width"], meta["height"], 0, body[off : off + 64]
+                        )
+                    )
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(ts)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -1223,3 +1223,28 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(LEAST(4, GREATEST(1, (n_chars * 10) // 500)) AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as an exploding mapInPandas (1 payload → N
+    frame rows): synthesize video payloads from documents (duration =
+    n_chars×10 ms), sample every 500 ms capped at 4, count frames per
+    media. The frame count is closed-form from n_chars, so the whole
+    binary fan-out path is hash-checked by a scalar oracle."""
+    from .operators.multimodal import media_from_documents, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, modality="video")
+    return (
+        sample_frames(media, every_ms=500, max_frames=4)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
+    )

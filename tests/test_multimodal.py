@@ -79,3 +79,51 @@ def test_undecodable_payload_quarantined_not_crashed(spark):
     assert got[1].sha256 is not None and got[1].width is None
     assert got[2].n_bytes is None and got[2].sha256 is None
     assert (got[3].width, got[3].height, got[3].duration_ms) == (10, 20, 30)
+
+
+def test_resize_images(spark, docs):
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_stub,
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(docs.limit(30))
+    out = {r.media_id: r for r in resize_images(media, max_side=100).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(out) == len(src) > 0
+    for mid, r in out.items():
+        meta = decode_stub(bytes(src[mid].payload))
+        w, h = meta["width"], meta["height"]
+        assert max(r.width, r.height) <= 100 or (w <= 100 and h <= 100)
+        # aspect preserved within integer rounding; never upscaled
+        assert r.width <= w and r.height <= h
+        # payload re-decodes with the new dims
+        again = decode_stub(bytes(r.payload))
+        assert (again["width"], again["height"]) == (r.width, r.height)
+
+
+def test_sample_frames(spark, docs):
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_stub,
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(docs.limit(20), modality="video")
+    out = sample_frames(media, every_ms=500, max_frames=4).collect()
+    assert out
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    durations = {r.media_id: decode_stub(bytes(r.payload))["duration_ms"] for r in media.collect()}
+    for mid, frames in by_id.items():
+        expect = min(4, max(1, durations[mid] // 500))
+        assert len(frames) == expect
+        assert sorted(f.frame_idx for f in frames) == list(range(expect))
+        for f in frames:
+            assert f.frame_ts_ms == f.frame_idx * 500
+            decode_stub(bytes(f.frame))  # every frame is a valid payload
+    # non-video rows yield nothing
+    imgs = media_from_documents(docs.limit(5), modality="image")
+    assert sample_frames(imgs).count() == 0
