@@ -154,3 +154,73 @@ def salted_join(
     for c in drop:
         out = out.drop(c)
     return out
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join — for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``strict``) per key. Spark
+    has no native as-of join; the naive formulation (inequality join +
+    per-row max) explodes to O(|L|·|R|) per key.
+
+    This is the scalable union+window formulation: tag both sides,
+    union on (key, ts), sort each key's timeline once, and carry the
+    latest right values forward with ``last(ignorenulls=True)`` —
+    one shuffle on key, O(|L|+|R|) rows total, no pair blow-up. At equal
+    timestamps the right row sorts first (side 0 < side 1) so it is
+    visible to the left row unless ``strict``.
+
+    Returns all left columns plus ``right_vals`` (null when no right
+    row precedes). If multiple right rows share a key's exact timestamp,
+    which one wins is unspecified (as in DuckDB/pandas asof) — add a
+    tie-break column to ``right_ts`` ordering upstream if it matters.
+    """
+    from pyspark.sql import Window
+
+    left_cols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1 if not strict else 0).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if not strict else 1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if strict:
+        # right rows sort AFTER left at equal ts, so last() over the
+        # frame ending at the left row sees only strictly-earlier rights
+        pass
+    timeline = l.unionByName(r)
+    carried = timeline.select(
+        "__k",
+        "__side",
+        *[F.col(f"__l_{c}") for c in left_cols],
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__r_{v}")
+            for v in right_vals
+        ],
+    )
+    is_left = F.col("__side") == (1 if not strict else 0)
+    return carried.filter(is_left).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col(f"__r_{v}").alias(v) for v in right_vals],
+    )

@@ -1248,3 +1248,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
     )
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT c.event_id, c.user_id,
+           round(e.value, 6) AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window formulation — Spark lacks the native
+    op; DuckDB's native ASOF JOIN is the oracle): each click event picks
+    up the latest prior error value for its user. One shuffle on
+    user_id, O(|L|+|R|) rows — never the inequality-join pair blow-up."""
+    from .operators.joins import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("last_error_value")
+    )
+    out = as_of_join(
+        clicks, errors,
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["last_error_value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("last_error_value", 6).alias("last_error_value")
+    )

@@ -268,3 +268,32 @@ def test_connected_components_vs_union_find(spark, docs):
     for doc_id, keeper in rows.items():
         assert keeper == want.get(doc_id, doc_id)
         assert keeper <= doc_id
+
+
+def test_as_of_join_semantics(spark):
+    from apache_spark_link_prediction_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 15, 150.0), (2, 9, 90.0)], "k long, ts long, v double"
+    )
+    out = {
+        r.tag: r.v
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="ts", right_vals=["v"]
+        ).collect()
+    }
+    # inclusive: right at ts=5 visible to left at ts=5
+    assert out == {"a": 50.0, "b": 150.0, "c": 50.0, "d": None}
+    strict = {
+        r.tag: r.v
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_vals=["v"], strict=True,
+        ).collect()
+    }
+    # strict: ts=5 right NOT visible to ts=5 left
+    assert strict == {"a": 50.0, "b": 150.0, "c": None, "d": None}
