@@ -224,3 +224,44 @@ def as_of_join(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
         *[F.col(f"__r_{v}").alias(v) for v in right_vals],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    value: str,
+    lo: str,
+    hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point-in-interval, intervals may overlap) via grid
+    bucketing: each interval explodes into the grid buckets it covers,
+    each point posts its single bucket, equi-join on bucket, exact
+    ``lo <= value < hi`` filter last.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    O(|P|·|I|) compares. The grid makes it an equi-shuffle: interval
+    replication = ceil(span/bucket_width)+1, point side never
+    replicated. Pick ``bucket_width`` ≈ the median interval span (each
+    interval lands in ~2 buckets; too small explodes replication, too
+    big degrades to cross-join-per-bucket).
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(value) / F.lit(bucket_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                F.floor((F.col(hi) - F.lit(1e-9)) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, on="__bucket", how=how)
+        .filter((F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi)))
+        .drop("__bucket")
+    )

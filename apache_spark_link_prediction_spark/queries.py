@@ -1282,3 +1282,31 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("last_error_value", 6).alias("last_error_value")
     )
+
+
+@register(
+    "range_join_bands",
+    """
+    SELECT o_orderkey, CAST(r.range AS BIGINT) AS band_id
+    FROM orders
+    JOIN range(0, 100) r
+      ON o_totalprice >= r.range * 3000.0 AND o_totalprice < r.range * 3000.0 + 4500.0
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against 100 overlapping price bands (width 4500,
+    stride 3000 — a price can match two bands) via grid bucketing
+    (operators.joins.range_join): equi-shuffle on the bucket key instead
+    of the O(|P|·|I|) nested-loop inequality join. Oracle = the literal
+    inequality join in DuckDB."""
+    from .operators.joins import range_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 3000.0).alias("lo"),
+        (F.col("id") * 3000.0 + 4500.0).alias("hi"),
+    )
+    return range_join(
+        orders, bands, value="o_totalprice", lo="lo", hi="hi", bucket_width=3000.0
+    ).select("o_orderkey", "band_id")

@@ -297,3 +297,29 @@ def test_as_of_join_semantics(spark):
     }
     # strict: ts=5 right NOT visible to ts=5 left
     assert strict == {"a": 50.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_range_join_matches_inequality_join(spark):
+    from apache_spark_link_prediction_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], "pid long, v double"
+    )
+    # overlapping, uneven intervals incl. empty and boundary-touching
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 35.0), (2, 35.0, 35.0), (3, 90.0, 100.0), (4, 99.0, 150.0)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, value="v", lo="lo", hi="hi", bucket_width=10.0
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals, (points.v >= intervals.lo) & (points.v < intervals.hi)
+        ).collect()
+    )
+    assert got == want and got
