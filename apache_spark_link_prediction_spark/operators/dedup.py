@@ -107,13 +107,23 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    prefilter_sigma: float = 5.0,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
-    shingle → minhash → band → bucket-join → verify. Emits
-    (src_id, dst_id, jaccard) with src_id < dst_id and jaccard ≥
-    threshold. Bands of r = num_hashes/bands rows; a pair collides if
-    any band's sub-signature matches exactly.
+    shingle → minhash → band → bucket-join → signature prefilter →
+    verify. Emits (src_id, dst_id, jaccard) with src_id < dst_id and
+    jaccard ≥ threshold. Bands of r = num_hashes/bands rows; a pair
+    collides if any band's sub-signature matches exactly.
+
+    The prefilter estimates Jaccard as the fraction of agreeing minhash
+    values (num_hashes long-compares, already computed for banding) and
+    drops candidates whose estimate is more than ``prefilter_sigma``
+    binomial std-devs below ``threshold`` — most false candidates from
+    low-r band collisions never reach the exact array intersection. At
+    5σ the probability of dropping a true ≥threshold pair is ~3e-7 per
+    pair; set ``prefilter_sigma=None`` to disable (strictly all-candidate
+    verification).
 
     Spark-first replacement for the reference's
     ``MinHashLSH.approxSimilarityJoin`` (Predictor.scala:394-405) with
@@ -174,6 +184,29 @@ def minhash_near_dup_pairs(
         .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
+
+    if prefilter_sigma is not None:
+        import math
+
+        cut = threshold - prefilter_sigma * math.sqrt(
+            threshold * (1.0 - threshold) / num_hashes
+        )
+        if cut > 0:
+            hcols = [f"__h{i}" for i in range(num_hashes)]
+            sa = sig.select(F.col("__id").alias("src_id"),
+                            *[F.col(h).alias(f"__a{h}") for h in hcols])
+            sb = sig.select(F.col("__id").alias("dst_id"),
+                            *[F.col(h).alias(f"__b{h}") for h in hcols])
+            est = sum(
+                F.when(F.col(f"__a{h}") == F.col(f"__b{h}"), 1).otherwise(0)
+                for h in hcols
+            ) / F.lit(float(num_hashes))
+            candidates = (
+                candidates.join(sa, on="src_id")
+                .join(sb, on="dst_id")
+                .filter(est >= cut)
+                .select("src_id", "dst_id")
+            )
 
     shingle_sets = base.select("__id", "__shingles")
     return (

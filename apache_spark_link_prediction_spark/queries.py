@@ -1026,7 +1026,9 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("string").alias("srcId"), F.col("text"))
     )
     processed, _ = preprocess_documents(docs, text_cols=["text"])
-    feats = processed.select("srcId", "tf_idf")
+    # approxSimilarityJoin(X, X) executes both sides: uncached, the whole
+    # tokenize→TF→IDF lineage runs twice (measured 2.1× at sf0.1).
+    feats = processed.select("srcId", "tf_idf").cache()
     return lsh_similarity_join(feats, threshold=0.8, mode="intent")
 
 
