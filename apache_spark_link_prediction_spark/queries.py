@@ -1312,3 +1312,49 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(
         orders, bands, value="o_totalprice", lo="lo", hi="hi", bucket_width=3000.0
     ).select("o_orderkey", "band_id")
+
+
+@register(
+    "graph_adamic_adar",
+    """
+    WITH deg AS (
+      SELECT l_orderkey, count(DISTINCT l_partkey) AS d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id,
+           round(SUM(1.0 / ln(deg.d)), 6) AS adamic_adar
+    FROM e a
+    JOIN e b ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+    JOIN deg ON deg.l_orderkey = a.l_orderkey
+    WHERE deg.d >= 2
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= 2
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction score over the (order, part)
+    bipartite graph: pairs of parts sharing ≥2 orders, scored by
+    Σ 1/ln(degree(shared order)) — the degree-discounted
+    common-neighbors feature. Same co-partitioned self-join shape as
+    graph_common_neighbors with a broadcast degree dim."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("dst_id") > F.col("src_id"))
+        .join(F.broadcast(deg), "l_orderkey")
+        .groupBy("src_id", "dst_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
