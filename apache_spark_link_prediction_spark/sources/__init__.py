@@ -9,5 +9,6 @@ from .readers import (  # noqa: F401
     read_labeled_edges,
     read_node_info,
     sample_deterministic,
+    write_bucketed,
     write_parquet,
 )
