@@ -141,3 +141,21 @@ def doc_fingerprint(text: Column | str) -> Column:
     c = _col(text)
     normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def doc_rolling_hash(text: Column | str, *, base: int = 131, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the whitespace-
+    normalized, lowercased text: ``h = Σ h·base + codepoint (mod p)``,
+    left-to-right. The content-defined-chunking / incremental-dedup
+    primitive next to the md5 fingerprint; mod applied every step keeps
+    the fold inside BIGINT in any engine (SQL twins can't wrap on
+    overflow). Empty text → 0."""
+    c = _col(text)
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    codes = F.transform(F.split(normalized, ""), lambda ch: F.ascii(ch).cast("long"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, code: (acc * base + code) % mod,
+    )
+    return F.when(F.length(normalized) == 0, F.lit(0).cast("long")).otherwise(h)

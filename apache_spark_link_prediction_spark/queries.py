@@ -1358,3 +1358,25 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 2)
         .drop("__n")
     )
+
+
+@register(
+    "doc_rolling_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN len(n) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(string_split(n, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                       (acc, code) -> (acc * 131 + code) % 2147483647)
+           END AS rolling_hash
+    FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+          FROM documents)
+    """,
+)
+def doc_rolling_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint, folded identically in both
+    engines (per-step modulo — BIGINT-safe everywhere)."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_rolling_hash("text").alias("rolling_hash"))
