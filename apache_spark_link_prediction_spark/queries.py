@@ -1380,3 +1380,52 @@ def doc_rolling_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_rolling_hash("text").alias("rolling_hash"))
+
+
+@register(
+    "train_test_split_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN h % 100 < 80 THEN 'train' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(n) = 0 THEN 0
+                  ELSE list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(n, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, code) -> (acc * 131 + code) % 2147483647)
+             END AS h
+      FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS n
+            FROM documents))
+    """,
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/test split (80/20): bucketing by
+    the cross-engine rolling hash of the normalized text, so (a) the
+    split is reproducible with no seed state, (b) exact duplicates land
+    in the same split (no train→test leakage through dups), and (c) the
+    oracle can hash-check the assignment end-to-end."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = doc_rolling_hash("text")
+    return docs.select(
+        "doc_id",
+        F.when(h % 100 < 80, "train").otherwise("test").alias("split"),
+    )
+
+
+@register("stratified_sample_mixture")  # rows-only: sampleBy seeding not SQL-portable
+def stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: per-stratum Bernoulli fractions via
+    ``sampleBy`` (seeded) — downsample dominant sources toward a target
+    mixture, the training-data rebalancing primitive. Emits the surviving
+    (doc_id, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    # target: halve even-indexed sources, keep odd ones — deterministic
+    # config standing in for a real mixture spec
+    fractions = {s: (0.5 if i % 2 == 0 else 1.0) for i, s in enumerate(sorted(sources))}
+    return docs.sampleBy("source", fractions=fractions, seed=12345).select(
+        "doc_id", "source"
+    )
