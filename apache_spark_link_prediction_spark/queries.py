@@ -1429,3 +1429,26 @@ def stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("source", fractions=fractions, seed=12345).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "percentile_agg",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). Exact percentile is a
+    full-sort-per-group agg; at 100 TB swap in ``approx_percentile``
+    (t-digest, mergeable map-side) — same query shape, bounded error."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
