@@ -123,3 +123,44 @@ def test_streaming_user_ema_matches_pandas(spark, sf_dir, events_stream_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert abs(got[uid][1] - want[uid][1]) < 1e-9, uid
+
+
+def test_unbounded_rate_source_micro_batches(spark):
+    """Unbounded-source smoke: the windowed agg plan also runs against a
+    rate source (not just bounded files) — a few micro-batches must
+    produce monotonically growing counts with the stream still running."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .withColumnRenamed("timestamp", "ts")
+        .select(
+            "ts",
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    from apache_spark_link_prediction_spark.streaming.events import streaming_window_agg
+
+    agg = streaming_window_agg(stream, window="1 second", watermark="5 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_rate")
+        .start()
+    )
+    try:
+        total = 0
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = spark.sql("SELECT sum(n) AS s FROM t_rate").collect()
+            new_total = rows[0].s or 0
+            if new_total > 0 and new_total >= total and total > 0:
+                break
+            total = new_total
+        assert (rows[0].s or 0) > 0, "rate stream produced no aggregated rows"
+    finally:
+        q.stop()
