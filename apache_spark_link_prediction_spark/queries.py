@@ -1541,3 +1541,18 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return big.intersectAll(done)
+
+
+@register("streaming_custom_sessions")  # rows-only: emission depends on batch arrival
+def streaming_custom_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EventTimeTimeout state lifecycle
+    (applyInPandasWithState): closed sessions only; each user's final
+    session stays in state, as on a real unbounded stream. Exact-match
+    subset of the batch sessionization pinned in tests."""
+    from .streaming.events import run_stream_to_memory, streaming_custom_sessions
+
+    return run_stream_to_memory(
+        streaming_custom_sessions(_events_as_stream(spark, sf_dir)),
+        name="q_streaming_custom_sessions",
+        output_mode="append",
+    )

@@ -172,3 +172,70 @@ def streaming_user_ema(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_custom_sessions(
+    events: DataFrame,
+    *,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization with event-time state TIMEOUT —
+    the full ``applyInPandasWithState`` lifecycle: per-user open-session
+    state (start, last_ts, n_events) folds new events in ts order,
+    closes a session when a gap > ``gap_seconds`` appears in-batch, and
+    — the part ``session_window`` can't express customly — closes idle
+    sessions via ``GroupStateTimeout.EventTimeTimeout`` when the
+    watermark passes last_ts + gap, emitting on timeout with no new
+    input for the key. State is O(open sessions); closed sessions leave
+    state immediately.
+
+    Emits (user_id, session_start, n_events) for CLOSED sessions only —
+    sessions still open when a bounded test stream ends stay in state
+    (exactly what happens on a real unbounded stream).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows_out = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                rows_out.append((key[0], start, n))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            if len(rows):
+                rows = rows.sort_values("ts")
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start, last, n = None, None, 0
+                for ts in rows["ts"]:
+                    t = ts.value // 1000  # pandas ns -> µs
+                    if start is None:
+                        start, last, n = t, t, 1
+                    elif t - last > gap_seconds * 1_000_000:
+                        rows_out.append((key[0], start, n))
+                        start, last, n = t, t, 1
+                    else:
+                        last, n = t, n + 1
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            rows_out, columns=["user_id", "session_start_us", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, session_start_us long, n_events int",
+            stateStructType="start long, last long, n int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

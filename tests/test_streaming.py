@@ -164,3 +164,59 @@ def test_unbounded_rate_source_micro_batches(spark):
         assert (rows[0].s or 0) > 0, "rate stream produced no aggregated rows"
     finally:
         q.stop()
+
+
+def test_custom_sessions_with_event_time_timeout(spark, sf_dir, tmp_path_factory):
+    """EventTimeTimeout lifecycle: feed events in four time-ordered
+    files (one per trigger) so the watermark advances between batches and
+    idle sessions close via timeout. Every emitted session must exactly
+    match a session from the batch lag/cumsum oracle; sessions still
+    open at stream end legitimately stay in state."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.streaming.events import (
+        streaming_custom_sessions,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_ordered"))
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    for i in range(4):
+        a, b = lo + i * span, lo + (i + 1) * span
+        cond = (F.col("ts") >= a) & (F.col("ts") < b) if i < 3 else (F.col("ts") >= a)
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+    got = run_stream_to_memory(
+        streaming_custom_sessions(
+            read_events_stream(spark, path, max_files_per_trigger=1)
+        ),
+        name="t_custom_sessions",
+        output_mode="append",
+    ).collect()
+    assert got, "no sessions emitted — timeouts never fired"
+
+    batch = QUERIES["sessionize_events"](spark, sf_dir)
+    # batch twin gives (user_id, session_id, n_events); recover starts
+    want = {
+        (r.user_id, int(r.session_start.timestamp() * 1_000_000), r.n_events)
+        for r in spark.sql("""
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM (SELECT user_id, ts,
+                         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM (SELECT user_id, ts, event_id,
+                               CASE WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER
+                                      (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800
+                                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                    THEN 1 ELSE 0 END AS new_session
+                        FROM {ev}))
+            GROUP BY user_id, sid
+        """, ev=load_table(spark, sf_dir, "events")).collect()
+    }
+    for r in got:
+        assert (r.user_id, r.session_start_us, r.n_events) in want, r
