@@ -220,3 +220,48 @@ def test_custom_sessions_with_event_time_timeout(spark, sf_dir, tmp_path_factory
     }
     for r in got:
         assert (r.user_id, r.session_start_us, r.n_events) in want, r
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path_factory):
+    """Stop/restart with the same checkpoint must resume exactly once:
+    run 1 sees half the files, run 2 (same checkpointLocation) sees the
+    rest added — the union of sink output must contain every event
+    exactly once, proving the restart neither reprocesses nor skips."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path_factory.mktemp("events_src"))
+    sink = str(tmp_path_factory.mktemp("events_sink"))
+    chk = str(tmp_path_factory.mktemp("chk"))
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(2).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == half1.count()
+
+    half2.coalesce(2).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count(), "restart reprocessed or skipped data"
+    assert out.select("event_id").distinct().count() == ev.count()
