@@ -1556,3 +1556,40 @@ def streaming_custom_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="q_streaming_custom_sessions",
         output_mode="append",
     )
+
+
+@register(
+    "zscore_by_group_pandas",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def zscore_by_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization via ``applyInPandas`` (grouped
+    map — the third pandas API next to mapInPandas and
+    applyInPandasWithState): each event_type group arrives as one Arrow
+    batch, normalized vectorized in pandas. Hash-checked against the SQL
+    window formulation — the pandas path must be numerically identical.
+    At scale the SQL window/groupBy-join form is preferred (no Python,
+    no whole-group-in-memory); the grouped-map form is for logic SQL
+    can't express (sklearn transforms, per-group model scoring)."""
+    import pandas as pd
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "z": ((pdf["value"] - pdf["value"].mean()) / std).round(4),
+            }
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize, schema="event_id long, z double")
+    )
