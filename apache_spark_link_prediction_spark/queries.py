@@ -1593,3 +1593,33 @@ def zscore_by_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(normalize, schema="event_id long, z double")
     )
+
+
+@register(
+    "window_functions_suite",
+    """
+    SELECT event_id,
+           lag(event_id) OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic function suite per user timeline — lag/lead
+    navigation, ntile bucketing, percent_rank/cume_dist ranking — one
+    window spec, one shuffle+sort, all functions evaluated in a single
+    Window physical operator."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
