@@ -522,8 +522,9 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, count(*) AS n_events
     FROM (SELECT user_id,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
           FROM g)
     GROUP BY user_id, session_id
     """,
@@ -1134,7 +1135,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
@@ -1601,7 +1602,7 @@ def zscore_by_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            lag(event_id) OVER w AS prev_id,
            lead(event_id) OVER w AS next_id,
-           ntile(4) OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume
     FROM events
