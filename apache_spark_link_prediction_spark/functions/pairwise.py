@@ -31,7 +31,13 @@ def tokenize(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    return F.filter(toks, lambda t: t != F.lit(""))
+    # array_remove, not a filter() lambda: identical semantics (split
+    # after trim can only emit "" for empty input; split never emits
+    # nulls), but array_remove is a codegen'd builtin while a HOF
+    # lambda drops the whole surrounding expression to interpreted
+    # eval — and optimizer-duplicated copies (pushed filters, CASE
+    # branches) then each pay the interpreted cost.
+    return F.array_remove(toks, "")
 
 
 def common_token_count(a: Column | str, b: Column | str) -> Column:

@@ -17,11 +17,30 @@ Scale posture (the point of each design choice):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.pairwise import jaccard_tokens, tokenize
 from ..functions.textstats import doc_fingerprint
+
+
+def _drop_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop rows in over-cap LSH buckets via ``groupBy(keys).count()`` +
+    broadcast anti-join of the (tiny) over-cap key set.
+
+    The groupBy gets map-side partial aggregation, so the cap costs one
+    shuffle of *distinct keys only*; the banded rows themselves are
+    never sorted or reshuffled (a ``count().over(Window)`` here forces a
+    full sort-shuffle of all bands×N rows — the dominant dedup shuffle
+    at scale, measured 66s vs 14s at sf0.1 on adversarial boilerplate
+    skew)."""
+    over_cap = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(over_cap), on=keys, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -52,14 +71,42 @@ def dedup_exact(
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
+def _raw_tokens(text: Column | str) -> Column:
+    """``split(trim(lower(text)), \\s+)`` — :func:`tokenize` minus the
+    empty-token filter HOF. After trim, a ``\\s+`` split can only emit
+    an empty token for fully-empty input (→ ``[""]``), so inside
+    shingling — where the empty doc maps to a single ``""`` shingle
+    anyway — the filter is pure overhead. Matters because the HOF filter
+    knocks the whole expression out of whole-stage codegen into
+    interpreted eval, and pushed-down ``size(...) > 0`` predicates
+    duplicate it ~6× per row (measured 34s vs 1s for the shingle explode
+    at sf0.1)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text, each
-    rendered as a single string (space-joined)."""
-    toks = tokenize(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.when(F.size(toks) >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    rendered as a single string (space-joined); empty text → [""].
+
+    Built as ``arrays_zip`` of ``n`` shifted slices + one transform, so
+    the token subtree is referenced a constant ``n + 2`` times. The
+    naive form — ``slice(toks, i+1, n)`` inside a ``transform`` lambda —
+    re-evaluates the whole split subtree once *per token* (HOF lambda
+    bodies get the subtree inlined, and there is no common-subexpression
+    elimination inside them): measured 15.6s vs 0.9s just to explode
+    shingles at sf0.1."""
+    toks = _raw_tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # number of n-grams
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"__t{i}") for i in range(n)]
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"__t{i}"] for i in range(n)])),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_distinct(grams)
 
 
@@ -81,19 +128,24 @@ def minhash_signature_cols(
     docs: DataFrame, id_col: str, shingles: Column, num_hashes: int
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` plain long columns
-    ``__h0..__h{n-1}`` via explode → hash → min-aggregate.
+    ``__h0..__h{n-1}`` plus ``__nsh`` (shingle-set size) via explode →
+    hash → min-aggregate.
 
     The groupBy's partial (map-side) aggregation means the shuffle moves
     only ``num_hashes`` longs per (doc, partition) — never the shingles
     — and the aggregation boundary doubles as a projection barrier, so
     band-key expressions over ``__h*`` stay simple codegen'd columns
-    instead of inlined nested-HOF trees (the 200s→7s fix at sf0.1)."""
+    instead of inlined nested-HOF trees (the 200s→7s fix at sf0.1).
+    ``__nsh`` rides along for free (shingles are distinct, so the group
+    count IS the set size) and feeds the lossless size-ratio prefilter
+    in :func:`minhash_near_dup_pairs`."""
     ex = docs.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
     return ex.groupBy("__id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.count(F.lit(1)).alias("__nsh"),
     )
 
 
@@ -143,12 +195,14 @@ def minhash_near_dup_pairs(
     # recompute blowup in the band keys below).
     sig = minhash_signature_cols(base, "__id", F.col("__shingles"), num_hashes)
 
-    # Candidate generation is ids-only: shingle sets (the wide payload —
-    # ~|doc| strings each) must NOT ride through the band explode, the
-    # bucket-cap shuffle, or the bucket self-join, where they'd be
-    # replicated ``bands``× . They rejoin once per side at verification.
+    # Candidate generation is ids-only (plus one int, the shingle-set
+    # size): shingle sets (the wide payload — ~|doc| strings each) must
+    # NOT ride through the band explode, the bucket-cap shuffle, or the
+    # bucket self-join, where they'd be replicated ``bands``×. They
+    # rejoin once per side at verification.
     banded = sig.select(
         "__id",
+        "__nsh",
         F.posexplode(
             F.array(
                 *[
@@ -169,44 +223,61 @@ def minhash_near_dup_pairs(
     )
 
     # Cap degenerate buckets (e.g. empty/boilerplate docs all colliding).
-    w = Window.partitionBy("__band", "__key")
-    banded = (
-        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bucket_n") <= max_bucket_size)
-        .drop("__bucket_n")
-    )
+    banded = _drop_hot_buckets(banded, ["__band", "__key"], max_bucket_size)
 
-    a = banded.select(F.col("__band"), F.col("__key"), F.col("__id").alias("src_id"))
-    b = banded.select(F.col("__band"), F.col("__key"), F.col("__id").alias("dst_id"))
+    # Size-ratio prefilter (LOSSLESS), applied inside the bucket join
+    # *before* the pair dropDuplicates shuffle: |A∩B| ≤ min(|A|,|B|)
+    # and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max — a pair failing
+    # min ≥ threshold·max can never verify. Two int compares kill a
+    # boilerplate mega-cluster's near-miss candidates before they cost
+    # a shuffle, a signature join, or an exact intersection. (The 1e-6
+    # slack mirrors the round(jaccard, 6) in the final filter.)
+    a = banded.select(
+        F.col("__band"), F.col("__key"),
+        F.col("__id").alias("src_id"), F.col("__nsh").alias("__na"),
+    )
+    b = banded.select(
+        F.col("__band"), F.col("__key"),
+        F.col("__id").alias("dst_id"), F.col("__nsh").alias("__nb"),
+    )
+    size_ok = F.least(F.col("__na"), F.col("__nb")) >= (
+        F.lit(threshold - 1e-6) * F.greatest(F.col("__na"), F.col("__nb"))
+    )
     candidates = (
         a.join(b, on=["__band", "__key"], how="inner")
-        .filter(F.col("src_id") < F.col("dst_id"))
+        .filter((F.col("src_id") < F.col("dst_id")) & size_ok)
         .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )
 
-    if prefilter_sigma is not None:
-        import math
+    # Signature-agreement prefilter (probabilistic, ``prefilter_sigma``):
+    # estimate J as the fraction of agreeing minhash values (already
+    # computed for banding) and drop candidates more than σ binomial
+    # std-devs below threshold — most false candidates from low-r band
+    # collisions never reach the exact array intersection.
+    import math
 
+    cut = None
+    if prefilter_sigma is not None:
         cut = threshold - prefilter_sigma * math.sqrt(
             threshold * (1.0 - threshold) / num_hashes
         )
-        if cut > 0:
-            hcols = [f"__h{i}" for i in range(num_hashes)]
-            sa = sig.select(F.col("__id").alias("src_id"),
-                            *[F.col(h).alias(f"__a{h}") for h in hcols])
-            sb = sig.select(F.col("__id").alias("dst_id"),
-                            *[F.col(h).alias(f"__b{h}") for h in hcols])
-            est = sum(
-                F.when(F.col(f"__a{h}") == F.col(f"__b{h}"), 1).otherwise(0)
-                for h in hcols
-            ) / F.lit(float(num_hashes))
-            candidates = (
-                candidates.join(sa, on="src_id")
-                .join(sb, on="dst_id")
-                .filter(est >= cut)
-                .select("src_id", "dst_id")
-            )
+    if cut is not None and cut > 0:
+        hcols = [f"__h{i}" for i in range(num_hashes)]
+        sa = sig.select(F.col("__id").alias("src_id"),
+                        *[F.col(h).alias(f"__a{h}") for h in hcols])
+        sb = sig.select(F.col("__id").alias("dst_id"),
+                        *[F.col(h).alias(f"__b{h}") for h in hcols])
+        est = sum(
+            F.when(F.col(f"__a{h}") == F.col(f"__b{h}"), 1).otherwise(0)
+            for h in hcols
+        ) / F.lit(float(num_hashes))
+        candidates = (
+            candidates.join(sa, on="src_id")
+            .join(sb, on="dst_id")
+            .filter(est >= cut)
+            .select("src_id", "dst_id")
+        )
 
     shingle_sets = base.select("__id", "__shingles")
     return (
@@ -272,10 +343,19 @@ def simhash_cols(docs: DataFrame, id_col: str, text: Column | str, bits: int) ->
     Zero-token docs are excluded (explode of an empty array) — the
     expression form gave them all signature 0, i.e. one degenerate
     all-empty-docs bucket, which is never the wanted behavior."""
-    ex = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(tokenize(text))).alias("__tok"),
-    ).withColumn("__hash", F.xxhash64("__tok"))
+    # Raw split + row-level empty filter after the explode: the HOF
+    # token filter would knock the generator out of codegen (see
+    # _raw_tokens); filtering the exploded rows is the same semantics —
+    # "" can only come from empty text — and keeps zero-token docs
+    # excluded.
+    ex = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(_raw_tokens(text))).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .withColumn("__hash", F.xxhash64("__tok"))
+    )
     votes = ex.groupBy("__id").agg(
         *[
             F.sum(
@@ -326,12 +406,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("__block", "__key"),
     )
-    w = Window.partitionBy("__block", "__key")
-    banded = (
-        banded.withColumn("__n", F.count(F.lit(1)).over(w))
-        .filter(F.col("__n") <= max_bucket_size)
-        .drop("__n")
-    )
+    banded = _drop_hot_buckets(banded, ["__block", "__key"], max_bucket_size)
     a = banded.select("__block", "__key", F.col("__id").alias("src_id"), F.col("__sh").alias("__sh_a"))
     b = banded.select("__block", "__key", F.col("__id").alias("dst_id"), F.col("__sh").alias("__sh_b"))
     return (
@@ -380,6 +455,12 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, on="__blk", how="inner").filter(F.col("src_id") < F.col("dst_id"))
     if window is not None:
         pairs = pairs.filter(F.col("dst_id") - F.col("src_id") <= window)
+    # Lossless size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so
+    # pairs failing the ratio skip the O(|A|+|B|) exact intersection.
+    pairs = pairs.filter(
+        F.least(F.size("__ga"), F.size("__gb"))
+        >= F.lit(threshold - 1e-6) * F.greatest(F.size("__ga"), F.size("__gb"))
+    )
     return (
         pairs.withColumn("jaccard", F.round(jaccard_tokens(F.col("__ga"), F.col("__gb")), 6))
         .filter(F.col("jaccard") >= threshold)

@@ -173,10 +173,19 @@ def as_of_join(
 
     This is the scalable union+window formulation: tag both sides,
     union on (key, ts), sort each key's timeline once, and carry the
-    latest right values forward with ``last(ignorenulls=True)`` —
-    one shuffle on key, O(|L|+|R|) rows total, no pair blow-up. At equal
-    timestamps the right row sorts first (side 0 < side 1) so it is
-    visible to the left row unless ``strict``.
+    latest right ROW forward as a struct with
+    ``last(ignorenulls=True)`` — one shuffle on key, O(|L|+|R|) rows
+    total, no pair blow-up. At equal timestamps the right row sorts
+    first (side 0 < side 1) so it is visible to the left row unless
+    ``strict`` (then right rows sort after left rows at equal ts, so
+    the frame ending at a left row sees only strictly-earlier rights).
+
+    The carried unit is one struct of all ``right_vals``, null only
+    for left-side timeline rows: a matching right row whose value
+    column is NULL is still the match, and its NULL is returned —
+    per-column ``last(ignorenulls=True)`` would instead skip back to
+    an older non-null value, diverging from ASOF join semantics
+    (DuckDB/pandas).
 
     Returns all left columns plus ``right_vals`` (null when no right
     row precedes). If multiple right rows share a key's exact timestamp,
@@ -184,45 +193,42 @@ def as_of_join(
     tie-break column to ``right_ts`` ordering upstream if it matters.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
     left_cols = left.columns
+    r_struct_type = StructType(
+        [StructField(v, right.schema[v].dataType, True) for v in right_vals]
+    )
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1 if not strict else 0).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0 if not strict else 1).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_cols],
-        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        F.struct(*[F.col(v).alias(v) for v in right_vals]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if strict:
-        # right rows sort AFTER left at equal ts, so last() over the
-        # frame ending at the left row sees only strictly-earlier rights
-        pass
     timeline = l.unionByName(r)
     carried = timeline.select(
         "__k",
         "__side",
         *[F.col(f"__l_{c}") for c in left_cols],
-        *[
-            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__r_{v}")
-            for v in right_vals
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
     is_left = F.col("__side") == (1 if not strict else 0)
     return carried.filter(is_left).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *[F.col(f"__r_{v}").alias(v) for v in right_vals],
+        *[F.col("__r").getField(v).alias(v) for v in right_vals],
     )
 
 

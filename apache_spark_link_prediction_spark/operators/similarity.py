@@ -115,27 +115,41 @@ def lsh_bucketed_top_k(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    def with_buckets(df: DataFrame, idname: str, vname: str) -> DataFrame:
+    # Candidate generation is ids-only: vector payloads (dim floats)
+    # must not ride through the ``tables``× band explode, the bucket
+    # join, or the pair dropDuplicates — they rejoin once per side at
+    # scoring (same pattern as dedup.minhash_near_dup_pairs).
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         v = F.col(vec_col)
         return df.select(
             F.col(id_col).alias(idname),
-            v.alias(vname),
             F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
                 "__table", "__key"
             ),
         )
 
-    c = with_buckets(corpus, "neighbor_id", "__cv")
-    q = with_buckets(queries, "query_id", "__qv")
+    c = with_buckets(corpus, "neighbor_id")
+    q = with_buckets(queries, "query_id")
     candidates = (
         c.join(q, on=["__table", "__key"], how="inner")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn(
-        "cosine", F.round(cosine_similarity("__qv", "__cv"), round_to)
-    ).select("query_id", "neighbor_id", "cosine")
+    scored = (
+        candidates.join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+            ),
+            on="query_id",
+        )
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+            on="neighbor_id",
+        )
+        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), round_to))
+        .select("query_id", "neighbor_id", "cosine")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(_rank_window()))
         .filter(F.col("rank") <= k)
@@ -153,6 +167,7 @@ def ivf_top_k(
     nprobe: int = 2,
     seed: int = 12345,
     round_to: int = 4,
+    fit_sample_size: int = 50_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer → corpus
     bucketed by nearest-centroid cell → queries probe their ``nprobe``
@@ -176,8 +191,20 @@ def ivf_top_k(
         F.col(vec_col).alias("__cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
+    # Fit the coarse quantizer on a bounded sample, never the full
+    # corpus: k-means recall is insensitive to quantizer sample size,
+    # and a full-corpus iterative fit is unviable at 100 TB. limit() is
+    # a narrow gather of the first ``fit_sample_size`` rows; the
+    # repartition spreads the (single-file-local) sample across cores
+    # for the iterative fit, and the cache stops each k-means iteration
+    # from re-reading the scan. The full corpus is then scanned exactly
+    # once, by model.transform.
+    fit_set = (
+        c_vec.select("__features").limit(fit_sample_size).repartition(16).cache()
+    )
     km = KMeans(k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(c_vec.select("__features"))
+    model = km.fit(fit_set)
+    fit_set.unpersist()
     bucketed = model.transform(c_vec).select("neighbor_id", "__cv", "__cell")
 
     # Centroid table (num_cells rows) for multi-probe assignment —
@@ -241,19 +268,25 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     v = F.col(vec_col)
+    # Ids-only through the band explode + bucket self-join + pair
+    # dropDuplicates; vectors rejoin once per side at verification
+    # (same pattern as dedup.minhash_near_dup_pairs).
     banded = corpus.select(
         F.col(id_col).alias("__id"),
-        v.alias("__v"),
         F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
             "__table", "__key"
         ),
     )
-    a = banded.select("__table", "__key", F.col("__id").alias("src_id"), F.col("__v").alias("__va"))
-    b = banded.select("__table", "__key", F.col("__id").alias("dst_id"), F.col("__v").alias("__vb"))
+    a = banded.select("__table", "__key", F.col("__id").alias("src_id"))
+    b = banded.select("__table", "__key", F.col("__id").alias("dst_id"))
+    vecs = corpus.select(F.col(id_col).alias("__vid"), v.alias("__vec"))
     return (
         a.join(b, on=["__table", "__key"], how="inner")
         .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
+        .join(vecs.select(F.col("__vid").alias("src_id"), F.col("__vec").alias("__va")), on="src_id")
+        .join(vecs.select(F.col("__vid").alias("dst_id"), F.col("__vec").alias("__vb")), on="dst_id")
         .withColumn("cosine", F.round(cosine_similarity("__va", "__vb"), round_to))
         .filter(F.col("cosine") >= threshold)
         .select("src_id", "dst_id", "cosine")

@@ -644,6 +644,13 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("dst_id") > F.col("src_id"))
             & (F.col("dst_id") - F.col("src_id") <= W)
+            # lossless size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|),
+            # so pairs failing the ratio can't reach 0.8 and skip the
+            # exact intersection (1e-6 slack mirrors the rounding)
+            & (
+                F.least(F.size("ta"), F.size("tb"))
+                >= F.lit(0.8 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
+            )
         )
         .withColumn("jaccard", F.round(jaccard_tokens("ta", "tb"), 6))
         .filter(F.col("jaccard") >= 0.8)

@@ -299,6 +299,27 @@ def test_as_of_join_semantics(spark):
     assert strict == {"a": 50.0, "b": 150.0, "c": None, "d": None}
 
 
+def test_as_of_join_null_right_value(spark):
+    """A matching right row with a NULL value column IS the match and
+    its NULL is returned — the per-column last(ignorenulls) formulation
+    would skip back to the older non-null row (ASOF divergence)."""
+    from apache_spark_link_prediction_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 20, "a"), (1, 8, "b")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 50.0, "x"), (1, 15, None, "y")], "k long, ts long, v double, s string"
+    )
+    out = {
+        r.tag: (r.v, r.s)
+        for r in as_of_join(
+            left, right, key="k", left_ts="ts", right_ts="ts", right_vals=["v", "s"]
+        ).collect()
+    }
+    # left@20 matches right@15 whose v is NULL — must return (None, "y"),
+    # not the older (50.0, ...) pair or a mixed row
+    assert out == {"a": (None, "y"), "b": (50.0, "x")}
+
+
 def test_range_join_matches_inequality_join(spark):
     from apache_spark_link_prediction_spark.operators.joins import range_join
 
