@@ -1064,7 +1064,17 @@ def _events_as_stream(
     return read_events_stream(spark, path)
 
 
-@register("streaming_window_agg")
+@register(
+    "streaming_window_agg",
+    # the batch twin's oracle verbatim: a bounded stream driven to
+    # completion must produce exactly the batch tumbling-window agg
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming agg driven to completion
     through a memory sink; must equal ``tumbling_window_agg``."""
@@ -1076,7 +1086,32 @@ def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_sessionize")
+@register(
+    "streaming_sessionize",
+    # session_window semantics: an event at exactly start+gap opens a
+    # NEW session (merge iff diff < gap), window end = last ts + gap.
+    # CASTs: TIMESTAMP_NS → µs TIMESTAMP to match Spark, BIGINT running
+    # sum (HUGEINT otherwise).
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based ``session_window`` streaming sessionization; session
     size profile must equal ``sessionize_events`` (tests)."""
@@ -1232,6 +1267,40 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
+    return dedup_clusters(docs, pairs)
+
+
+_CLUSTERS_EXACT_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_TOKEN_JACCARD_ORACLE}),
+    edges AS (
+      SELECT src_id AS a, dst_id AS b FROM pairs
+      UNION
+      SELECT dst_id AS a, src_id AS b FROM pairs
+    ),
+    closure(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.comp, d.doc_id) AS BIGINT) AS keeper_id
+    FROM documents d
+    LEFT JOIN (SELECT node, MIN(reach) AS comp FROM closure GROUP BY node) m
+      ON d.doc_id = m.node
+"""
+
+
+@register("dedup_clusters_exact", _CLUSTERS_EXACT_ORACLE)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering over an *exact, SQL-checkable* pair input
+    (the blocked token-Jaccard pairs): connected components by
+    iterative min-label propagation, hash-checked end-to-end against a
+    DuckDB recursive-CTE transitive closure. The driver-green twin of
+    ``dedup_clusters`` (whose MinHash pair input makes it rows-only)."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_token_jaccard(spark, sf_dir)
     return dedup_clusters(docs, pairs)
 
 
