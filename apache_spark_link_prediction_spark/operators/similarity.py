@@ -261,10 +261,17 @@ def embedding_near_dup_pairs(
     tables: int = 4,
     planes: int = 8,
     round_to: int = 6,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH self-bucket-join,
     canonical (src_id < dst_id), exact cosine verification ≥ threshold.
-    Emits (src_id, dst_id, cosine)."""
+    Emits (src_id, dst_id, cosine).
+
+    ``max_bucket_size`` caps degenerate buckets (embedding-identical
+    boilerplate clusters) exactly as in the MinHash/SimHash dedup: a
+    10× replication stress showed 21.8× wall-clock growth uncapped —
+    the O(bucket²) self-join on near-identical embedding clusters is
+    the blow-up a 100 TB corpus hits on templated content."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     v = F.col(vec_col)
@@ -277,6 +284,10 @@ def embedding_near_dup_pairs(
             "__table", "__key"
         ),
     )
+    if max_bucket_size is not None:
+        from .dedup import _drop_hot_buckets
+
+        banded = _drop_hot_buckets(banded, ["__table", "__key"], max_bucket_size)
     a = banded.select("__table", "__key", F.col("__id").alias("src_id"))
     b = banded.select("__table", "__key", F.col("__id").alias("dst_id"))
     vecs = corpus.select(F.col(id_col).alias("__vid"), v.alias("__vec"))
