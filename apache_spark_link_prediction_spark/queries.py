@@ -1270,6 +1270,188 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, packing, decontamination, repetition
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, GREATEST(CAST(ceil(len(toks) / {_CHUNK}.0) AS INT), 1))) AS chunk_id
+          FROM d)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}]) AS INT) AS n_tokens,
+           array_to_string(toks[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking (1 doc → N chunk rows), the
+    context-length-budget primitive of a pretraining pipeline. Explode a
+    chunk-index sequence, slice the materialized token array per chunk —
+    linear work, no window functions, chunk count derived not counted.
+    Empty docs keep one empty chunk (the doc survives, content-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("__toks"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("__toks") / F.lit(float(_CHUNK))).cast("int"), F.lit(1)
+    )
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * _CHUNK + 1, _CHUNK)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH d AS (SELECT doc_id, source, CAST(len({_toks_sql('text')}) AS INT) AS n_tokens
+               FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / {_PACK_BUDGET}.0)
+                AS BIGINT) AS pack_id
+    FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: per source stream, docs in id
+    order fill {_PACK_BUDGET}-token training sequences; a doc's pack is
+    ``floor(preceding_cumsum / budget)``. The scan-order-preserving
+    window formulation of first-fit packing — one shuffle on the
+    partition key, no driver-side bin state, reproducible across runs
+    (vs true best-fit packing, which is order-dependent and serial)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / F.lit(float(_PACK_BUDGET))).cast("long").alias("pack_id"),
+    )
+
+
+_DECON_N = 5  # n-gram width for contamination matching
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= {_DECON_N}
+                   THEN list_transform(range(0, len(toks) - {_DECON_N - 1}),
+                                       i -> array_to_string(toks[i + 1 : i + {_DECON_N}], ' '))
+                   ELSE [array_to_string(toks, ' ')] END AS grams
+          FROM d),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 < 5),
+    bad AS (SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 >= 5)
+            WHERE gram IN (SELECT gram FROM bg))
+    SELECT doc_id FROM d
+    WHERE doc_id % 100 >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training doc sharing any
+    word-{_DECON_N}-gram with the benchmark set (here: docs with
+    ``doc_id % 100 < 5`` stand in for the eval suite). Exact-match
+    n-gram semi-join — the standard pretraining leak filter. Scale
+    shape: grams explode map-side, one shuffle on the gram string, the
+    contaminated-id set is a semi join, survivors an anti join; at
+    100 TB the gram key could be ``xxhash64``-compressed (not done here
+    so the DuckDB oracle can reproduce the keys verbatim)."""
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", _DECON_N)).alias("gram")
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 100 < 5).select("gram").distinct()
+    train = docs.filter(F.col("doc_id") % 100 >= 5).select("doc_id")
+    contaminated = (
+        grams.filter(F.col("doc_id") % 100 >= 5)
+        .join(bench_grams, on="gram", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contaminated, on="doc_id", how="left_anti")
+
+
+@register(
+    "repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY ALL),
+    s AS (SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                 CAST(MAX(cnt) AS BIGINT) AS top_count,
+                 count(*) AS distinct_tokens
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.total_tokens, 0) AS BIGINT) AS total_tokens,
+           round(COALESCE(s.top_count / s.total_tokens::DOUBLE, 0.0), 6) AS top_token_frac,
+           round(COALESCE(s.distinct_tokens / s.total_tokens::DOUBLE, 0.0), 6) AS distinct_frac
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: most-frequent-token share and
+    distinct-token share per doc (templated/spammy text scores high
+    top_token_frac, low distinct_frac). Explode → two-level map-side
+    aggregation; empty docs score 0.0 via the left join back to the
+    doc table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.max("cnt").alias("top_count"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total_tokens"), F.lit(0)).alias("total_tokens"),
+            F.round(
+                F.coalesce(F.col("top_count") / F.col("total_tokens"), F.lit(0.0)), 6
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("distinct_tokens") / F.col("total_tokens"), F.lit(0.0)), 6
+            ).alias("distinct_frac"),
+        )
+    )
+
+
 _CLUSTERS_EXACT_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_TOKEN_JACCARD_ORACLE}),
     edges AS (
