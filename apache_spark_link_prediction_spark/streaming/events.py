@@ -239,3 +239,123 @@ def streaming_custom_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kafka endpoints
+# ---------------------------------------------------------------------------
+#
+# The wire format is JSON event records in the Kafka value, keyed by
+# user_id. encode/decode are plain column transforms (testable on batch
+# DataFrames shaped like Kafka records — tests/test_streaming.py); only
+# the format("kafka") source/sink lines need the spark-sql-kafka
+# connector jar, which this container does not ship — reaching them
+# without it raises Spark's own AnalysisException at load()/start().
+
+
+# Microsecond timestamps on the wire: Spark's default JSON
+# timestampFormat is millisecond-precision, which silently truncates
+# event times on the encode side (roundtrip-pinned in tests).
+_KAFKA_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Source options for a Kafka events stream.
+
+    ``maxOffsetsPerTrigger`` bounds micro-batch size (backpressure —
+    without it the first batch after downtime is the whole backlog);
+    ``failOnDataLoss=false`` keeps the query alive across topic
+    retention evictions (log + skip, the standard at-scale posture).
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka record frame (binary key/value, topic, partition, offset)
+    → typed events frame (EVENTS_STREAM_SCHEMA).
+
+    One ``from_json`` parse per record (parse-once-into-struct, not
+    per-path probes); undecodable values are quarantined out via the
+    corrupt-record column (PERMISSIVE parse gives an all-null struct,
+    NOT a null struct, so ``isNotNull`` on the struct can't detect
+    them), never crashing the stream."""
+    # fresh StructType — StructType.add would mutate the shared module
+    # constant in place
+    schema = T.StructType(
+        [*EVENTS_STREAM_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    opts = {**_KAFKA_JSON_OPTS, "columnNameOfCorruptRecord": "_corrupt_record"}
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema, opts).alias("__e")
+    )
+    return (
+        parsed.filter(
+            F.col("__e").isNotNull() & F.col("__e._corrupt_record").isNull()
+        )
+        .select("__e.*")
+        .drop("_corrupt_record")
+    )
+
+
+def encode_events_for_kafka(events: DataFrame) -> DataFrame:
+    """Typed events frame → Kafka sink frame: key = user_id bytes
+    (partition affinity per user preserves per-key event order), value =
+    JSON of the full record."""
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in events.columns]), _KAFKA_JSON_OPTS
+        ).alias("value"),
+    )
+
+
+def read_kafka_events(
+    spark: SparkSession, bootstrap_servers: str, topic: str, **source_kwargs
+) -> DataFrame:
+    """Streaming events source from Kafka: options → raw records →
+    decode. Downstream plans are identical to the file-source ones —
+    swap this for ``read_events_stream`` and nothing else changes."""
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_source_options(bootstrap_servers, topic, **source_kwargs))
+        .load()
+    )
+    return decode_kafka_events(raw)
+
+
+def write_kafka_stream(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    checkpoint_location: str,
+    output_mode: str = "append",
+):
+    """Streaming events sink to Kafka with exactly-once-per-restart
+    checkpointing (Kafka's at-least-once delivery + downstream
+    idempotent/dedup consumption is the standard contract). Returns the
+    started StreamingQuery."""
+    return (
+        encode_events_for_kafka(events)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode(output_mode)
+        .start()
+    )

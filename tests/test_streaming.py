@@ -265,3 +265,33 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path_factory):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count(), "restart reprocessed or skipped data"
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_kafka_encode_decode_roundtrip(spark, sf_dir):
+    """The Kafka wire plumbing (JSON value, user_id key) must roundtrip
+    the typed events frame exactly; the format('kafka') endpoints
+    themselves need the connector jar and are construction-only here."""
+    from apache_spark_link_prediction_spark.sources import load_table
+    from apache_spark_link_prediction_spark.streaming.events import (
+        decode_kafka_events,
+        encode_events_for_kafka,
+        kafka_source_options,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    wire = encode_events_for_kafka(events)
+    assert wire.columns == ["key", "value"]
+    back = decode_kafka_events(wire)
+    assert back.columns == events.columns
+    a = {tuple(r) for r in events.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # corrupt values are quarantined, not crashed on
+    corrupt = spark.createDataFrame([(b"k", b"{not json")], "key binary, value binary")
+    assert decode_kafka_events(corrupt).count() == 0
+
+    opts = kafka_source_options("broker:9092", "events")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["failOnDataLoss"] == "false"
+    assert "maxOffsetsPerTrigger" in opts
