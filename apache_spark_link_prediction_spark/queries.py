@@ -692,8 +692,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify); verified-exact jaccard output, so recall<1 but precision=1
     vs dedup_ngram_jaccard's ground truth (asserted in tests)."""
     docs = load_table(spark, sf_dir, "documents")
+    # prefilter_sigma off: at threshold 0.8 over token sets the lossless
+    # in-join size-ratio filter already removes ~97% of what the
+    # signature-agreement estimate would (835k vs 813k candidates at
+    # sf0.1), so the two 32-long signature joins cost more than the ~3%
+    # extra exact verifications they save. Keep σ-prefilter for n-gram
+    # shingles / lower thresholds, where set sizes are less informative.
     return minhash_near_dup_pairs(
-        docs, shingle_n=1, num_hashes=32, bands=8, threshold=0.8
+        docs, shingle_n=1, num_hashes=32, bands=8, threshold=0.8, prefilter_sigma=None
     )
 
 
