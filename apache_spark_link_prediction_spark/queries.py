@@ -427,7 +427,7 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topk_per_group",
     """
-    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk

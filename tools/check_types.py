@@ -1,0 +1,83 @@
+"""Type-parity audit between Spark query outputs and their DuckDB
+oracles. The value-hash comparator stringifies values, so it can hide
+engine type divergences that a stricter (Arrow-typed) comparator would
+flag — the round-1 driver failures were exactly this (DuckDB HUGEINT
+from an uncast SUM vs Spark LONG). This tool compares schemas directly
+and flags any column whose normalized type differs.
+
+Usage: python tools/check_types.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+# DuckDB type -> normalized; Spark simpleString -> normalized.
+_DUCK = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "UBIGINT": "u64", "UINTEGER": "u32",
+    "DOUBLE": "f64", "FLOAT": "f32", "DECIMAL": "decimal",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts_us", "TIMESTAMP_NS": "ts_ns", "DATE": "date",
+}
+_SPARK = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts_us", "timestamp_ntz": "ts_us", "date": "date",
+}
+
+
+def norm_duck(t: str) -> str:
+    t = t.upper()
+    base = t.split("(")[0].strip()
+    return _DUCK.get(base, t.lower())
+
+
+def norm_spark(t: str) -> str:
+    base = t.split("(")[0].strip()
+    if base.startswith("decimal"):
+        return "decimal"
+    return _SPARK.get(base, base)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from __spark_entry__ import oracle_sql, queries
+    from apache_spark_link_prediction_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    n_flagged = 0
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        try:
+            sdtypes = dict(fn(spark, sf_dir).dtypes)
+            rows = con.execute(f"DESCRIBE SELECT * FROM ({oracles[name]})").fetchall()
+            ddtypes = {r[0]: r[1] for r in rows}
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"ERROR {name}: {e}")
+            n_flagged += 1
+            continue
+        for col in sorted(set(sdtypes) & set(ddtypes)):
+            s, d = norm_spark(sdtypes[col]), norm_duck(ddtypes[col])
+            if s != d:
+                print(f"FLAG  {name}.{col}: spark={sdtypes[col]} ({s}) duckdb={ddtypes[col]} ({d})")
+                n_flagged += 1
+    print(f"\n{n_flagged} type divergences" if n_flagged else "\nall types parity")
+    return 1 if n_flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
