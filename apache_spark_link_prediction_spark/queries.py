@@ -969,6 +969,53 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase projection (parts
+    sharing ≥2 orders), by the edge-iterator formulation: canonical
+    u<v edges make every triangle exactly one wedge (u<v<w) closed by
+    one edge — two equi-joins on node keys, no orientation dedup.
+    At 100 TB the projection's hub nodes dominate the wedge join;
+    the standard mitigation (degree-ordered orientation) is exactly
+    the u<v canonicalization used here."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("u", "v")
+    )
+    wedges = (
+        e.select(F.col("u").alias("__a"), F.col("v").alias("__b"))
+        .join(e.select(F.col("u").alias("__b"), F.col("v").alias("__c")), on="__b")
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("__a"), F.col("v").alias("__c")),
+        on=["__a", "__c"],
+        how="left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 # ---------------------------------------------------------------------------
 # Sampling + ML pipelines (rows-only: seeds/hashes not SQL-portable)
 # ---------------------------------------------------------------------------
