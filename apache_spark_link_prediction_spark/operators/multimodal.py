@@ -3,12 +3,13 @@ payloads with typed metadata, processed by Arrow-batched pandas
 functions over ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-metadata propagation — is real and tested. The codec layer (actual
-JPEG/WAV decode) is stubbed behind ``DECODERS``: the container has no
-image/audio libraries, so the default decoders are deterministic fakes
-that parse our own synthetic payload header; swap in
-Pillow/soundfile/etc. by registering a real decoder. Clearly marked —
-see ``decode_stub``.
+metadata propagation — is real and tested. The codec layer
+(``DECODERS``) decodes the library-free formats for REAL — uncompressed
+BMP (pure struct header parse) and PCM WAV (stdlib ``wave``) — and
+falls back to a clearly-marked deterministic stub (``decode_stub``,
+SGM1 synthetic header) for compressed formats, since the container
+ships no Pillow/PyAV; register real decoders in ``decode_auto`` when
+the deployment has them.
 
 Scale notes: payloads stay in the ``binary`` column end-to-end (no
 base64 round-trips); mapInPandas streams Arrow batches so one task
@@ -75,12 +76,59 @@ def decode_stub(payload: bytes) -> dict:
     return {"width": width, "height": height, "duration_ms": duration_ms}
 
 
-# Modality → decoder registry. Replace entries with real codecs in a
-# full deployment; the Spark plumbing below is unchanged.
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decoder for uncompressed BMP (no image library needed —
+    the format is a fixed struct header): 'BM' magic, then a DIB
+    BITMAPINFOHEADER at offset 14 with little-endian i32 width/height
+    (height may be negative for top-down rows)."""
+    if payload is None or len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP payload")
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size >= 40:
+        width, height = struct.unpack_from("<ii", payload, 18)
+    elif dib_size == 12:  # BITMAPCOREHEADER: u16 dims
+        width, height = struct.unpack_from("<HH", payload, 18)
+    else:
+        raise ValueError(f"decode_bmp: unknown DIB header size {dib_size}")
+    return {"width": abs(width), "height": abs(height), "duration_ms": None}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decoder for PCM WAV via the stdlib ``wave`` module (RIFF
+    container, no external audio library needed): duration from
+    frames / framerate."""
+    import io
+    import wave
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        duration_ms = int(w.getnframes() * 1000 / rate) if rate else None
+    return {"width": None, "height": None, "duration_ms": duration_ms}
+
+
+def decode_auto(payload: bytes) -> dict:
+    """Magic-byte dispatch: real BMP/WAV decoders for the formats that
+    need no external library, SGM1 stub for the synthetic testbed
+    payloads. Compressed formats (JPEG/PNG/MP3/MP4) still need
+    Pillow/PyAV — register their decoders here when the deployment
+    ships them; everything downstream is unchanged."""
+    if payload is not None and len(payload) >= 12:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+    return decode_stub(payload)
+
+
+# Modality → decoder registry. BMP and PCM WAV decode for real (pure
+# struct / stdlib wave); compressed formats fall back to the SGM1 stub
+# until a real codec is registered; the Spark plumbing is unchanged.
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": decode_stub,
-    "audio": decode_stub,
-    "video": decode_stub,
+    "image": decode_auto,
+    "audio": decode_auto,
+    "video": decode_auto,
 }
 
 

@@ -127,3 +127,63 @@ def test_sample_frames(spark, docs):
     # non-video rows yield nothing
     imgs = media_from_documents(docs.limit(5), modality="image")
     assert sample_frames(imgs).count() == 0
+
+
+def _make_bmp(width: int, height: int) -> bytes:
+    """Minimal real 24-bit uncompressed BMP (BITMAPINFOHEADER)."""
+    import struct
+
+    row = (width * 3 + 3) // 4 * 4  # 4-byte row padding
+    body = b"\x00" * (row * height)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def _make_wav(duration_ms: int, rate: int = 8000) -> bytes:
+    """Real PCM WAV via the stdlib wave writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * (rate * duration_ms // 1000))
+    return buf.getvalue()
+
+
+def test_real_bmp_and_wav_codecs(spark):
+    """The registry decodes REAL formats that need no external library:
+    uncompressed BMP (struct header parse) and PCM WAV (stdlib wave) —
+    through the full mapInPandas pipeline, mixed with SGM1 stubs and
+    garbage in one batch."""
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        extract_media_features,
+        make_stub_payload,
+    )
+
+    bmp = _make_bmp(17, 9)
+    wav = _make_wav(1500)
+    assert decode_bmp(bmp) == {"width": 17, "height": 9, "duration_ms": None}
+    assert decode_wav(wav)["duration_ms"] == 1500
+
+    rows = [
+        (1, "image", "image/bmp", bytearray(bmp)),
+        (2, "audio", "audio/wav", bytearray(wav)),
+        (3, "image", "application/x-sgm1", bytearray(make_stub_payload(64, 32, 0))),
+        (4, "image", "image/jpeg", bytearray(b"\xff\xd8\xff garbage")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary"
+    )
+    got = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert (got[1].width, got[1].height) == (17, 9)
+    assert got[2].duration_ms == 1500
+    assert (got[3].width, got[3].height) == (64, 32)
+    # compressed format without a registered codec: quarantined nulls,
+    # byte-level features intact
+    assert got[4].width is None and got[4].n_bytes == len(rows[3][3])
