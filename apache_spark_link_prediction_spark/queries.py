@@ -1766,6 +1766,33 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_distinct_agg")  # rows-only: HLL++ sketch not SQL-portable
+def approx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HLL++
+    (``approx_count_distinct``, rsd 2%) — the 100 TB path for distinct
+    counts: the sketch is fixed-size and merges map-side, vs exact
+    count(DISTINCT)'s full shuffle of every (group, value) pair. Error
+    bound vs the exact twin asserted in pytest (≤ 5·rsd)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register("approx_quantile_agg")  # rows-only: GK sketch not SQL-portable
+def approx_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles via the Greenwald-Khanna
+    sketch (``approx_percentile``, accuracy 1000 → ε ≤ 0.1%) — the
+    mergeable, bounded-memory alternative to ``percentile_agg``'s exact
+    full-sort-per-group. Rank error vs exact asserted in pytest."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.95, 1000)"), 6).alias("p95"),
+        F.round(F.expr("approx_percentile(value, 0.99, 1000)"), 6).alias("p99"),
+    )
+
+
 @register(
     "tpch_q5_multijoin",
     """

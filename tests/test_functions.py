@@ -129,3 +129,39 @@ def test_cosine_similarity_known_values(spark):
     assert got[0] == pytest.approx(0.0)
     assert got[1] == pytest.approx(1.0)
     assert got[2] == 0.0  # degenerate → 0, not NaN
+
+
+def test_sketch_aggregates_error_bounds(spark, sf_dir):
+    """HLL++ distinct estimate within 5·rsd of exact; GK approx
+    percentile's value lies within the ±ε-rank neighborhood of the
+    exact per-group value distribution."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r.event_type: r.approx_users for r in QUERIES["approx_distinct_agg"](spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 5 * 0.02 * exact[k]), (k, est, exact[k])
+
+    got = {r.event_type: (r.p50, r.p95, r.p99) for r in QUERIES["approx_quantile_agg"](spark, sf_dir).collect()}
+    vals = {
+        k: sorted(v.value for v in events.filter(F.col("event_type") == k).select("value").collect())
+        for k in got
+    }
+    eps = 1.0 / 1000
+    for k, (p50, p95, p99) in got.items():
+        xs = vals[k]
+        n = len(xs)
+        for q, est in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            lo = xs[max(0, int((q - 2 * eps) * n) - 1)]
+            hi = xs[min(n - 1, int((q + 2 * eps) * n) + 1)]
+            assert lo <= est <= hi, (k, q, est, lo, hi)
