@@ -200,6 +200,9 @@ def minhash_near_dup_pairs(
     # NOT ride through the band explode, the bucket-cap shuffle, or the
     # bucket self-join, where they'd be replicated ``bands``×. They
     # rejoin once per side at verification.
+    # Band key = xxhash64 over the band's signature longs directly —
+    # no per-row string building (a concat_ws key allocates and
+    # re-encodes bands× strings per doc for no semantic gain).
     banded = sig.select(
         "__id",
         "__nsh",
@@ -208,13 +211,10 @@ def minhash_near_dup_pairs(
                 *[
                     F.xxhash64(
                         F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"__h{i}")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        ),
+                        *[
+                            F.col(f"__h{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
