@@ -1766,6 +1766,42 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_1h,
+           CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_1h
+    FROM events
+    """,
+)
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frames: per-user rolling 1-hour sum and
+    count — frame membership by timestamp distance, not row offsets
+    (two events 2h apart never share a frame however few rows sit
+    between them). One shuffle+sort per user timeline, same Window
+    physical operator as the rows-frame suite. Tie semantics: RANGE
+    includes ALL peer rows with equal ts in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 @register("approx_distinct_agg")  # rows-only: HLL++ sketch not SQL-portable
 def approx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HLL++
