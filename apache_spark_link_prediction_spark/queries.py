@@ -1767,6 +1767,31 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_agg_per_group",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids,
+           list_sort(list(DISTINCT lang)) AS langs
+    FROM documents GROUP BY source
+    """,
+)
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array aggregation (collect_list/collect_set): the
+    roundtrip inverse of explode — rows back into per-group arrays,
+    sorted for deterministic cross-engine comparison. At scale,
+    collected arrays must be bounded (here by group cardinality);
+    unbounded collect_list per group is the anti-pattern ``slice``
+    or top-k windows exist for."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.sort_array(F.collect_set("lang")).alias("langs"),
+    )
+
+
+@register(
     "rolling_range_window",
     """
     SELECT event_id, user_id,
