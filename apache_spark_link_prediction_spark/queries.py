@@ -1505,6 +1505,32 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize_meta",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      doc_id % 1920 + 1 AS w,
+                      doc_id % 1080 + 1 AS h
+               FROM documents)
+    SELECT media_id,
+           CAST(GREATEST(1, FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h, 1)))) AS INT) AS width,
+           CAST(GREATEST(1, FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h, 1)))) AS INT) AS height
+    FROM m
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize through the binary mapInPandas
+    pipeline (payload in → payload out, never upscaled), checked by a
+    closed-form oracle: synthetic dims derive from doc_id, so the
+    post-resize (width, height) is computable in SQL — the whole
+    Arrow-batched binary path is hash-verified without media files."""
+    from .operators.multimodal import media_from_documents, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs, modality="image")
+    return resize_images(media, max_side=256).select("media_id", "width", "height")
+
+
 _CLUSTERS_EXACT_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_TOKEN_JACCARD_ORACLE}),
     edges AS (
