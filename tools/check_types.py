@@ -32,12 +32,17 @@ _SPARK = {
 
 
 def norm_duck(t: str) -> str:
-    t = t.upper()
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{norm_duck(t[:-2])}>"
     base = t.split("(")[0].strip()
     return _DUCK.get(base, t.lower())
 
 
 def norm_spark(t: str) -> str:
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{norm_spark(t[6:-1])}>"
     base = t.split("(")[0].strip()
     if base.startswith("decimal"):
         return "decimal"
