@@ -71,23 +71,13 @@ def dedup_exact(
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
-def _raw_tokens(text: Column | str) -> Column:
-    """``split(trim(lower(text)), \\s+)`` — :func:`tokenize` minus the
-    empty-token filter HOF. After trim, a ``\\s+`` split can only emit
-    an empty token for fully-empty input (→ ``[""]``), so inside
-    shingling — where the empty doc maps to a single ``""`` shingle
-    anyway — the filter is pure overhead. Matters because the HOF filter
-    knocks the whole expression out of whole-stage codegen into
-    interpreted eval, and pushed-down ``size(...) > 0`` predicates
-    duplicate it ~6× per row (measured 34s vs 1s for the shingle explode
-    at sf0.1)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(c)), r"\s+")
-
-
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text, each
-    rendered as a single string (space-joined); empty text → [""].
+    rendered as a single string (space-joined); empty/whitespace-only
+    text → [""]. Tokens are :func:`tokenize` (empty-filtered — Spark's
+    ``split`` is Java ``Pattern.split(str, -1)``, which keeps a LEADING
+    empty token for tab/newline-led text; an unfiltered split would
+    silently diverge from the ``_toks_sql`` oracles there).
 
     Built as ``arrays_zip`` of ``n`` shifted slices + one transform, so
     the token subtree is referenced a constant ``n + 2`` times. The
@@ -95,10 +85,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     re-evaluates the whole split subtree once *per token* (HOF lambda
     bodies get the subtree inlined, and there is no common-subexpression
     elimination inside them): measured 15.6s vs 0.9s just to explode
-    shingles at sf0.1."""
-    toks = _raw_tokens(text)
+    shingles at sf0.1. (``tokenize`` itself is codegen-safe —
+    ``array_remove``, not a filter() lambda.)"""
+    toks = tokenize(text)
     if n == 1:
-        return F.array_distinct(toks)
+        # zero-token text keeps its [""] shingle, as in the general
+        # branch's else arm
+        return F.array_distinct(
+            F.when(F.size(toks) >= 1, toks).otherwise(F.array(F.lit("")))
+        )
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # number of n-grams
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, m).alias(f"__t{i}") for i in range(n)]
@@ -343,19 +338,13 @@ def simhash_cols(docs: DataFrame, id_col: str, text: Column | str, bits: int) ->
     Zero-token docs are excluded (explode of an empty array) — the
     expression form gave them all signature 0, i.e. one degenerate
     all-empty-docs bucket, which is never the wanted behavior."""
-    # Raw split + row-level empty filter after the explode: the HOF
-    # token filter would knock the generator out of codegen (see
-    # _raw_tokens); filtering the exploded rows is the same semantics —
-    # "" can only come from empty text — and keeps zero-token docs
-    # excluded.
-    ex = (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(_raw_tokens(text))).alias("__tok"),
-        )
-        .filter(F.col("__tok") != "")
-        .withColumn("__hash", F.xxhash64("__tok"))
-    )
+    # tokenize is codegen-safe (array_remove, no filter() lambda), and
+    # empty-filtered tokens mean zero-token docs simply explode to
+    # nothing — excluded, as wanted.
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokenize(text))).alias("__tok"),
+    ).withColumn("__hash", F.xxhash64("__tok"))
     votes = ex.groupBy("__id").agg(
         *[
             F.sum(

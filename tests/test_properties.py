@@ -129,3 +129,31 @@ def test_cosine_matches_python(spark, pairs):
         nb = math.sqrt(sum(x * x for x in b))
         want = dot / (na * nb) if na * nb > 0 else 0.0
         assert math.isclose(got[i], want, rel_tol=1e-9, abs_tol=1e-12), (a, b)
+
+
+def py_shingles(s: str, n: int) -> list[str]:
+    toks = py_tokenize(s)
+    if len(toks) >= n:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    else:
+        grams = [" ".join(toks)]
+    out: list[str] = []
+    for g in grams:
+        if g not in out:
+            out.append(g)
+    return out
+
+
+@given(st.lists(texts, min_size=1, max_size=6), st.integers(min_value=1, max_value=4))
+@BATCH
+def test_word_shingles_match_python(spark, rows, n):
+    """Pins the arrays_zip shingle formulation (and its tokenize-based
+    token source) to the naive reference semantics on arbitrary text —
+    including tab/newline-led strings, where an unfiltered split keeps
+    a leading empty token and would silently diverge."""
+    from apache_spark_link_prediction_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], "i long, s string")
+    got = {r.i: r.g for r in df.select("i", word_shingles("s", n).alias("g")).collect()}
+    for i, s in enumerate(rows):
+        assert got[i] == py_shingles(s, n), (repr(s), n)
