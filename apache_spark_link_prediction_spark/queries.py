@@ -1531,6 +1531,27 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, max_side=256).select("media_id", "width", "height")
 
 
+@register("p2_lsh_reference_mode")  # rows-only: ML LSH + bug-compatible mode
+def p2_lsh_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p2 in ``mode="reference"`` — the literal Predictor.scala:404-409
+    behavior reproduced bug-for-bug (join at distance 1.0, keep the most
+    *dissimilar* colliding pairs, self-pairs and both directions kept,
+    distance mislabeled ``jaccardSimilarity``). The intent-mode twin is
+    ``p2_lsh_similarity``; mode equivalence quirks are pinned in
+    tests/test_plans.py."""
+    from .plans.p2 import lsh_similarity_join
+    from .plans.text_pipeline import preprocess_documents
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .sample(fraction=0.2, seed=12345)
+        .select(F.col("doc_id").cast("string").alias("srcId"), F.col("text"))
+    )
+    processed, _ = preprocess_documents(docs, text_cols=["text"])
+    feats = processed.select("srcId", "tf_idf").cache()
+    return lsh_similarity_join(feats, threshold=0.97, mode="reference")
+
+
 _CLUSTERS_EXACT_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_TOKEN_JACCARD_ORACLE}),
     edges AS (
