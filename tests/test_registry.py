@@ -1,0 +1,45 @@
+"""Registry-shape invariants.
+
+The driver's CORRECTNESS gate grades the first 50 ``queries()`` entries in
+registration order; these tests pin the ordering policy (oracle-backed
+first, demoted twins next, rows-only last) so a refactor can't silently
+push verifiable queries out of the grading window.
+"""
+
+from apache_spark_link_prediction_spark.queries import _DEMOTED_TWINS, ORACLE, QUERIES
+
+DRIVER_WINDOW = 50
+
+
+def test_every_oracle_key_is_a_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+def test_driver_window_is_fully_oracle_backed():
+    first = list(QUERIES)[:DRIVER_WINDOW]
+    missing = [n for n in first if n not in ORACLE]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"
+
+
+def test_rows_only_entries_trail_the_registry():
+    names = list(QUERIES)
+    first_rows_only = next(i for i, n in enumerate(names) if n not in ORACLE)
+    assert all(n not in ORACLE for n in names[first_rows_only:]), (
+        "oracle-backed query registered after a rows-only one"
+    )
+
+
+def test_demoted_twins_are_oracle_backed():
+    # Demotion only makes sense for oracle-backed twins; a rows-only name
+    # here would be a stale entry.
+    stale = [n for n in _DEMOTED_TWINS if n not in ORACLE]
+    assert not stale, f"demoted names without oracles: {stale}"
+
+
+def test_window_not_underfilled():
+    # If the registry has >= 50 oracle-backed queries, the window must be
+    # exactly full — an underfilled window wastes grading slots.
+    n_oracle = len(ORACLE)
+    first = list(QUERIES)[:DRIVER_WINDOW]
+    expected = min(n_oracle, DRIVER_WINDOW)
+    assert sum(n in ORACLE for n in first) == expected
