@@ -1774,20 +1774,54 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stratified_sample_mixture")  # rows-only: sampleBy seeding not SQL-portable
-def stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture resampling: per-stratum Bernoulli fractions via
-    ``sampleBy`` (seeded) — downsample dominant sources toward a target
-    mixture, the training-data rebalancing primitive. Emits the surviving
-    (doc_id, source)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
-    # target: halve even-indexed sources, keep odd ones — deterministic
-    # config standing in for a real mixture spec
-    fractions = {s: (0.5 if i % 2 == 0 else 1.0) for i, s in enumerate(sorted(sources))}
-    return docs.sampleBy("source", fractions=fractions, seed=12345).select(
-        "doc_id", "source"
+def _rolling_hash_sql(expr: str) -> str:
+    """DuckDB twin of functions.textstats.doc_rolling_hash over ``expr``."""
+    norm = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+    return f"""
+      CASE WHEN len({norm}) = 0 THEN 0
+           ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split({norm}, ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, code) -> (acc * 131 + code) % 2147483647)
+      END
+    """
+
+
+_MIXTURE_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             {_rolling_hash_sql("source || ':' || CAST(doc_id AS VARCHAR)")} AS h,
+             {_rolling_hash_sql("source")} AS hs
+      FROM documents
     )
+    SELECT doc_id, source
+    FROM keyed
+    WHERE h % 1000 < CASE WHEN hs % 2 = 0 THEN 500 ELSE 1000 END
+"""
+
+
+@register("stratified_sample_mixture", _MIXTURE_ORACLE)
+def stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: per-stratum deterministic hash-bucket
+    sampling — downsample selected sources toward a target mixture, the
+    training-data rebalancing primitive. The per-stratum rate is derived
+    from a hash of the stratum key itself (standing in for a mixture-spec
+    config) and each row's keep decision from a rolling hash of
+    ``source:doc_id``, so the sample is reproducible with NO driver-side
+    stratum enumeration (no ``distinct().collect()`` — that was a full
+    shuffle + driver collect at 100 TB) and no RNG state. Emits the
+    surviving (doc_id, source)."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    h = doc_rolling_hash(key)
+    hs = doc_rolling_hash(F.col("source"))
+    # halve strata whose key-hash is even, keep the rest whole — a
+    # deterministic stand-in for a real {source: fraction} mixture spec
+    rate = F.when(hs % 2 == 0, F.lit(500)).otherwise(F.lit(1000))
+    return docs.filter((h % 1000) < rate).select("doc_id", "source")
 
 
 @register(
@@ -2133,6 +2167,7 @@ _DEMOTED_TWINS = [
     "doc_fingerprints",             # doc_rolling_hash (same fingerprint fam.)
     "window_topk_per_group",        # window_functions_suite + window_running_sum
     "streaming_dedup",              # streaming_window_agg / streaming_sessionize
+    "graph_degrees",                # graph_common_neighbors / graph_adamic_adar
 ]
 
 
