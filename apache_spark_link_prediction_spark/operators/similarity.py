@@ -63,11 +63,13 @@ def brute_force_top_k(
     )
 
 
-def _bucket_keys(vec: Column, *, tables: int, planes: int, dim: int) -> Column:
+def _bucket_keys(vec: Column, *, tables: int, planes: int) -> Column:
     """Sign-LSH bucket key per table: for table t, key = integer whose
     bit p is sign(dot(vec, h_{t,p})), hyperplane components derived from
-    xxhash64(t, p, d) scaled to [-1, 1]. Returns array<long> of length
-    ``tables``."""
+    xxhash64(t, p, d) scaled to [-1, 1]. The component index sequence is
+    sized per-row from ``size(vec)`` — no dimensionality parameter, so
+    callers never need a driver-side probe of the corpus. Returns
+    array<long> of length ``tables``."""
 
     def hyper_component(t: Column, p: Column, d: Column) -> Column:
         h = F.xxhash64(t, p, d)
@@ -81,7 +83,7 @@ def _bucket_keys(vec: Column, *, tables: int, planes: int, dim: int) -> Column:
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        F.sequence(F.lit(0), F.size(vec) - 1),
                         lambda x, d: x.cast("double") * hyper_component(t, p, d),
                     ),
                     F.lit(0.0),
@@ -104,7 +106,6 @@ def lsh_bucketed_top_k(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
     tables: int = 4,
     planes: int = 8,
     round_to: int = 4,
@@ -112,9 +113,6 @@ def lsh_bucketed_top_k(
     """Approximate top-k: score only (query, corpus) pairs that collide
     in ≥1 of ``tables`` sign-LSH tables. Same output contract as
     :func:`brute_force_top_k` (ranks may differ — it's approximate)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-
     # Candidate generation is ids-only: vector payloads (dim floats)
     # must not ride through the ``tables``× band explode, the bucket
     # join, or the pair dropDuplicates — they rejoin once per side at
@@ -123,7 +121,7 @@ def lsh_bucketed_top_k(
         v = F.col(vec_col)
         return df.select(
             F.col(id_col).alias(idname),
-            F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
+            F.posexplode(_bucket_keys(v, tables=tables, planes=planes)).alias(
                 "__table", "__key"
             ),
         )
@@ -191,16 +189,26 @@ def ivf_top_k(
         F.col(vec_col).alias("__cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
-    # Fit the coarse quantizer on a bounded sample, never the full
-    # corpus: k-means recall is insensitive to quantizer sample size,
-    # and a full-corpus iterative fit is unviable at 100 TB. limit() is
-    # a narrow gather of the first ``fit_sample_size`` rows; the
-    # repartition spreads the (single-file-local) sample across cores
-    # for the iterative fit, and the cache stops each k-means iteration
-    # from re-reading the scan. The full corpus is then scanned exactly
-    # once, by model.transform.
+    # Fit the coarse quantizer on a bounded UNBIASED sample, never the
+    # full corpus: k-means recall is insensitive to quantizer sample
+    # size, and a full-corpus iterative fit is unviable at 100 TB.
+    # Sampling is hash-order top-N: order by xxhash64(id, seed) and take
+    # ``fit_sample_size`` — Spark executes orderBy+limit as TakeOrdered
+    # (per-partition top-N heaps, no full sort shuffle), the hash order
+    # is a uniform permutation of the WHOLE corpus (a plain limit() was
+    # the first N rows in scan order — on a corpus clustered by source
+    # that fits the quantizer to one file's worth of vectors and skews
+    # every cell), and it is deterministic with no RNG state. The
+    # repartition spreads the sample across cores for the iterative fit;
+    # the cache stops each k-means iteration from re-reading the scan.
+    # The full corpus is then scanned exactly once, by model.transform.
     fit_set = (
-        c_vec.select("__features").limit(fit_sample_size).repartition(16).cache()
+        c_vec.select("__features", F.xxhash64("neighbor_id", F.lit(seed)).alias("__ord"))
+        .orderBy("__ord")
+        .limit(fit_sample_size)
+        .select("__features")
+        .repartition(16)
+        .cache()
     )
     km = KMeans(k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
     model = km.fit(fit_set)
@@ -257,7 +265,6 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int | None = None,
     tables: int = 4,
     planes: int = 8,
     round_to: int = 6,
@@ -272,15 +279,13 @@ def embedding_near_dup_pairs(
     10× replication stress showed 21.8× wall-clock growth uncapped —
     the O(bucket²) self-join on near-identical embedding clusters is
     the blow-up a 100 TB corpus hits on templated content."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
     v = F.col(vec_col)
     # Ids-only through the band explode + bucket self-join + pair
     # dropDuplicates; vectors rejoin once per side at verification
     # (same pattern as dedup.minhash_near_dup_pairs).
     banded = corpus.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(_bucket_keys(v, tables=tables, planes=planes, dim=dim)).alias(
+        F.posexplode(_bucket_keys(v, tables=tables, planes=planes)).alias(
             "__table", "__key"
         ),
     )

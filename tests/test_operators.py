@@ -173,7 +173,7 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     must equal the exact one since scoring is exact on candidates)."""
     queries = emb.filter(F.col("vec_id") < 8)
     exact = brute_force_top_k(emb, queries, k=5)
-    approx = lsh_bucketed_top_k(emb, queries, k=5, dim=64, tables=8, planes=4)
+    approx = lsh_bucketed_top_k(emb, queries, k=5, tables=8, planes=4)
     t = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(a & t) / len(t)
@@ -182,7 +182,7 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
 
 def test_embedding_near_dup_self_consistency(spark, emb):
     """Pairs are canonical and every cosine ≥ threshold."""
-    out = embedding_near_dup_pairs(emb, threshold=0.5, dim=64, tables=8, planes=4).collect()
+    out = embedding_near_dup_pairs(emb, threshold=0.5, tables=8, planes=4).collect()
     for r in out:
         assert r["src_id"] < r["dst_id"]
         assert r["cosine"] >= 0.5
