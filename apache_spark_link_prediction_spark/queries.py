@@ -1883,11 +1883,11 @@ def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)
+                 PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS rolling_1h,
            CAST(COUNT(*) OVER (
-                 PARTITION BY user_id ORDER BY epoch(ts)
+                 PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS n_1h
     FROM events
@@ -1899,7 +1899,11 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two events 2h apart never share a frame however few rows sit
     between them). One shuffle+sort per user timeline, same Window
     physical operator as the rows-frame suite. Tie semantics: RANGE
-    includes ALL peer rows with equal ts in both engines."""
+    includes ALL peer rows with equal ts in both engines. The oracle
+    orders by ``epoch(CAST(ts AS TIMESTAMP))`` — parquet ts is
+    TIMESTAMP(NANOS) and Spark reads it µs-truncated, so both engines
+    must place sub-µs-apart events on the same side of the frame
+    boundary."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
