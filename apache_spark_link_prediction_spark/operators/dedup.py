@@ -26,21 +26,30 @@ from ..functions.textstats import doc_fingerprint
 
 def _drop_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
     """Drop rows in over-cap LSH buckets via ``groupBy(keys).count()`` +
-    broadcast anti-join of the (tiny) over-cap key set.
+    anti-join of the over-cap key set.
 
     The groupBy gets map-side partial aggregation, so the cap costs one
     shuffle of *distinct keys only*; the banded rows themselves are
     never sorted or reshuffled (a ``count().over(Window)`` here forces a
     full sort-shuffle of all bands×N rows — the dominant dedup shuffle
     at scale, measured 66s vs 14s at sf0.1 on adversarial boilerplate
-    skew)."""
+    skew).
+
+    No explicit ``broadcast()`` hint on the over-cap set: it is tiny on
+    normal data, but under adversarial skew (MANY distinct buckets each
+    just over cap) an unconditional hint would force a driver-memory
+    broadcast of an unbounded key set — the exact input the cap exists
+    to defend against. AQE (on in our sessions, and by default since
+    Spark 3.2) converts the anti-join to a broadcast join at runtime
+    when the built side's measured size is actually small, and keeps a
+    shuffled join when it is not."""
     over_cap = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") > max_bucket_size)
         .select(*keys)
     )
-    return banded.join(F.broadcast(over_cap), on=keys, how="left_anti")
+    return banded.join(over_cap, on=keys, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +433,7 @@ def ngram_jaccard_pairs(
     ngram: int = 2,
     threshold: float = 0.2,
     window: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity over blocked candidate
     pairs: pairs share ``block_col`` (e.g. source/partition key) and —
@@ -431,9 +441,22 @@ def ngram_jaccard_pairs(
     SQL-expressible (the oracle-checkable exact-similarity operator;
     MinHash above approximates exactly this).
 
+    Without ``window`` the pair count is O(block²) and block size grows
+    with the corpus — correct as the small-scale ground-truth twin for
+    MinHash recall checks, catastrophic as a production dedup path at
+    100 TB. Callers must therefore either bound pairs with ``window``
+    or state the intent with ``allow_quadratic=True``.
+
     Emits (src_id, dst_id, jaccard) with src_id < dst_id, jaccard ≥
     threshold, rounded to 6 decimals.
     """
+    if window is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without a `window` bound is O(block²) per "
+            "block — pass window=N to bound candidate pairs, or "
+            "allow_quadratic=True if this is a deliberate small-scale "
+            "ground-truth run (use minhash_near_dup_pairs in production)."
+        )
     base = docs.select(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),

@@ -681,8 +681,10 @@ _NGRAM_JACCARD_ORACLE = f"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram Jaccard near-dup pairs (operators.dedup.ngram_jaccard_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
+    # allow_quadratic: this is the deliberate exact ground-truth twin
+    # for MinHash recall checks — O(block²) per source block by design.
     return ngram_jaccard_pairs(
-        docs, block_col="source", ngram=2, threshold=0.3, window=None
+        docs, block_col="source", ngram=2, threshold=0.3, allow_quadratic=True
     )
 
 

@@ -110,10 +110,21 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_ngram_jaccard_refuses_unbounded_blocks(spark, docs):
+    """window=None without an explicit allow_quadratic=True must raise:
+    O(block²) must never be the accidental production path."""
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, block_col="source", ngram=1, threshold=0.8)
+
+
 def test_minhash_recall_vs_exact(spark, docs):
     """MinHash (n=1 shingles, t=0.8) must recover ≥80% of the exact
     token-jaccard ≥0.8 pairs and report only verified-true jaccards."""
-    exact = ngram_jaccard_pairs(docs, block_col="source", ngram=1, threshold=0.8)
+    exact = ngram_jaccard_pairs(
+        docs, block_col="source", ngram=1, threshold=0.8, allow_quadratic=True
+    )
     truth = {(r["src_id"], r["dst_id"]) for r in exact.collect()}
     approx = minhash_near_dup_pairs(
         docs, shingle_n=1, num_hashes=32, bands=8, threshold=0.8
