@@ -1,0 +1,123 @@
+"""10× scale-stress harness: replicate the sf0.1 tables 10× with
+distinct ids and re-time the dedup/ANN family, reporting the wall-clock
+ratio and scaling exponent log10(t10/t1) per operator (≤ 1.0 means
+linear-or-better per row).
+
+Replication scheme (documents): copy k gets doc_id + k·10M and a
+``repl{k}`` token appended to the text, so cross-copy token-jaccard is
+just under 1 — every original near-dup cluster becomes a 10×-sized
+near-dup cluster, the templated-content blow-up a 100 TB corpus hits
+(output pairs inside clusters grow ~100×; the bucket caps must keep
+candidate generation from following them). Embeddings: vec_id offset
+only (identical vectors → identical-embedding clusters, the analogous
+stress for the sign-LSH caps).
+
+Usage: python tools/scale_stress.py [op ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from apache_spark_link_prediction_spark.operators.dedup import (  # noqa: E402
+    dedup_exact,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from apache_spark_link_prediction_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_pairs,
+    ivf_top_k,
+    lsh_bucketed_top_k,
+)
+from apache_spark_link_prediction_spark.sources.readers import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+OFFSET = 10_000_000
+
+
+def replicate_docs(docs: DataFrame, copies: int) -> DataFrame:
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" repl{k}")).alias("text"),
+            "source",
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
+def replicate_emb(emb: DataFrame, copies: int) -> DataFrame:
+    parts = [
+        emb.select((F.col("vec_id") + F.lit(k * OFFSET)).alias("vec_id"), "embedding")
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
+def timed(df: DataFrame) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source").cache()
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    docs.count(), emb.count()
+    docs10 = replicate_docs(docs, COPIES).cache()
+    emb10 = replicate_emb(emb, COPIES).cache()
+    docs10.count(), emb10.count()
+
+    ops = {
+        "dedup_exact": lambda d, e: dedup_exact(d),
+        "dedup_minhash": lambda d, e: minhash_near_dup_pairs(
+            d, shingle_n=1, num_hashes=32, bands=8, threshold=0.8, prefilter_sigma=None
+        ),
+        "dedup_simhash": lambda d, e: simhash_near_dup_pairs(d),
+        "embedding_ann_lsh": lambda d, e: lsh_bucketed_top_k(
+            e, e.filter(F.col("vec_id") < 8), k=5, tables=8, planes=4
+        ),
+        "embedding_ann_ivf": lambda d, e: ivf_top_k(
+            e, e.filter(F.col("vec_id") < 8), k=5, num_cells=16, nprobe=4
+        ),
+        "embedding_near_dup": lambda d, e: embedding_near_dup_pairs(
+            e, threshold=0.4, tables=8, planes=4
+        ),
+    }
+    wanted = sys.argv[1:] or list(ops)
+    print("| Operator | 1× | 10× | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for name in wanted:
+        fn = ops[name]
+        t1, n1 = timed(fn(docs, emb))
+        t10, n10 = timed(fn(docs10, emb10))
+        ratio = t10 / t1
+        print(
+            f"| {name} | {t1:.1f}s | {t10:.1f}s | {ratio:.1f}× | "
+            f"{math.log10(ratio):.2f} |  # rows {n1} → {n10}"
+        )
+
+
+if __name__ == "__main__":
+    main()
