@@ -108,17 +108,40 @@ def decode_wav(payload: bytes) -> dict:
     return {"width": None, "height": None, "duration_ms": duration_ms}
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_pillow(payload: bytes) -> dict:
+    """REAL decoder for compressed images (JPEG/PNG/WebP/…) via Pillow,
+    import-guarded: the import happens lazily inside the worker (this
+    container ships no Pillow — there the call raises ValueError and the
+    pipeline quarantines the row; a deployment with Pillow installed
+    gets real decode with no code change). ``Image.open`` on a BytesIO
+    reads only the header for size — no full pixel decode."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # container without Pillow → quarantine
+        raise ValueError("decode_image_pillow: Pillow not installed") from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "duration_ms": None}
+
+
 def decode_auto(payload: bytes) -> dict:
     """Magic-byte dispatch: real BMP/WAV decoders for the formats that
-    need no external library, SGM1 stub for the synthetic testbed
-    payloads. Compressed formats (JPEG/PNG/MP3/MP4) still need
-    Pillow/PyAV — register their decoders here when the deployment
-    ships them; everything downstream is unchanged."""
+    need no external library, Pillow-backed JPEG/PNG when the deployment
+    ships Pillow (quarantined otherwise), SGM1 stub for the synthetic
+    testbed payloads. MP3/MP4 still need PyAV — register their decoders
+    here when available; everything downstream is unchanged."""
     if payload is not None and len(payload) >= 12:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
+        if payload[:3] == _JPEG_MAGIC or payload[:8] == _PNG_MAGIC:
+            return decode_image_pillow(payload)
     return decode_stub(payload)
 
 

@@ -187,3 +187,55 @@ def test_real_bmp_and_wav_codecs(spark):
     # compressed format without a registered codec: quarantined nulls,
     # byte-level features intact
     assert got[4].width is None and got[4].n_bytes == len(rows[3][3])
+
+
+def _pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pillow_available(), reason="covers the no-Pillow container")
+def test_pillow_decoder_quarantines_without_pillow():
+    """Without Pillow, JPEG/PNG-magic payloads raise ValueError (not
+    ImportError) from the decoder — the quarantine contract every other
+    corrupt/undecodable payload gets."""
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_auto,
+        decode_image_pillow,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    with pytest.raises(ValueError, match="Pillow"):
+        decode_image_pillow(png)
+    with pytest.raises(ValueError, match="Pillow"):
+        decode_auto(png)
+
+
+@pytest.mark.skipif(not _pillow_available(), reason="needs Pillow")
+def test_pillow_decoder_real_path(spark):
+    """With Pillow installed the SAME pipeline decodes real PNGs —
+    deployments with codec libs get real decode with no code change."""
+    import io
+
+    from PIL import Image
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_auto,
+        extract_media_features,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (23, 7)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_auto(png) == {"width": 23, "height": 7, "duration_ms": None}
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png))],
+        "media_id long, modality string, mime string, payload binary",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert (row.width, row.height) == (23, 7)
