@@ -46,8 +46,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from __spark_entry__ import oracle_sql, queries
     from apache_spark_link_prediction_spark.session import get_spark
@@ -63,6 +69,7 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,10 +82,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             failures.append(name)
+            report[name] = {"err": "spark error"}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"ok    {name}: rows-only n={len(srows)} cols={scols} ({el:.1f}s)")
+            report[name] = {"rows_only": True, "spark_rows": len(srows), "err": None}
             continue
         try:
             res = con.execute(oracles[name])
@@ -110,8 +119,30 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({el:.1f}s)")
             failures.append(name)
+            report[name] = {
+                "rows_match": len(srows) == len(drows),
+                "schema_match": sorted(scols) == sorted(dcols),
+                "hash_match": False,
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+                "err": "; ".join(problems),
+            }
         else:
             print(f"PASS  {name}: n={len(srows)} ({el:.1f}s)")
+            report[name] = {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+                "err": None,
+            }
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path} ({len(report)} entries)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
