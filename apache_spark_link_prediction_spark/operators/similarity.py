@@ -166,6 +166,7 @@ def ivf_top_k(
     seed: int = 12345,
     round_to: int = 4,
     fit_sample_size: int = 50_000,
+    fit_max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer → corpus
     bucketed by nearest-centroid cell → queries probe their ``nprobe``
@@ -210,7 +211,19 @@ def ivf_top_k(
         .repartition(16)
         .cache()
     )
-    km = KMeans(k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    # A coarse quantizer does not need convergence — cells just need to
+    # partition the space roughly evenly, and recall is governed by
+    # nprobe, not centroid polish. Iterations are whole Spark jobs
+    # (measured ~0.25s each at sf0.1; the default 20 spent 6.3s where
+    # 8 spend 1.6s), and at 100 TB each extra iteration is a full pass
+    # over the fit sample.
+    km = KMeans(
+        k=num_cells,
+        seed=seed,
+        maxIter=fit_max_iter,
+        featuresCol="__features",
+        predictionCol="__cell",
+    )
     model = km.fit(fit_set)
     fit_set.unpersist()
     bucketed = model.transform(c_vec).select("neighbor_id", "__cv", "__cell")
