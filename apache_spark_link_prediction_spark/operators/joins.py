@@ -271,3 +271,81 @@ def range_join(
         .filter((F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi)))
         .drop("__bucket")
     )
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    probe_key: str,
+    build_key: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Bloom-filter-accelerated semi join: keep probe rows whose
+    ``probe_key`` appears in ``build[build_key]``.
+
+    The build side folds into a fixed-size bitmap: each key sets
+    ``num_hashes`` bit positions (``pmod(xxhash64(key, seed), m)``),
+    exploded to (word, mask) pairs and ``bit_or``-aggregated into at
+    most ``m/64`` rows. That bitmap is collected to the driver — bounded
+    by ``num_bits`` (16 KiB at the default) REGARDLESS of build
+    cardinality, the same control-plane-sketch design as Spark's own
+    runtime bloom-filter join pruning — and re-enters the plan as an
+    array literal, so the probe-side membership test is pure codegen:
+    no shuffle, no broadcast join, evaluated at the scan.
+
+    With ``exact=True`` a final left_semi equi-join removes the bloom's
+    false positives, so the result is exactly the semi join; the bloom's
+    job is dropping the (typically vast) non-matching majority before
+    that shuffle. With ``exact=False`` you get the classic approximate
+    pre-filter to feed an existing join.
+
+    At 100 TB: probe side never shuffles unless it survives the bitmap
+    test; build side shuffles only ``m/64`` aggregated rows. False
+    positive rate ≈ (1 - e^(-k·n/m))^k — size ``num_bits`` ≥ ~10 bits
+    per distinct build key to stay near 1%.
+    """
+    m = num_bits
+    assert m % 64 == 0
+    words = m // 64
+
+    def word_and_mask(key: Column, seed: int) -> tuple[Column, Column]:
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m))
+        word = (pos / F.lit(64)).cast("int")
+        # shiftleft's numBits is column-typed in SQL; the DataFrame
+        # helper only takes a Python int, so go through expr-free Column
+        # arithmetic: 1 << (pos % 64) == pow-of-two via shiftleft expr.
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % F.lit(64)).cast("int"))
+        return word, mask
+
+    # Build the bitmap: explode keys to (word, mask), bit_or-combine.
+    b = build.select(F.col(build_key).alias("__k")).where(F.col("__k").isNotNull())
+    pairs = []
+    for i in range(num_hashes):
+        word, mask = word_and_mask(F.col("__k"), i)
+        pairs.append(F.struct(word.alias("word"), mask.alias("mask")))
+    bitmap_rows = (
+        b.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.word", "p.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in bitmap_rows:
+        bitmap[r["word"]] = r["bits"]
+    lit_bitmap = F.lit(bitmap)
+
+    # Probe-side membership test: all k bits set.
+    cond = None
+    for i in range(num_hashes):
+        word, mask = word_and_mask(F.col(probe_key), i)
+        hit = F.element_at(lit_bitmap, word + F.lit(1)).bitwiseAND(mask) != F.lit(0)
+        cond = hit if cond is None else (cond & hit)
+    filtered = probe.where(F.col(probe_key).isNotNull()).filter(cond)
+    if not exact:
+        return filtered
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    return filtered.join(keys, on=probe_key, how="left_semi")

