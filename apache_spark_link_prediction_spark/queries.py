@@ -2473,9 +2473,10 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, ts) wins (event_id desc tie-break), consecutive no-op updates
     compressed out (IS DISTINCT FROM lag), then effective-dated with
     valid_from / valid_to = lead(ts) / is_current. The warehouse upsert
-    primitive: three window passes over ONE user_id-partitioned sort —
-    Catalyst reuses the same Exchange+Sort for all three windows, so it
-    is a single shuffle end-to-end.
+    primitive in two shuffles: one (user_id, ts) exchange for the
+    tie-break row_number (WindowGroupLimit pushes the rn=1 filter into
+    a map-side per-group top-1), then one user_id exchange whose
+    Sort+Exchange Catalyst reuses for both the lag and lead windows.
 
     Oracle pins event-time to microseconds (CAST(ts AS TIMESTAMP)) to
     match Spark's parquet ns->us read, per the rolling_range_window
@@ -2499,6 +2500,89 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         "value",
         F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from .functions.layout import zorder_key2_sql
+
+    zkey = zorder_key2_sql("p_size", "CAST(floor(p_retailprice) AS INT)")
+    return f"SELECT p_partkey, p_size, {zkey} AS zkey FROM part"
+
+
+@register("zorder_key_part", _zorder_oracle())
+def zorder_key_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) layout key over the two hottest part-pruning
+    columns (p_size, floor(p_retailprice)) — functions/layout.py. At
+    100 TB you write files clustered by this key
+    (repartitionByRange(zkey) + sortWithinPartitions) so parquet
+    min/max footers prune filters on EITHER column; this query verifies
+    the key itself bit-for-bit, with the oracle SQL generated from the
+    same (mask, shift) table the Column expression uses."""
+    from .functions.layout import zorder_key2
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        zorder_key2(
+            F.col("p_size"), F.floor(F.col("p_retailprice")).cast("int")
+        ).alias("zkey"),
+    )
+
+
+_HEAVY_HITTERS_ORACLE = f"""
+    WITH toks AS (
+      SELECT unnest({_toks_sql('text')}) AS token FROM documents),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM toks CROSS JOIN tot
+    GROUP BY token, tot.total
+    HAVING count(*) >= (tot.total + 999) // 1000
+"""
+
+
+@register("heavy_hitters_tokens", _HEAVY_HITTERS_ORACLE)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens at ≥0.1% relative frequency via Misra-Gries candidate
+    pruning + exact recount (operators/sketches.py): the wide shuffle
+    carries only ≤ capacity×partitions candidates instead of the whole
+    vocabulary, yet the answer is exactly the full-groupBy SQL the
+    oracle runs (superset guarantee: 0.001 > 1/8192). vocab_topk is
+    the full-shuffle exact twin for comparison."""
+    from .operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    return heavy_hitters(toks, "token", min_rel_freq=0.001, capacity=8192)
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           round(epoch(CAST(p.ts AS TIMESTAMP)) - epoch(CAST(c.ts AS TIMESTAMP)),
+                 6) AS delay_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) < CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (click → same-user purchase
+    within 1 h) driven to completion through a memory sink; inner
+    matches emit in append mode, so the bounded stream must equal the
+    batch equi-join + time-range twin the oracle runs. Oracle pins both
+    engines to µs event-time (CAST(ts AS TIMESTAMP)) per the
+    rolling_range_window precedent."""
+    from .streaming.events import run_stream_to_memory, streaming_interval_join
+
+    return run_stream_to_memory(
+        streaming_interval_join(_events_as_stream(spark, sf_dir)),
+        name="q_streaming_stream_join",
+        output_mode="append",
     )
 
 

@@ -103,6 +103,63 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_interval_join(
+    events: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    interval_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each ``left_type`` event matches the same user's ``right_type``
+    events inside ``[left.ts, left.ts + interval_s)`` — the attribution
+    join (click → purchase within the hour).
+
+    Both sides carry watermarks and the join predicate bounds right.ts
+    relative to left.ts, which is exactly what Structured Streaming
+    needs to evict join state: a buffered click can be dropped once the
+    purchase-side watermark passes click.ts + interval, so state stays
+    ~watermark+interval wide per key instead of unbounded. Inner-join
+    matches emit immediately (append mode) — no watermark wait on
+    output.
+
+    Batch twin: the equivalent user_id equi-join + time-range predicate
+    (see ``streaming_stream_join``'s oracle in queries.py)."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("__r_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("__r_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {interval_s} SECONDS")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round(
+            F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 6
+        ).alias("delay_s"),
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, *, name: str, output_mode: str = "complete"
 ) -> DataFrame:

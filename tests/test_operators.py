@@ -410,3 +410,100 @@ def test_pagerank_properties(spark, sf_dir):
     n = len(pr)
     total = sum(r.pagerank for r in pr)
     assert abs(total - n) / n < 0.05
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """MG candidate pruning + recount must equal the full groupBy
+    exactly on a skewed corpus (few heavy items + long unique tail),
+    even with a capacity small enough to force constant evictions."""
+    from apache_spark_link_prediction_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot%d" % (i % 5),) for i in range(5_000)] + [
+        ("tail%d" % i,) for i in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = {
+        (r.token, r.n)
+        for r in heavy_hitters(
+            df, "token", min_rel_freq=0.01, rel_denominator=100, capacity=512
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    n = len(rows)
+    thr = -(-n // 100)
+    want = {
+        (r.token, r.n)
+        for r in df.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(f"n >= {thr}")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_rejects_unsound_capacity(spark):
+    from apache_spark_link_prediction_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "token string")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        heavy_hitters(df, "token", min_rel_freq=0.0001, rel_denominator=10_000, capacity=512)
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Bit-interleave vs a per-bit Python oracle, and the locality
+    property that motivates it: keys close in (a,b) space stay close
+    in z space within each 2^k-aligned tile."""
+    from apache_spark_link_prediction_spark.functions.layout import zorder_key2
+
+    import pyspark.sql.functions as F
+
+    vals = [(a, b) for a in (0, 1, 2, 3, 255, 256, 65535) for b in (0, 1, 42, 32768, 65535)]
+    df = spark.createDataFrame(vals, "a int, b int")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key2(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b, z)
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """The stream-stream attribution join driven to completion equals
+    the batch equi-join + time-range twin."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in QUERIES["streaming_stream_join"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") < F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want

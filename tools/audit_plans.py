@@ -28,6 +28,11 @@ ALLOW = {
     # multi-probe cell assignment is queries x num_cells centroids
     # (a 16-row broadcast dim) — the corpus side never nested-loops
     "embedding_ann_ivf": {"nested-loop join"},
+    # 1-row broadcast total (corpus-size scalar) cross-joined for the
+    # relative threshold — the driver-collect-free way to use a global
+    # count inside the plan
+    "heavy_hitters_tokens": {"nested-loop join"},
+    "tfidf_keywords": {"nested-loop join"},
 }
 
 
