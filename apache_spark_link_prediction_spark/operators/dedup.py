@@ -189,14 +189,28 @@ def minhash_near_dup_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
+    # Hash the shingle STRINGS to 64-bit longs up front; everything
+    # downstream — the 32 per-seed minhashes AND the exact verification
+    # intersections — runs over the long sets, so the per-byte string
+    # hashing happens once per lineage pass instead of 32× inside the
+    # signature aggregation. Deliberately NOT cached: the three
+    # consumers (signature agg, two verify join sides) each recompute
+    # this lineage, but an A/B at sf0.1 measured recompute at 6.6s
+    # steady-state vs 8.5s with .cache() — materializing exploded long
+    # arrays into storage memory costs more than re-running a
+    # page-cached, codegen'd scan. At 100 TB with a cold object store
+    # that tradeoff flips; persist(MEMORY_AND_DISK_SER) there.
     base = docs.select(
         F.col(id_col).alias("__id"),
-        word_shingles(text_col, shingle_n).alias("__shingles"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__shingles"),
     )
 
     # Signatures as plain columns behind an aggregation barrier (see
     # minhash_signature_cols — avoids CollapseProject's nested-HOF
-    # recompute blowup in the band keys below).
+    # recompute blowup in the band keys below). Seeded re-hash of an
+    # already-hashed long is a constant-time mix, not a per-byte pass.
     sig = minhash_signature_cols(base, "__id", F.col("__shingles"), num_hashes)
 
     # Candidate generation is ids-only (plus one int, the shingle-set
@@ -283,16 +297,14 @@ def minhash_near_dup_pairs(
             .select("src_id", "dst_id")
         )
 
-    # Verify over 64-bit-hashed shingle sets, not the strings: the
-    # jaccard of the hash sets equals the jaccard of the string sets
-    # unless two distinct shingles collide in 64 bits within one pair
-    # (P ≈ |A|·|B|/2^64 ≈ 1e-16 for typical documents), and long-array
-    # intersection is both far cheaper per pair and a much smaller
-    # payload to carry through the two verification joins — measured
-    # 17.0s → 6.2s end-to-end at sf0.1 with byte-identical output.
-    shingle_sets = base.select(
-        "__id", F.transform("__shingles", lambda s: F.xxhash64(s)).alias("__shingles")
-    )
+    # Verify over the same 64-bit-hashed shingle sets the signatures
+    # used: the jaccard of the hash sets equals the jaccard of the
+    # string sets unless two distinct shingles collide in 64 bits
+    # within one pair (P ≈ |A|·|B|/2^64 ≈ 1e-16 for typical documents),
+    # and long-array intersection is both far cheaper per pair and a
+    # much smaller payload to carry through the two verification joins
+    # — measured 17.0s → 6.2s end-to-end at sf0.1 vs string verify.
+    shingle_sets = base
     return (
         candidates.join(
             shingle_sets.select(
