@@ -2503,6 +2503,92 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keeper_quality",
+    """
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+    ranked AS (
+      SELECT fingerprint, doc_id, n_chars,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS grp
+      FROM fp)
+    SELECT fingerprint, doc_id AS keeper_id, n_chars AS keeper_n_chars,
+           CAST(grp - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dedup keeper selection: within each
+    normalized-text fingerprint group keep the LONGEST document
+    (doc_id tie-break) instead of dedup_exact's min(doc_id) — the
+    "keep the least-truncated copy" policy real training pipelines
+    use. One fingerprint-keyed shuffle; WindowGroupLimit pushes the
+    rn=1 filter to a map-side per-group top-1, so no group ever
+    materializes fully."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_n_chars"),
+            (F.col("grp") - 1).cast("long").alias("n_dups"),
+        )
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH long_form AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+    FROM long_form GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via native ``unpivot`` (Expand operator — one
+    pass emitting 4 rows per input row, NO self-union rescan like the
+    SQL twin) + per-measure aggregation. The melt primitive for metric
+    tables; decimal-summed then rounded so both engines agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total"),
+        )
+    )
+
+
 def _zorder_oracle() -> str:
     from .functions.layout import zorder_key2_sql
 

@@ -170,3 +170,37 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ``ceil(total_bytes / target_file_bytes)`` files. Returns the
+    output file count.
+
+    Small files are the silent killer of 100 TB scans — every file
+    costs a task, a footer read, and an object-store request, so a
+    streaming sink or over-parallel writer that leaves 10k × 1 MB files
+    makes a scan task-scheduling-bound. Sizing from the SOURCE bytes
+    (file listing, no data read) keeps this a pure metadata decision;
+    the rewrite itself is one job with no shuffle beyond the
+    coalesce-style repartition. Local-fs listing here; on a cluster the
+    same numbers come from the FileSystem API / table metadata.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

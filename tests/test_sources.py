@@ -82,3 +82,30 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         assert j.count() == a.join(b, a.o_orderkey == b.l_orderkey).count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """64-way fragmented write → compaction sized from source bytes →
+    few files, identical rows."""
+    from apache_spark_link_prediction_spark.sources.readers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(100_000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    df.repartition(64).write.mode("overwrite").parquet(src)
+    import os
+
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    planned = compact_parquet(spark, src, dst, target_file_bytes=total // 4 + 1)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n_dst == planned <= 4
+    assert spark.read.parquet(dst).count() == 100_000
+    got = spark.read.parquet(dst).selectExpr("sum(id)", "sum(k)").first()
+    want = df.selectExpr("sum(id)", "sum(k)").first()
+    assert got == want
