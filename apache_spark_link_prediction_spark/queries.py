@@ -2708,6 +2708,429 @@ def tpch_q17_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 3 additions — corpus-quality filtering (Gopher rules), exact
+# duplicate-passage measurement (Lee et al. 2022 shape), two more TPC-H
+# join shapes, and event-analytics staples (funnel, cohort retention,
+# sliding windows, robust outlier stats).
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                                 / len(toks), 6) END AS mean_word_len,
+                 CAST(len(list_filter({list(_GOPHER_STOPS)},
+                                      s -> list_contains(toks, s))) AS INT) AS stopword_hits,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE round(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                                      AS DOUBLE) / len(toks), 6) END AS alpha_frac
+          FROM d)
+    SELECT doc_id, n_words, mean_word_len, stopword_hits, alpha_frac,
+           CAST(n_words BETWEEN 20 AND 100000
+                AND mean_word_len BETWEEN 2.0 AND 12.0
+                AND stopword_hits >= 2
+                AND alpha_frac >= 0.8 AS INT) AS passes
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Appendix A):
+    word-count band, mean-word-length band, minimum distinct-stopword
+    hits, minimum alphabetic-word fraction — combined into a ``passes``
+    verdict per doc. Every rule is a whole-stage-codegen array
+    expression over the tokenized text (no UDFs, no shuffle: map-only),
+    so at 100 TB this is a single scan at parquet read speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("__t"))
+    n = F.size("__t")
+    total_len = F.aggregate(
+        "__t", F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(F.round(total_len / n, 6))
+    stop_hits = F.size(
+        F.array_intersect("__t", F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    ).cast("int")
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.filter("__t", lambda t: t.rlike("^[a-z]+$"))).cast("double") / n, 6
+        )
+    )
+    m = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    passes = (
+        F.col("n_words").between(20, 100000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("alpha_frac") >= 0.8)
+    ).cast("int")
+    return m.withColumn("passes", passes)
+
+
+_PASSAGE_W = 13  # word-window width for duplicate-passage detection
+
+
+@register(
+    "passage_dup_spans",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= {_PASSAGE_W}
+                      THEN list_transform(range(0, len(toks) - {_PASSAGE_W - 1}),
+                                          i -> array_to_string(toks[i + 1 : i + {_PASSAGE_W}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM d),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    dup AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM e GROUP BY doc_id),
+    hit AS (SELECT doc_id, count(*) AS n_dup_spans FROM e
+            WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(tot.n_spans, 0) AS n_spans,
+           COALESCE(hit.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN 0.0
+                ELSE round(CAST(COALESCE(hit.n_dup_spans, 0) AS DOUBLE) / tot.n_spans, 6)
+           END AS dup_frac
+    FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+    """,
+)
+def passage_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage measurement (the per-doc diagnostic
+    behind suffix-array substring dedup, Lee et al. 2022): every
+    {_PASSAGE_W}-word window is a span; a span duplicated across ≥2
+    distinct docs marks its positions, and the doc reports its
+    duplicated-span fraction. Spans explode map-side; one shuffle on the
+    span key (count-distinct-docs > 1), one left-semi join back, two
+    per-doc aggs. At 100 TB the span string would be ``xxhash64``-
+    compressed before the shuffle (kept verbatim here so the DuckDB
+    oracle reproduces keys exactly — decontaminate_ngram does the
+    same)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize("text").alias("__t"))
+    n = F.size("__t")
+    grams_arr = F.when(
+        n >= _PASSAGE_W,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - _PASSAGE_W, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("__t", i + 1, _PASSAGE_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = base.select("doc_id", F.explode(grams_arr).alias("gram"))
+    dup = (
+        e.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("gram")
+    )
+    tot = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hit = (
+        e.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        ),
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    ship year. Spark-first plan: the nation filter is applied to the
+    supplier and customer dims FIRST (each shrinks to ~2/25 of rows),
+    both broadcast; lineitem then never shuffles — it takes three
+    broadcast hash joins (orders is pre-shrunk by the customer semi
+    side) and one final partial-agg shuffle on the 3-column group key.
+    The disjunctive nation pair predicate lands post-join on the two
+    broadcast nation names (Catalyst can't split it across sides)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ord_n = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ord_n), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+_Q18_QTY = 250  # sum(l_quantity) threshold for "large" orders
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+    WITH big AS (SELECT l_orderkey,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_QTY})
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity exceeds {_Q18_QTY}, joined back to orders+customer, top 100
+    by price (orderkey tie-break for a total order). The HAVING agg is
+    the only lineitem shuffle; the surviving key set is tiny (<1% of
+    orders), so it broadcasts into orders, and customer joins the
+    already-small result. DECIMAL-cast quantity sums keep the threshold
+    comparison exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__sq"))
+        .filter(F.col("__sq") > _Q18_QTY)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t2)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) per user,
+    reported as per-step user counts. Each step is a groupBy-min over
+    the step's events semi-joined against the previous step's
+    first-touch time — step inputs shrink monotonically, and every join
+    key is user_id, so AQE coalesces the later stages to near-free.
+    Oracle pins event-time to µs (CAST AS TIMESTAMP) per the
+    rolling_range_window precedent."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT e.user_id, f.cohort_day,
+                 CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0)
+                      AS INT) AS week_offset
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
+    FROM a GROUP BY cohort_day, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    activity counted per whole-week offset from the cohort day. Two
+    shuffles total — the per-user first-touch agg (broadcast back) and
+    the final distinct-count on (cohort_day, week_offset). The
+    first-touch table is |users|-sized, far under the broadcast
+    threshold at any corpus scale where users ≪ events."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    return (
+        events.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+    WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes'
+                   AS window_start,
+                 event_type, value
+          FROM x CROSS JOIN (SELECT unnest(range(0, 4)) AS i) off)
+    SELECT window_start, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1 h window with 15 min slide — each event lands
+    in exactly 4 overlapping windows. Spark's native ``F.window(ts, '1
+    hour', '15 minutes')`` expands the 4 assignments map-side before the
+    single group-key shuffle; the oracle reproduces the expansion with a
+    4-row cross join on the slide grid. DECIMAL-cast value sums keep the
+    per-window totals order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "event_anomaly_mad",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, round(min(d.med), 6) AS med, round(min(m.mad), 6) AS mad,
+           CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median + median-absolute-
+    deviation (exact interpolated medians — Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the pairing percentile_agg already pins),
+    counting values beyond 3×MAD. Two grouped exact-percentile passes
+    with the tiny per-type stats broadcast between them; at 100 TB the
+    medians would switch to ``approx_percentile`` (mergeable t-digest)
+    with the identical query shape."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .select("event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01 and r02 each
 # recorded exactly 50 rows, and the graded set shifted with registration
