@@ -32,6 +32,7 @@ from .functions.textstats import (
     quality_features,
     whitespace_token_count,
 )
+from .functions.timeutils import epoch_seconds
 from .functions.vectors import cosine_similarity
 from .operators.dedup import (
     dedup_exact,
@@ -534,7 +535,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session agg — the batch twin of streaming session_window."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    gap = epoch_seconds("ts") - epoch_seconds(F.lag(F.col("ts")).over(w))
     flagged = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
@@ -1860,23 +1861,26 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids,
-           list_sort(list(DISTINCT lang)) AS langs
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
     FROM documents GROUP BY source
     """,
 )
 def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped array aggregation (collect_list/collect_set): the
     roundtrip inverse of explode — rows back into per-group arrays,
-    sorted for deterministic cross-engine comparison. At scale,
-    collected arrays must be bounded (here by group cardinality);
-    unbounded collect_list per group is the anti-pattern ``slice``
-    or top-k windows exist for."""
+    sorted for deterministic cross-engine comparison, then serialized
+    to CSV strings because the driver's pandas-based canonicalizer
+    cannot factorize list columns (r03: ``unhashable type: 'list'``).
+    Same operator coverage, harness-safe scalars. At scale, collected
+    arrays must be bounded (here by group cardinality); unbounded
+    collect_list per group is the anti-pattern ``slice`` or top-k
+    windows exist for."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
-        F.sort_array(F.collect_set("lang")).alias("langs"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
     )
 
 
@@ -1909,7 +1913,7 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return events.select(

@@ -103,16 +103,29 @@ def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects by default — read it as int64 nanos (legacy conf, runtime-
-    settable) and convert to a microsecond timestamp (integer ``div`` —
-    a double division would lose precision on epoch-nanos magnitudes).
+    ``events.ts`` has shipped in two encodings across testdata
+    regenerations; normalize both to session-zone TimestampType so every
+    downstream query sees one type:
+
+    - parquet TIMESTAMP(NANOS): Spark 4 rejects it by default — read as
+      int64 nanos (legacy conf, runtime-settable) and convert via integer
+      ``div`` (a double division would lose precision at epoch-nanos
+      magnitude).
+    - parquet timestamp[us] with ``isAdjustedToUTC=false`` → Spark 4
+      TIMESTAMP_NTZ: cast to TIMESTAMP. The session timezone is pinned
+      UTC (session.py), so wall-clock values are unchanged and DuckDB
+      oracles reading the same naive µs values keep matching. Without
+      this, ``CAST(ts AS DOUBLE)`` anywhere downstream throws
+      DATATYPE_MISMATCH.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.timeutils import epoch_seconds
+
 # Schema of the events stream with ts already materialized as a proper
 # timestamp. The raw testdata parquet stores TIMESTAMP(NANOS) which
 # Spark can't stream-read directly; stream tests re-materialize via
@@ -155,7 +157,7 @@ def streaming_interval_join(
         "purchase_id",
         "user_id",
         F.round(
-            F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 6
+            epoch_seconds("p_ts") - epoch_seconds("c_ts"), 6
         ).alias("delay_s"),
     )
 
