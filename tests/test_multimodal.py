@@ -215,6 +215,29 @@ def test_pillow_decoder_quarantines_without_pillow():
         decode_auto(png)
 
 
+def test_png_payload_through_pipeline_any_environment(spark):
+    """A PNG-magic payload through the full mapInPandas pipeline, valid
+    in BOTH environments: with Pillow the header is too short to decode
+    so it quarantines; without Pillow the import guard quarantines.
+    Either way byte-level features survive and the job never crashes —
+    the contract a 100 TB run with mixed/foreign codecs depends on."""
+    import hashlib
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    png_header_only = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png_header_only))],
+        "media_id long, modality string, mime string, payload binary",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert row.width is None and row.height is None  # quarantined decode
+    assert row.n_bytes == len(png_header_only)  # byte features kept
+    assert row.sha256 == hashlib.sha256(png_header_only).hexdigest()
+
+
 @pytest.mark.skipif(not _pillow_available(), reason="needs Pillow")
 def test_pillow_decoder_real_path(spark):
     """With Pillow installed the SAME pipeline decodes real PNGs —
