@@ -3515,6 +3515,208 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_upsert_latest",
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(l.o_totalprice, c.c_acctbal) AS acctbal,
+           CAST(CASE WHEN l.o_custkey IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS updated
+    FROM customer c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (MERGE latest-wins): collapse a change stream to one
+    row per key (row_number over the business timestamp, tiebroken on
+    the key — WindowGroupLimit keeps only the top row per key, no full
+    sort), then left-join onto the base table with COALESCE. The
+    standard lakehouse MERGE INTO shape as plain DataFrame ops; at
+    100 TB the collapsed update set is the small side and broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_totalprice")
+    )
+    return (
+        c.join(F.broadcast(latest), c["c_custkey"] == latest["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("o_totalprice", "c_acctbal").alias("acctbal"),
+            F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+            .cast("int")
+            .alias("updated"),
+        )
+    )
+
+
+@register(
+    "time_weighted_avg_daily",
+    """
+    WITH t AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS es,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id,
+                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id, day,
+           round(CAST(SUM(v * (nxt - es)) / SUM(nxt - es) AS DOUBLE), 6)
+             AS twa,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an irregular event series (the
+    hypertable/metrics-rollup primitive): each reading weighted by how
+    long it was current (gap to the next same-user reading that day,
+    exact µs via unix_micros — no float epoch), last reading of the day
+    carries no weight. Weighted sums in exact decimal so both engines
+    agree bit-for-bit; one window + one grouped agg, both on the same
+    (user, day) key — a single shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    es = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    t = events.select(
+        "user_id",
+        day.alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(es).over(w) - es).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return t.groupBy("user_id", "day").agg(
+        F.round(
+            (
+                F.sum(F.col("v") * F.col("gap_us").cast("decimal(18,0)"))
+                / F.sum("gap_us")
+            ).cast("double"),
+            6,
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+_LEV_NORM_SQL = "substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 40)"
+
+
+@register(
+    "dedup_levenshtein_banded",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_LEV_NORM_SQL} AS pfx,
+             CAST(n_chars AS INTEGER) // 32 AS band
+      FROM documents
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT d.*, count(*) OVER (PARTITION BY lang, band) AS bs FROM d
+      ) WHERE bs <= 64
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev
+    FROM capped a JOIN capped b
+      ON a.lang = b.lang AND a.band = b.band AND b.doc_id > a.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def dedup_levenshtein_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with banded blocking: candidates
+    share (lang, length-band) — an equi-join, never all-pairs — and
+    verify with levenshtein on a 40-char normalized prefix (edit
+    distance is O(len²) per pair; bounding the operand bounds the
+    pair cost). Hot blocks are dropped whole at >64 members by a
+    deterministic windowed count — same cap in the SQL twin, so both
+    engines skip identical blocks; that cap is what keeps a
+    boilerplate-heavy 100 TB corpus from quadratic blow-up (the same
+    posture as dedup.py's max_bucket_size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 40
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        pfx.alias("pfx"),
+        (F.col("n_chars").cast("int") / F.lit(32)).cast("int").alias("band"),
+    )
+    capped = (
+        d.withColumn("bs", F.count(F.lit(1)).over(Window.partitionBy("lang", "band")))
+        .filter(F.col("bs") <= 64)
+        .drop("bs")
+    )
+    a = capped.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("src_id"), F.col("pfx").alias("__pa"),
+    )
+    b = capped.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("dst_id"), F.col("pfx").alias("__pb"),
+    )
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("dst_id") > F.col("src_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.levenshtein("__pa", "__pb").alias("lev"),
+        )
+        .filter(F.col("lev") <= 8)
+    )
+
+
+_SAMPLE_K_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             {_rolling_hash_sql("source || ':' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM keyed) WHERE rn <= 10
+"""
+
+
+@register("sample_k_per_group", _SAMPLE_K_ORACLE)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample per stratum (eval-set
+    construction: exactly k docs per source, stable across runs and
+    engines): rank by a rolling hash of ``source:doc_id`` — a seedless
+    uniform order — and keep the top k per group. row_number + filter
+    compiles to WindowGroupLimit: each partition retains only k rows
+    per group before the shuffle, so the full sort the window implies
+    never materializes. The reproducible-sampling sibling of
+    stratified_sample_mixture (rate-based) — this one is count-based."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(doc_rolling_hash(key), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r03 each
@@ -3557,6 +3759,10 @@ _FRESH_THIS_ROUND = [
     "tpch_q13_order_counts",
     "tpch_q14_promo_effect",
     "tpch_q19_discounted_revenue",
+    "cdc_upsert_latest",
+    "time_weighted_avg_daily",
+    "dedup_levenshtein_banded",
+    "sample_k_per_group",
 ]
 
 _ROTATED_RESIDENTS = [
