@@ -589,3 +589,64 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_id"),
         )
     )
+
+
+def levenshtein_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    prefix_len: int = 40,
+    band_width: int = 32,
+    max_block: int = 64,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with banded blocking: candidates
+    share (``block_col``, length band) — an equi-join, never all-pairs —
+    and verify with ``levenshtein`` on a ``prefix_len``-char normalized
+    prefix (edit distance is O(len²) per pair; bounding the operand
+    bounds the per-pair cost). Blocks larger than ``max_block`` are
+    dropped WHOLE by a deterministic windowed count — lossy by design:
+    over-weight blocks are boilerplate mega-clusters whose quadratic
+    pair volume the cap exists to refuse (the same posture as the
+    MinHash/SimHash ``max_bucket_size`` caps, applied pre-join).
+
+    Oracle-matched twin: queries.py::dedup_levenshtein_banded runs the
+    identical blocking + cap in DuckDB SQL.
+    """
+    from pyspark.sql import Window
+
+    pfx = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+        1,
+        prefix_len,
+    )
+    block = F.col(block_col) if block_col else F.lit("_")
+    d = docs.select(
+        F.col(id_col),
+        block.alias("__blk"),
+        pfx.alias("__pfx"),
+        (F.length(F.col(text_col)).cast("int") / F.lit(band_width))
+        .cast("int")
+        .alias("__band"),
+    )
+    capped = (
+        d.withColumn(
+            "__bs", F.count(F.lit(1)).over(Window.partitionBy("__blk", "__band"))
+        )
+        .filter(F.col("__bs") <= max_block)
+        .drop("__bs")
+    )
+    a = capped.select(
+        "__blk", "__band", F.col(id_col).alias("src_id"), F.col("__pfx").alias("__pa")
+    )
+    b = capped.select(
+        "__blk", "__band", F.col(id_col).alias("dst_id"), F.col("__pfx").alias("__pb")
+    )
+    return (
+        a.join(b, ["__blk", "__band"])
+        .filter(F.col("dst_id") > F.col("src_id"))
+        .select("src_id", "dst_id", F.levenshtein("__pa", "__pb").alias("lev"))
+        .filter(F.col("lev") <= max_dist)
+    )

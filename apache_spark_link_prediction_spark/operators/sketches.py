@@ -20,10 +20,24 @@ primitive next to ``vocab_topk`` (which is the exact full-shuffle twin).
 
 from __future__ import annotations
 
+import heapq
+from collections import Counter
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def mg_prune(counters: Counter, capacity: int) -> Counter:
+    """One Misra-Gries prune via the mergeable-summaries rule (Agarwal
+    et al., PODS'12): subtract the (capacity+1)-th largest counter value
+    ``cut`` from every counter, keep positives (≤ capacity survive).
+    Destroys ≥ (capacity+1)·cut units of stream mass while
+    underestimating any single item by ≤ cut, so summed over a stream
+    of n items the underestimate stays ≤ n/(capacity+1): every item
+    with count > n/capacity keeps a positive counter."""
+    cut = heapq.nlargest(capacity + 1, counters.values())[-1]
+    return Counter({k: v - cut for k, v in counters.items() if v > cut})
 
 
 def heavy_hitters(
@@ -52,23 +66,14 @@ def heavy_hitters(
     """
     assert min_rel_freq * capacity > 1, "MG superset guarantee needs rel > 1/capacity"
     assert rel_denominator == round(1 / min_rel_freq)
-    import heapq
-    from collections import Counter
-
     import pandas as pd
 
     # Counting happens in ``Counter.update`` (CPython's C-level
     # ``_count_elements`` loop — no Python bytecode per token), and the
-    # O(capacity) prune runs only when the dict exceeds ``slack``×
-    # capacity, via the mergeable-summaries rule (Agarwal et al.,
-    # PODS'12): subtract the (capacity+1)-th largest counter value
-    # ``cut`` from all, keep positives. Each prune destroys
-    # ≥ (capacity+1)·cut units of stream mass (the top capacity+1
-    # counters each lose cut) while underestimating any single item by
-    # ≤ cut, so Σcut ≤ n_p/(capacity+1) < n_p/capacity: every item
-    # with partition count > n_p/capacity survives — the superset
-    # guarantee the exact recount below relies on. State is bounded by
-    # slack·capacity + one Arrow batch's vocabulary, not the corpus.
+    # O(capacity) ``mg_prune`` runs only when the dict exceeds ``slack``×
+    # capacity, preserving the superset guarantee the exact recount
+    # below relies on (see mg_prune). State is bounded by slack·capacity
+    # + one Arrow batch's vocabulary, not the corpus.
     #
     # Chosen by measurement over the per-token decrement-all fold it
     # replaces and two pandas value_counts variants (5M-token streams):
@@ -77,18 +82,14 @@ def heavy_hitters(
     # string-hash overhead ≥ the dict work it saved).
     slack = 4
 
-    def prune(counters: Counter) -> Counter:
-        cut = heapq.nlargest(capacity + 1, counters.values())[-1]
-        return Counter({k: v - cut for k, v in counters.items() if v > cut})
-
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
         for pdf in batches:
             counters.update(pdf[col].to_numpy())
             if len(counters) > slack * capacity:
-                counters = prune(counters)
+                counters = mg_prune(counters, capacity)
         if len(counters) > capacity:
-            counters = prune(counters)
+            counters = mg_prune(counters, capacity)
         yield pd.DataFrame({col: [str(k) for k in counters]})
 
     src = items.select(col).where(F.col(col).isNotNull())

@@ -1185,6 +1185,31 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_heavy_hitters_topk")  # rows-only: MG state is
+# order/batch-dependent and approximate — not SQL-expressible; the
+# superset + lower-bound guarantees are pinned in tests/test_streaming.py
+def streaming_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (applyInPandasWithState,
+    O(capacity) state per event_type forever): drive the bounded events
+    stream to completion and emit the last per-type top-k. Batch twin
+    with the exact-recount guarantee: ``heavy_hitters_tokens``."""
+    from .streaming.events import run_stream_to_memory, streaming_heavy_hitters
+
+    out = run_stream_to_memory(
+        streaming_heavy_hitters(_events_as_stream(spark, sf_dir), capacity=64),
+        name="q_streaming_hh",
+        output_mode="update",
+    )
+    # update-mode memory sink keeps every emission; keep each type's
+    # final top-k = the rows from its last (largest-count) emission.
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("mg_count"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 @register(
     "streaming_dedup",
     "SELECT DISTINCT event_id, user_id, event_type, value FROM events",
@@ -3647,39 +3672,12 @@ def dedup_levenshtein_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines skip identical blocks; that cap is what keeps a
     boilerplate-heavy 100 TB corpus from quadratic blow-up (the same
     posture as dedup.py's max_bucket_size)."""
+    from .operators.dedup import levenshtein_near_dup_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    pfx = F.substring(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 40
-    )
-    d = docs.select(
-        "doc_id",
-        "lang",
-        pfx.alias("pfx"),
-        (F.col("n_chars").cast("int") / F.lit(32)).cast("int").alias("band"),
-    )
-    capped = (
-        d.withColumn("bs", F.count(F.lit(1)).over(Window.partitionBy("lang", "band")))
-        .filter(F.col("bs") <= 64)
-        .drop("bs")
-    )
-    a = capped.select(
-        F.col("lang"), F.col("band"),
-        F.col("doc_id").alias("src_id"), F.col("pfx").alias("__pa"),
-    )
-    b = capped.select(
-        F.col("lang"), F.col("band"),
-        F.col("doc_id").alias("dst_id"), F.col("pfx").alias("__pb"),
-    )
-    return (
-        a.join(b, ["lang", "band"])
-        .filter(F.col("dst_id") > F.col("src_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            F.levenshtein("__pa", "__pb").alias("lev"),
-        )
-        .filter(F.col("lev") <= 8)
-    )
+    # n_chars == length(text) in this data (asserted cheap to re-check),
+    # so the operator's length-band equals the oracle's n_chars band.
+    return levenshtein_near_dup_pairs(docs)
 
 
 _SAMPLE_K_ORACLE = f"""

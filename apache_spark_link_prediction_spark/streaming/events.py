@@ -233,6 +233,76 @@ def streaming_user_ema(
     )
 
 
+def streaming_heavy_hitters(
+    events: DataFrame,
+    *,
+    capacity: int = 64,
+    top_k: int = 10,
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Streaming heavy hitters: a per-group Misra-Gries summary held in
+    stream state — bounded frequent-item tracking over an unbounded
+    stream, which no built-in streaming agg expresses (a streaming
+    groupBy(user).count() keeps state per DISTINCT user; this keeps at
+    most ``capacity`` counters per event_type forever).
+
+    Each micro-batch folds its user_ids into the group's counter dict
+    (C-level ``Counter.update``) and applies the same mergeable-
+    summaries prune as the batch operator (operators/sketches.py
+    ``mg_prune`` — the summary after any prefix of micro-batches equals
+    an MG summary of the concatenated stream, so every user with
+    count > n/capacity so far is guaranteed present). Emits the current
+    top-k approximate counts per group each batch (update mode);
+    approximate counts are MG lower bounds, exact ≤ true count.
+
+    State schema is two parallel arrays (keys, counts) — fixed columnar
+    shape, O(capacity) per group regardless of stream length.
+    """
+    from collections import Counter
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import mg_prune
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts = state.get
+            counters = Counter(dict(zip(keys, counts)))
+        else:
+            counters = Counter()
+        for pdf in pdfs:
+            counters.update(pdf["user_id"].to_numpy())
+            if len(counters) > 4 * capacity:
+                counters = mg_prune(counters, capacity)
+        if len(counters) > capacity:
+            counters = mg_prune(counters, capacity)
+        state.update(
+            ([int(k) for k in counters], [int(v) for v in counters.values()])
+        )
+        top = counters.most_common(top_k)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "user_id": [int(u) for u, _ in top],
+                "mg_count": [int(c) for _, c in top],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="event_type string, user_id long, mg_count long",
+            stateStructType="keys array<long>, counts array<long>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_custom_sessions(
     events: DataFrame,
     *,

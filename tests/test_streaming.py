@@ -295,3 +295,81 @@ def test_kafka_encode_decode_roundtrip(spark, sf_dir):
     assert opts["subscribe"] == "events"
     assert opts["failOnDataLoss"] == "false"
     assert "maxOffsetsPerTrigger" in opts
+
+
+def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path_factory):
+    """Stateful Misra-Gries over micro-batches: after the stream drains,
+    the final per-type emission must contain EVERY user whose global
+    count exceeds n/capacity (the MG superset guarantee composed across
+    batches), every mg_count must lower-bound the true count, and state
+    must hold ≤ capacity counters per group despite far more distinct
+    users than capacity."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.sources.readers import write_parquet
+    from apache_spark_link_prediction_spark.streaming.events import (
+        read_events_stream,
+        streaming_heavy_hitters,
+    )
+
+    capacity = 16
+    # skewed synthetic stream: 3 hot users own ~1/3 of one event type,
+    # the rest spread over ~400 distinct users (>> capacity).
+    base = spark.range(0, 9000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).alias("ts"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 3 + 1)
+        .otherwise(F.col("id") % 397 + 100)
+        .alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path_factory.mktemp("hh_stream"))
+    write_parquet(base.repartition(4), path)
+
+    out = streaming_heavy_hitters(
+        read_events_stream(spark, path, max_files_per_trigger=1),
+        capacity=capacity,
+        top_k=capacity,
+    )
+    batches: list[tuple[int, list]] = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append((bid, df.collect())))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emission per event_type across batches
+    final: dict[str, dict[int, int]] = {}
+    for _, rows in sorted(batches):
+        per_type: dict[str, dict[int, int]] = {}
+        for r in rows:
+            per_type.setdefault(r.event_type, {})[r.user_id] = r.mg_count
+        final.update(per_type)
+
+    true_counts = {
+        (r.event_type, r.user_id): r.cnt
+        for r in base.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    totals: dict[str, int] = {}
+    for (et, _), c in true_counts.items():
+        totals[et] = totals.get(et, 0) + c
+
+    assert set(final) == set(totals)
+    for et, emitted in final.items():
+        assert len(emitted) <= capacity  # bounded state/emission
+        heavy = {
+            u for (t, u), c in true_counts.items()
+            if t == et and c > totals[et] / capacity
+        }
+        assert heavy, "test stream must actually contain heavy users"
+        assert heavy <= set(emitted), f"{et}: missing heavy users"
+        for u, mg in emitted.items():
+            assert mg <= true_counts[(et, u)], f"{et}/{u}: MG count not a lower bound"

@@ -28,6 +28,7 @@ sys.path.insert(0, ".")
 
 from apache_spark_link_prediction_spark.operators.dedup import (  # noqa: E402
     dedup_exact,
+    levenshtein_near_dup_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
@@ -95,6 +96,9 @@ def main() -> None:
             d, shingle_n=1, num_hashes=32, bands=8, threshold=0.8, prefilter_sigma=None
         ),
         "dedup_simhash": lambda d, e: simhash_near_dup_pairs(d),
+        "dedup_levenshtein": lambda d, e: levenshtein_near_dup_pairs(
+            d, block_col="source"
+        ),
         "embedding_ann_lsh": lambda d, e: lsh_bucketed_top_k(
             e, e.filter(F.col("vec_id") < 8), k=5, tables=8, planes=4
         ),
