@@ -1,9 +1,11 @@
-"""Plan auditor: print every headline query's formatted physical plan
-and flag anti-patterns (nested-loop joins, cartesian products,
-non-Arrow Python eval, scans without pushed filters where a filter
-exists in the plan). Usage:
+"""Plan auditor: print every query's formatted physical plan and flag
+anti-patterns (nested-loop joins, cartesian products, non-Arrow Python
+eval). Default scope is the 20 headline bench queries; ``--all`` audits
+EVERY registry entry (plan build only, nothing executes — streaming/ML
+entries that materialize results on construction are skipped and
+listed). Usage:
 
-    python tools/audit_plans.py [sf_dir] [query ...]
+    python tools/audit_plans.py [--all] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -20,6 +22,29 @@ FLAGS = (
     ("BatchEvalPython", "row-at-a-time Python UDF"),
 )
 
+# Entries whose CALL already executes Spark jobs (model fits, driven
+# streams, iterative algorithms) — their lazy final plan is not the
+# interesting artifact and building it costs full execution; the bench
+# and pytest cover them. Everything else is plan-build-only and cheap.
+EXECUTES_ON_BUILD = {
+    "p1_link_prediction",       # LogisticRegression fit
+    "p2_lsh_similarity",        # MinHashLSH fit + approxSimilarityJoin
+    "p2_lsh_reference_mode",    # same, bug-compatible mode
+    "embedding_ann_ivf",        # k-means quantizer fit
+    "dedup_clusters",           # iterative connected components
+    "dedup_clusters_exact",     # iterative connected components
+    "graph_pagerank",           # unrolled iterations + cached degree
+    "streaming_window_agg",     # run_stream_to_memory drives the stream
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_stateful_ema",
+    "streaming_custom_sessions",
+    "streaming_heavy_hitters_topk",
+    "streaming_interval_join",
+    "compaction_small_files",   # writes + rereads a temp table
+    "bucketed_join_exchange_free",  # writes bucketed tables
+}
+
 # Intentional exceptions — a flag here is the designed plan, not a bug:
 ALLOW = {
     # brute force is definitionally |Q|x|C| scoring; the broadcast
@@ -33,19 +58,40 @@ ALLOW = {
     # count inside the plan
     "heavy_hitters_tokens": {"nested-loop join"},
     "tfidf_keywords": {"nested-loop join"},
+    # 1-row x 1-row crossJoin of scalar aggregates (J4's contract is
+    # two counts side by side; the funnel reports three step counts) —
+    # bounded by construction, the driver-collect-free way to put
+    # global counts in one row
+    "crossvalidate_counts": {"nested-loop join"},
+    "funnel_conversion": {"nested-loop join"},
+    # the EXACT all-pairs verification twin of embedding_topk_bruteforce
+    # (demoted from the driver window; fenced to verification use) —
+    # all-pairs is its definition
+    "embedding_pairs_exact": {"nested-loop join"},
 }
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = sys.argv[1:]
+    audit_all = "--all" in args
+    if audit_all:
+        args.remove("--all")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
 
     from apache_spark_link_prediction_spark.queries import QUERIES
     from apache_spark_link_prediction_spark.session import get_spark
     from bench import HEADLINE
 
     spark = get_spark(app_name="audit")
-    names = only or HEADLINE
+    if only:
+        names = only
+    elif audit_all:
+        names = [n for n in QUERIES if n not in EXECUTES_ON_BUILD]
+        skipped = [n for n in QUERIES if n in EXECUTES_ON_BUILD]
+        print(f"# skipping {len(skipped)} executes-on-build entries: {skipped}")
+    else:
+        names = HEADLINE
     bad = 0
     for name in names:
         df = QUERIES[name](spark, sf_dir)
