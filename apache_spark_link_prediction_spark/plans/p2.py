@@ -96,7 +96,10 @@ def run_p2(
     id_col: str = "srcId",
 ) -> P2Result:
     if fraction < 1.0:
-        info = info.sample(fraction=fraction, seed=seed)
+        # right-size partitioning after the sample (AQE picks the
+        # count: 1 at test scale, many at 100 TB) — see the measured
+        # rationale at queries.py::p2_lsh_similarity
+        info = info.sample(fraction=fraction, seed=seed).repartition(F.col(id_col))
     processed, _ = preprocess_documents(info, text_cols=list(text_cols))
     processed = processed.select(id_col, "tf_idf").cache()
     predicted = lsh_similarity_join(processed, id_col=id_col, threshold=threshold, mode=mode)
