@@ -3548,6 +3548,33 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ntile_feature_binning",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS price_decile
+    FROM orders
+    """,
+)
+def ntile_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: per-group decile assignment via
+    ntile — the standard numeric→categorical feature transform (and
+    the per-group equivalent of a QuantileDiscretizer fit+transform,
+    exact instead of sketch-approximate). One sort-per-group window;
+    ties broken on the key so both engines bin identically. At 100 TB
+    swap to approx_percentile cut-points broadcast as a dim — same
+    output schema, bounded error."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("int").alias("price_decile"),
+    )
+
+
+@register(
     "cdc_upsert_latest",
     """
     WITH latest AS (
@@ -3768,6 +3795,7 @@ _FRESH_THIS_ROUND = [
     "time_weighted_avg_daily",
     "dedup_levenshtein_banded",
     "sample_k_per_group",
+    "ntile_feature_binning",
 ]
 
 _ROTATED_RESIDENTS = [

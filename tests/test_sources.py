@@ -109,3 +109,74 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     got = spark.read.parquet(dst).selectExpr("sum(id)", "sum(k)").first()
     want = df.selectExpr("sum(id)", "sum(k)").first()
     assert got == want
+
+
+def test_load_table_normalizes_every_ts_encoding(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    and as timestamp[us] NTZ (the round-3 regeneration that broke every
+    ts.cast('double') downstream). load_table must deliver session-zone
+    TimestampType for BOTH encodings, value-identically, and
+    epoch_seconds must be legal on the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.functions.timeutils import epoch_seconds
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+
+    ntz_dir = tmp_path / "ntz"
+    ntz_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, type=pa.timestamp("us"))}),
+        ntz_dir / "events.parquet",
+    )
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))}),
+        nanos_dir / "events.parquet",
+    )
+
+    got = {}
+    for tag, d in (("ntz", ntz_dir), ("nanos", nanos_dir)):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", f"{tag}: not session-zone ts"
+        rows = (
+            df.select("event_id", F.unix_micros("ts").alias("us"),
+                      epoch_seconds("ts").alias("es"))
+            .orderBy("event_id")
+            .collect()
+        )
+        got[tag] = [(r.event_id, r.us) for r in rows]
+        assert all(abs(r.es - r.us / 1e6) < 1e-6 for r in rows), tag
+    assert got["ntz"] == got["nanos"] == list(zip([1, 2], micros))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet files (a v2 writer added a
+    column): mergeSchema unifies old+new footers, old rows read the new
+    column as NULL — the contract a long-lived 100 TB table directory
+    depends on as producers evolve."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(0, 5).select(F.col("id"), F.lit("old").alias("source"))
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("new").alias("source"), (F.col("id") * 2).alias("score")
+    )
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "source", "score"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("source") == "old").filter(F.col("score").isNull()).count() == 5
+    assert merged.filter(F.col("source") == "new").filter(F.col("score").isNotNull()).count() == 3
