@@ -3575,6 +3575,70 @@ def ntile_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_key_skew_probe",
+    """
+    WITH g AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(sz) AS BIGINT) AS max_sz,
+           round(avg(sz), 6) AS mean_sz,
+           CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_sz,
+           round(max(sz) / avg(sz), 6) AS skew_ratio
+    FROM g
+    """,
+)
+def join_key_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the distribution of group sizes on a
+    prospective join/shuffle key (count, max, mean, discrete p99,
+    max/mean skew ratio) — the probe you run BEFORE a 100 TB join to
+    decide between a plain shuffle, AQE skew splitting, or an explicit
+    salted join (operators/joins.py::salted_join). One map-side-combined
+    count per key, then a 5-scalar agg over key counts: cost is one
+    shuffle of (key, count), never the fact rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("sz").alias("max_sz"),
+        F.round(F.avg("sz"), 6).alias("mean_sz"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY sz)")
+        .cast("bigint")
+        .alias("p99_sz"),
+        F.round(F.max("sz") / F.avg("sz"), 6).alias("skew_ratio"),
+    )
+
+
+@register(
+    "histogram_fixed_bins",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(floor(value / 25.0) AS INTEGER), 19) AS bin
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (bin = floor(value/width),
+    clamped to a top catch-all bin): the single-pass distribution
+    profile — pure arithmetic binning + one grouped count, map-side
+    combined, no sort and no per-group state beyond the bin counts.
+    The exact-percentile twin (percentile_agg) costs a per-group sort;
+    this is what you run first at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "cdc_upsert_latest",
     """
     WITH latest AS (
@@ -3796,6 +3860,8 @@ _FRESH_THIS_ROUND = [
     "dedup_levenshtein_banded",
     "sample_k_per_group",
     "ntile_feature_binning",
+    "join_key_skew_probe",
+    "histogram_fixed_bins",
 ]
 
 _ROTATED_RESIDENTS = [
