@@ -3639,6 +3639,41 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_counts",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix (behavioral bigrams): per-user
+    time-ordered (event → next event) pairs counted across users — the
+    input to Markov-chain path analysis and next-action models. One
+    window (lead over the user timeline) + one map-side-combined count;
+    the window's user_id shuffle is the only data movement, and the
+    output is |event_types|² rows regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "cdc_upsert_latest",
     """
     WITH latest AS (
@@ -3862,6 +3897,7 @@ _FRESH_THIS_ROUND = [
     "ntile_feature_binning",
     "join_key_skew_probe",
     "histogram_fixed_bins",
+    "event_transition_counts",
 ]
 
 _ROTATED_RESIDENTS = [
