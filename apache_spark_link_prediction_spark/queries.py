@@ -3639,6 +3639,113 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q8_market_share",
+    """
+    WITH sup AS (
+      SELECT s.s_suppkey, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(
+             SUM(CASE WHEN sup.n_name = 'NATION_2'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                      ELSE 0 END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+           AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN sup ON sup.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted): one nation's share of a region's supplier
+    revenue per order year. The supplier→nation→region snowflake
+    collapses to a filtered broadcast dim before touching the fact;
+    the conditional-share aggregation runs in exact decimal. Adapted
+    to this schema: no p_type scoping (no partsupp) and the share is
+    by SUPPLIER nation within region ASIA."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("n_name") == "NATION_2", disc_price).otherwise(F.lit(0)))
+                    / F.sum(disc_price)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(CAST(r.total_rev AS DOUBLE), 4) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    the revenue 'view' is one filtered map-side-combined agg, the max
+    is a 1-row broadcast joined back (ties kept, per spec; exact
+    decimal so the equality is well-defined), and the supplier dim
+    broadcasts onto the winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["__mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
+        )
+    )
+
+
+@register(
     "event_transition_counts",
     """
     WITH s AS (
@@ -3898,6 +4005,8 @@ _FRESH_THIS_ROUND = [
     "join_key_skew_probe",
     "histogram_fixed_bins",
     "event_transition_counts",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
 ]
 
 _ROTATED_RESIDENTS = [
