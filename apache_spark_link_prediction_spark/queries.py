@@ -3746,6 +3746,41 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    i AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                            AS INTEGER) AS island
+          FROM d)
+    SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak
+    FROM (SELECT user_id, island, count(*) AS streak
+          FROM i GROUP BY user_id, island)
+    GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user. Consecutive days share (day − row_number) — the constant-
+    per-island trick that turns streak detection into two grouped
+    counts, no self-join and no iterative logic; the only data movement
+    is the per-user window shuffle the sessionizers already pay."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    return (
+        i.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+    )
+
+
+@register(
     "event_transition_counts",
     """
     WITH s AS (
@@ -4007,6 +4042,7 @@ _FRESH_THIS_ROUND = [
     "event_transition_counts",
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
+    "activity_streaks",
 ]
 
 _ROTATED_RESIDENTS = [
