@@ -6,7 +6,7 @@ first, demoted twins next, rows-only last) so a refactor can't silently
 push verifiable queries out of the grading window.
 """
 
-from apache_spark_link_prediction_spark.queries import _DEMOTED_TWINS, ORACLE, QUERIES
+from apache_spark_link_prediction_spark.queries import _WINDOW_THIS_ROUND, ORACLE, QUERIES
 
 DRIVER_WINDOW = 50
 
@@ -29,11 +29,12 @@ def test_rows_only_entries_trail_the_registry():
     )
 
 
-def test_demoted_twins_are_oracle_backed():
-    # Demotion only makes sense for oracle-backed twins; a rows-only name
-    # here would be a stale entry.
-    stale = [n for n in _DEMOTED_TWINS if n not in ORACLE]
-    assert not stale, f"demoted names without oracles: {stale}"
+def test_window_list_matches_registry_head():
+    # The explicit rotation list must be exactly the graded head — a name
+    # missing from QUERIES (typo / removed query) would silently shrink
+    # the window and waste grading slots.
+    assert len(_WINDOW_THIS_ROUND) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == _WINDOW_THIS_ROUND
 
 
 def test_window_not_underfilled():
