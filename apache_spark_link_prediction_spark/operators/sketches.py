@@ -90,7 +90,11 @@ def heavy_hitters(
                 counters = mg_prune(counters, capacity)
         if len(counters) > capacity:
             counters = mg_prune(counters, capacity)
-        yield pd.DataFrame({col: [str(k) for k in counters]})
+        # Keys are yielded as the original objects straight out of
+        # ``to_numpy()`` — the declared output schema is ``src.schema``,
+        # so a str() here would break Arrow conversion for any
+        # non-string key column (numeric heavy-hitter keys).
+        yield pd.DataFrame({col: list(counters)})
 
     src = items.select(col).where(F.col(col).isNotNull())
     schema = src.schema

@@ -1198,22 +1198,20 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (applyInPandasWithState,
     O(capacity) state per event_type forever): drive the bounded events
-    stream to completion and emit the last per-type top-k. Batch twin
-    with the exact-recount guarantee: ``heavy_hitters_tokens``."""
-    from .streaming.events import run_stream_to_memory, streaming_heavy_hitters
-
-    out = run_stream_to_memory(
-        streaming_heavy_hitters(_events_as_stream(spark, sf_dir), capacity=64),
-        name="q_streaming_hh",
-        output_mode="update",
+    stream to completion and emit each type's LAST top-k emission —
+    captured per micro-batch via foreachBatch, because MG emissions are
+    not monotone (prune shrinks counts, evicted users vanish), so a
+    max-over-all-emissions would reconstruct a state that never
+    existed. Batch twin with the exact-recount guarantee:
+    ``heavy_hitters_tokens``."""
+    from .streaming.events import (
+        run_stream_last_emission_per_group,
+        streaming_heavy_hitters,
     )
-    # update-mode memory sink keeps every emission; keep each type's
-    # final top-k = the rows from its last (largest-count) emission.
-    w = Window.partitionBy("event_type", "user_id").orderBy(F.desc("mg_count"))
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+    return run_stream_last_emission_per_group(
+        streaming_heavy_hitters(_events_as_stream(spark, sf_dir), capacity=64),
+        group_cols=["event_type"],
     )
 
 

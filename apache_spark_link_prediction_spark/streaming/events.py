@@ -182,6 +182,45 @@ def run_stream_to_memory(
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def run_stream_last_emission_per_group(
+    agg: DataFrame, *, group_cols: list[str]
+) -> DataFrame:
+    """Drive a bounded update-mode stream to completion via
+    ``foreachBatch`` and return, per distinct ``group_cols`` value, the
+    rows of that group's LAST emission (highest batch id in which the
+    group appeared).
+
+    This is the correct "final state per group" capture for update-mode
+    operators whose emissions are not monotone (e.g. Misra-Gries counts
+    shrink under prune, evicted keys vanish): a memory sink keeps every
+    emission and a max-per-key over them reconstructs a state that never
+    existed. Emission volume per batch is bounded by the operator
+    (top-k × groups here), so the driver-side capture is O(batches ×
+    emission), not O(stream). Test/bounded-batch harness only — a real
+    deployment forwards each micro-batch to a keyed sink (kafka compact
+    topic / upsert table) where last-write-wins gives the same result.
+    """
+    batches: list[tuple[int, list]] = []
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: batches.append((bid, df.collect())))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last_rows: dict[tuple, list] = {}
+    for _, rows in sorted(batches, key=lambda t: t[0]):
+        per_group: dict[tuple, list] = {}
+        for r in rows:
+            per_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+        last_rows.update(per_group)
+    spark = agg.sparkSession
+    flat = [r for rows in last_rows.values() for r in rows]
+    return spark.createDataFrame(flat, schema=agg.schema)
+
+
 def streaming_user_ema(
     events: DataFrame,
     *,

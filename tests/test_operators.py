@@ -442,6 +442,35 @@ def test_heavy_hitters_matches_exact_groupby(spark):
     assert got == want and got
 
 
+def test_heavy_hitters_numeric_key_column(spark):
+    """The candidate pass declares ``src.schema`` as its mapInPandas
+    output schema, so keys must round-trip through Arrow in the
+    column's native dtype — a long key column would break if candidates
+    were stringified (regression: ADVICE r04)."""
+    from apache_spark_link_prediction_spark.operators.sketches import heavy_hitters
+
+    rows = [(i % 3,) for i in range(3_000)] + [(100 + i,) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    got = {
+        (r.user_id, r.n)
+        for r in heavy_hitters(
+            df, "user_id", min_rel_freq=0.01, rel_denominator=100, capacity=512
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    n = len(rows)
+    thr = -(-n // 100)
+    want = {
+        (r.user_id, r.n)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(f"n >= {thr}")
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_heavy_hitters_rejects_unsound_capacity(spark):
     from apache_spark_link_prediction_spark.operators.sketches import heavy_hitters
 
