@@ -184,3 +184,71 @@ def test_p2_reference_mode_keeps_dissimilar_pairs(spark):
     # in BOTH directions (no canonicalization — Predictor.scala:404-409)
     assert ("1", "2") not in pairs and ("2", "1") not in pairs
     assert ("1", "3") in pairs and ("3", "1") in pairs
+
+
+def test_p2_reference_mode_emits_at_production_threshold(spark):
+    """The registry query runs reference mode at the reference's real
+    threshold 0.97 (Predictor.scala:31) and legitimately emits 0 rows on
+    the sampled corpus — so this fixture proves the mode CAN emit there:
+    two vectors sharing exactly one of 34 active indices (Jaccard 1/34,
+    distance 0.9706 ≥ 0.97) that also collide in a minhash table under
+    the pinned seed 12345 (index 32 found by deterministic search; the
+    default 3-table model is seed-stable, so this is reproducible).
+    Both directions must appear and the emitted column must hold the
+    DISTANCE (the reference's naming inversion)."""
+    from pyspark.ml.linalg import Vectors
+
+    shared = 32
+    extras = list(range(100, 133))  # 33 extras -> |union| = 34
+    rows = [
+        (1, Vectors.sparse(1000, {shared: 1.0})),
+        (2, Vectors.sparse(1000, {j: 1.0 for j in [shared] + extras})),
+    ]
+    df = spark.createDataFrame(rows, ["srcId", "tf_idf"])
+    out = lsh_similarity_join(df, mode="reference").collect()  # threshold 0.97
+    pairs = {(r["srcId"], r["dstId"]): r["jaccardSimilarity"] for r in out}
+    assert set(pairs) == {(1, 2), (2, 1)}
+    assert pairs[(1, 2)] == pytest.approx(1 - 1 / 34)
+
+
+def test_threshold_metrics_matches_mllib_binary_classification_metrics(spark):
+    """Numeric parity of the DataFrame-native sweep (plans/metrics.py)
+    with the RDD API the reference actually calls
+    (Predictor.scala:319-342): precision/recall/F1 at EVERY threshold
+    must equal ``pyspark.mllib.evaluation.BinaryClassificationMetrics``
+    on a fixture with score ties, all-positive ties, all-negative ties,
+    and unique scores. Pins SURVEY §3.4's deliberate deviation (same
+    numbers, Catalyst plan instead of RDDs)."""
+    import random
+
+    from pyspark.mllib.evaluation import BinaryClassificationMetrics
+
+    from apache_spark_link_prediction_spark.plans.metrics import threshold_metrics
+
+    rng = random.Random(12345)
+    rows = []
+    for _ in range(300):
+        score = rng.choice([0.1, 0.25, 0.25, 0.4, 0.6, 0.6, 0.6, 0.8, 0.93])
+        label = 1.0 if rng.random() < score else 0.0
+        rows.append((score, label))
+    rows += [(0.99, 1.0), (0.99, 1.0), (0.01, 0.0), (0.01, 0.0)]  # pure ties
+    scored = spark.createDataFrame(rows, "prediction double, label double")
+
+    got = {
+        r["threshold"]: (r["precision"], r["recall"], r["f1"])
+        for r in threshold_metrics(scored).collect()
+    }
+    # The byThreshold sweeps are Scala-only (the Python wrapper exposes
+    # just the AUCs), so reach the wrapped JVM model directly. Keep the
+    # wrapper referenced: its __del__ detaches the JVM object.
+    m = BinaryClassificationMetrics(scored.rdd.map(tuple))
+    jm = m._java_model
+    prec = {t._1(): t._2() for t in jm.precisionByThreshold().collect()}
+    rec = {t._1(): t._2() for t in jm.recallByThreshold().collect()}
+    f1 = {t._1(): t._2() for t in jm.fMeasureByThreshold().collect()}
+
+    assert set(got) == set(prec)
+    for t in got:
+        assert got[t][0] == pytest.approx(prec[t]), f"precision@{t}"
+        assert got[t][1] == pytest.approx(rec[t]), f"recall@{t}"
+        assert got[t][2] == pytest.approx(f1[t]), f"f1@{t}"
