@@ -1,0 +1,74 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+The link-prediction heuristics (common neighbors, Adamic-Adar, Jaccard,
+preferential attachment, resource allocation — queries.py ``graph_*``)
+are single-join aggregations; this module holds the genuinely iterative
+ones, written as unrolled lazy DataFrame chains: each iteration is one
+equi-join + one aggregation, so Catalyst sees the whole loop as a
+single plan and AQE re-sizes every shuffle. No RDDs, no driver-side
+adjacency, no collect of anything larger than a scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
+    upstream for undirected graphs): r_{k+1}(v) = (1-d)/N + d·Σ_{u→v}
+    r_k(u)/outdeg(u).
+
+    Per iteration: one equi-join (ranks ⋈ edges on src) + one
+    aggregation (sum contributions by dst) — both shuffle on node id,
+    so a cluster co-partitions consecutive iterations on the same key.
+    The edge+outdegree join is computed once and cached; N enters the
+    plan as a 1-row broadcast cross-join (never a driver scalar).
+    Dangling nodes (outdeg 0) keep their base-rank term but leak their
+    damped mass, as in the classic formulation without dangling
+    redistribution — callers wanting strict mass conservation should
+    add sink self-loops upstream.
+
+    Returns (node, rank). Nodes = every src or dst endpoint.
+    """
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    nodes = (
+        e.select(F.col("__u").alias("node"))
+        .unionByName(e.select(F.col("__v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
+    # one cached (src, dst, outdeg) fact table feeds every iteration
+    fanout = e.join(outdeg, on="__u").cache()
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+
+    ranks = nodes.crossJoin(n_df).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            fanout.join(ranks, on=fanout["__u"] == ranks["node"])
+            .select(F.col("__v").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .crossJoin(n_df)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

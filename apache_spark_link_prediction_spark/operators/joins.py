@@ -273,6 +273,66 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval×interval overlap join (closed intervals: pairs with
+    ``a_lo <= b_hi AND b_lo <= a_hi``) via grid bucketing — the
+    interval-interval sibling of :func:`range_join`'s point-interval.
+
+    Spark plans the raw two-inequality condition as a nested-loop join
+    (O(|A|·|B|) compares). Here BOTH sides explode into the grid cells
+    their interval covers and equi-join on cell: two overlapping
+    intervals necessarily share ≥1 covered cell, so the exact overlap
+    predicate applied after the cell join loses nothing, and a
+    ``dropDuplicates`` on the pair collapses multi-cell double-hits.
+    Shuffle is linear in Σ ceil(span/bucket_width); pick
+    ``bucket_width`` ≈ the median interval span.
+
+    Column names must be disjoint between ``a`` and ``b`` (pre-alias
+    upstream). ``how="left"`` keeps A-intervals with no overlap
+    (B columns null), implemented as overlap-join + anti-join union so
+    the grid never degrades to a nested loop.
+    """
+    assert how in ("inner", "left"), how
+    dup_cols = set(a.columns) & set(b.columns)
+    assert not dup_cols, f"alias overlapping columns first: {sorted(dup_cols)}"
+
+    def cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+
+    overlap = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+    matched = (
+        cells(a, a_lo, a_hi)
+        .join(cells(b, b_lo, b_hi), on="__cell", how="inner")
+        .filter(overlap)
+        .drop("__cell")
+        .dropDuplicates(a.columns + b.columns)
+    )
+    if how == "inner":
+        return matched
+    missed = a.join(matched.select(*a.columns), on=a.columns, how="left_anti")
+    for c in b.columns:
+        missed = missed.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+    return matched.unionByName(missed)
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,

@@ -3988,6 +3988,242 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT 'signup' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL SELECT 'view', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): users counted at a
+    step only if the step's first qualifying event comes STRICTLY after
+    their previous step's first event — the order constraint a naive
+    per-type count-distinct misses. Each stage is a per-user min + an
+    equi-join on user_id: three co-partitioned shuffles on the same
+    key, stage outputs shrink monotonically, nothing driver-side."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame | None) -> DataFrame:
+        stage = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            stage = stage.join(prev, on="user_id").filter(F.col("ts") > F.col("__t"))
+        return stage.groupBy("user_id").agg(F.min("ts").alias("__t"))
+
+    s1 = first_after(events, "signup", None)
+    s2 = first_after(events, "view", s1)
+    s3 = first_after(events, "purchase", s2)
+    steps = [("signup", s1), ("view", s2), ("purchase", s3)]
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("users")).select(F.lit(name).alias("step"), "users")
+        for name, df in steps
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, d.day)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    activity counted per day-offset from that cohort day — the
+    product-analytics primitive behind every retention curve. Two
+    aggregations and one join, all keyed on user_id (co-partitioned:
+    one logical shuffle key end-to-end), then a small (cohort, offset)
+    grid aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(f, on="user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_CONCURRENT_SESSIONS_ORACLE = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, session_id,
+             min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+      FROM (SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM g)
+      GROUP BY user_id, session_id
+    )
+    SELECT a.user_id, a.session_id, CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+    FROM s a LEFT JOIN s b
+      ON a.user_id <> b.user_id AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    GROUP BY a.user_id, a.session_id
+"""
+
+
+@register("concurrent_sessions", _CONCURRENT_SESSIONS_ORACLE)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per session, how many OTHER users' sessions overlap it in time —
+    an interval×interval overlap join (operators.joins.
+    interval_overlap_join). The oracle writes the raw two-inequality
+    join (DuckDB IEJoin handles it); Spark would plan that as a nested
+    loop, so the operator grid-buckets both interval sides (30-min
+    cells, the session gap) and equi-joins on cell — shuffle linear in
+    sessions × cells-per-session, never |S|². Exact same pairs: two
+    overlapping intervals always share a covered cell."""
+    from .operators.joins import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_seconds("ts") - epoch_seconds(F.lag(F.col("ts")).over(w))
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+        )
+    )
+    a = sessions.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_session"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+    )
+    b = sessions.select(
+        F.col("user_id").alias("b_user"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+    )
+    # Inner overlap join, THEN drop same-user pairs, THEN rejoin onto
+    # the full session set for the zero-concurrency rows: a session
+    # always overlaps itself, so filtering same-user pairs inside a
+    # left overlap join would silently drop sessions whose only
+    # overlaps are their own user's.
+    pairs = interval_overlap_join(
+        a,
+        b,
+        a_lo="a_start",
+        a_hi="a_end",
+        b_lo="b_start",
+        b_hi="b_end",
+        bucket_width=1800e6,  # 30-min cells in µs — the session gap scale
+    ).filter(F.col("a_user") != F.col("b_user"))
+    counts = pairs.groupBy("a_user", "a_session").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        sessions.join(
+            counts,
+            on=(F.col("user_id") == F.col("a_user"))
+            & (F.col("session_id") == F.col("a_session")),
+            how="left",
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+_PAGERANK_ORACLE = """
+    WITH e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    p0 AS (SELECT u AS node, 1.0 / (SELECT n FROM n) AS r FROM deg),
+    p1 AS (SELECT sym.v AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p0.r / deg.d) AS r
+           FROM sym JOIN deg ON sym.u = deg.u JOIN p0 ON p0.node = sym.u
+           GROUP BY sym.v),
+    p2 AS (SELECT sym.v AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p1.r / deg.d) AS r
+           FROM sym JOIN deg ON sym.u = deg.u JOIN p1 ON p1.node = sym.u
+           GROUP BY sym.v),
+    p3 AS (SELECT sym.v AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p2.r / deg.d) AS r
+           FROM sym JOIN deg ON sym.u = deg.u JOIN p2 ON p2.node = sym.u
+           GROUP BY sym.v)
+    SELECT node AS node_id, round(r, 6) AS pagerank FROM p3
+"""
+
+
+@register("pagerank_parts", _PAGERANK_ORACLE)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 iters, d=0.85) on the symmetrized
+    part co-purchase graph (the graph_* edge set: parts sharing ≥ 2
+    orders). The iterative loop is operators.graph.pagerank — one
+    equi-join + one agg per iteration, unrolled lazily so Catalyst/AQE
+    see one plan; the oracle unrolls the same three iterations as
+    chained CTEs. Every node of the symmetrized graph has outdeg ≥ 1,
+    so the two formulations agree exactly; ranks rounded to 6 dp for
+    cross-engine float-sum stability."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(sym, src="u", dst="v", iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("node_id"), F.round(F.col("rank"), 6).alias("pagerank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -536,3 +536,74 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Grid-bucketed interval×interval overlap must equal the naive
+    all-pairs predicate on random intervals (zero-length, nested,
+    chained, and far-apart cases all present), for inner and left."""
+    import random
+
+    from apache_spark_link_prediction_spark.operators.joins import interval_overlap_join
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    mk = lambda n, tag: [
+        (f"{tag}{i}", lo, lo + rng.choice([0.0, 1.0, 5.0, 40.0]))
+        for i in range(n)
+        for lo in [rng.uniform(0, 300)]
+    ]
+    A, B = mk(60, "a"), mk(60, "b")
+    a = spark.createDataFrame(A, "a_id string, a_lo double, a_hi double")
+    b = spark.createDataFrame(B, "b_id string, b_lo double, b_hi double")
+    naive = {
+        (ai, bi)
+        for ai, alo, ahi in A
+        for bi, blo, bhi in B
+        if alo <= bhi and blo <= ahi
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi", bucket_width=10.0
+        ).collect()
+    }
+    assert got == naive and got
+
+    left = interval_overlap_join(
+        a, b, a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
+        bucket_width=10.0, how="left",
+    )
+    matched_a = {t[0] for t in naive}
+    got_left = left.collect()
+    assert {(r.a_id, r.b_id) for r in got_left if r.b_id is not None} == naive
+    assert {r.a_id for r in got_left if r.b_id is None} == {
+        ai for ai, _, _ in A if ai not in matched_a
+    }
+
+
+def test_pagerank_matches_pure_python_iteration(spark):
+    """The DataFrame loop must reproduce the closed-form fixed-point
+    iteration computed in plain Python on a small directed graph with a
+    dangling node (its damped mass leaks, per the docstring)."""
+    from apache_spark_link_prediction_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 5 has no edges; 4 dangles into 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = sorted({u for e in edges for u in e})
+    out_nbrs = {}
+    for u, v in edges:
+        out_nbrs.setdefault(u, []).append(v)
+    n = len(nodes)
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0.0 for u in nodes}
+        for u, vs in out_nbrs.items():
+            for v in vs:
+                contrib[v] += r[u] / len(vs)
+        r = {u: 0.15 / n + 0.85 * contrib[u] for u in nodes}
+    got = {row.node: row.rank for row in pagerank(df, iterations=3).collect()}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])

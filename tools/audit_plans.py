@@ -68,6 +68,10 @@ ALLOW = {
     # (demoted from the driver window; fenced to verification use) —
     # all-pairs is its definition
     "embedding_pairs_exact": {"nested-loop join"},
+    # node-count scalar (1-row broadcast) cross-joined into the rank
+    # initialization and each iteration's base-rank term — same
+    # driver-collect-free global-count pattern as heavy_hitters_tokens
+    "pagerank_parts": {"nested-loop join"},
 }
 
 
