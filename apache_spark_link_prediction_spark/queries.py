@@ -4166,6 +4166,98 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq)
+    SELECT t.doc_id,
+           round(avg(-ln(f.n / (SELECT total FROM total))), 6) AS avg_neg_logprob
+    FROM toks t JOIN freq f ON t.token = f.token
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean negative log
+    probability under the corpus's own unigram distribution — the cheap
+    fluency/outlier signal used to rank web-scraped training text
+    (boilerplate and gibberish both score high). Two shuffles: token
+    frequency agg, then a token-keyed join back (vocab-sized build
+    side); the corpus total enters as a 1-row broadcast scalar. Rounded
+    to 6 dp — float-sum order differs across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    total = F.broadcast(freq.agg(F.sum("__n").cast("double").alias("__total")))
+    return (
+        toks.join(freq, on="token")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("__n") / F.col("__total"))), 6).alias(
+                "avg_neg_logprob"
+            )
+        )
+    )
+
+
+@register(
+    "token_drift_js",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, unnest({_toks_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT half, token, count(*) AS n FROM toks GROUP BY half, token),
+    tot AS (SELECT half, CAST(sum(n) AS DOUBLE) AS t FROM freq GROUP BY half),
+    p AS (SELECT f.token, f.half, f.n / tot.t AS prob
+          FROM freq f JOIN tot ON f.half = tot.half),
+    w AS (SELECT COALESCE(a.prob, 0.0) AS p, COALESCE(b.prob, 0.0) AS q
+          FROM (SELECT token, prob FROM p WHERE half = 0) a
+          FULL OUTER JOIN (SELECT token, prob FROM p WHERE half = 1) b
+            ON a.token = b.token)
+    SELECT round(sum(
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END
+           ), 6) AS js_divergence
+    FROM w
+    """,
+)
+def token_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: Jensen-Shannon divergence between the
+    token distributions of two deterministic corpus halves (doc_id
+    parity — stands in for yesterday-vs-today snapshots in a feed
+    pipeline). Everything stays in vocab-space after the first agg:
+    freq → per-half totals → full-outer join of the two distributions →
+    one scalar. JS is bounded [0, ln 2] and symmetric, the standard
+    alarm metric for tokenizer/source drift. Rounded to 6 dp for
+    cross-engine float-sum stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(tokenize("text")).alias("token")
+    )
+    freq = toks.groupBy("half", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("half").agg(F.sum("n").cast("double").alias("t"))
+    p = freq.join(tot, on="half").select(
+        "token", "half", (F.col("n") / F.col("t")).alias("prob")
+    )
+    a = p.filter(F.col("half") == 0).select("token", F.col("prob").alias("__pa"))
+    b = p.filter(F.col("half") == 1).select("token", F.col("prob").alias("__pb"))
+    w = a.join(b, on="token", how="full_outer").select(
+        F.coalesce(F.col("__pa"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("__pb"), F.lit(0.0)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    return w.agg(F.round(F.sum(term), 6).alias("js_divergence"))
+
+
 _PAGERANK_ORACLE = """
     WITH e0 AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
