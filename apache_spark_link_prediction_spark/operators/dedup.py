@@ -591,6 +591,82 @@ def dedup_clusters(
     )
 
 
+def jaccard_prefix_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-Jaccard ≥ threshold self-join with NO blocking key
+    and no id-window — prefix filtering (the PPJoin family's core
+    idea) replaces :func:`ngram_jaccard_pairs`'s required blocking.
+
+    Soundness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A| (and ≥ t·|B|), so if A and
+    B share no token among A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens under
+    a GLOBAL token order, their overlap is < t·|A| and the pair cannot
+    match. Ordering tokens by ascending corpus frequency (rarest
+    first, token string tie-break) makes prefixes land in the
+    *smallest* inverted lists, so the candidate join is driven by rare
+    tokens — the standard trick that keeps candidate volume near the
+    true-pair volume instead of the stopword cross-product.
+
+    Plan shape at scale: token-frequency agg (vocab-sized), per-doc
+    rank window (one doc-keyed shuffle), prefix explode (Σ prefix
+    sizes ≤ Σ (1−t)·|doc| rows — e.g. ≤20% of the token stream at
+    t=0.8), token-keyed candidate equi-join carrying ids only, pair
+    dedupe, then one verification join back to the token arrays. The
+    ``t·|A| ≤ |B| ≤ |A|/t`` size bound prunes candidates before
+    verification. Never O(n²), no caller-supplied blocking contract.
+
+    Emits (src_id, dst_id, jaccard) with src_id < dst_id, rounded to
+    6 decimals — same contract as ngram_jaccard_pairs(ngram=1) run
+    unblocked.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(tokenize(text_col)).alias("__toks"),
+    )
+    toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    prefix = (
+        toks.join(freq, on="__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("__tok", "__id", "__sz")
+    )
+    a = prefix.select("__tok", F.col("__id").alias("src_id"), F.col("__sz").alias("__sa"))
+    b = prefix.select("__tok", F.col("__id").alias("dst_id"), F.col("__sz").alias("__sb"))
+    candidates = (
+        a.join(b, on="__tok")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .filter(
+            (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
+            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
+        )
+        .select("src_id", "dst_id")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    sets = base.select(F.col("__id"), F.col("__toks"))
+    return (
+        candidates.join(
+            sets.select(F.col("__id").alias("src_id"), F.col("__toks").alias("__ta")),
+            on="src_id",
+        )
+        .join(
+            sets.select(F.col("__id").alias("dst_id"), F.col("__toks").alias("__tb")),
+            on="dst_id",
+        )
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src_id", "dst_id", "jaccard")
+    )
+
+
 def levenshtein_near_dup_pairs(
     docs: DataFrame,
     *,

@@ -36,6 +36,7 @@ from .functions.timeutils import epoch_seconds
 from .functions.vectors import cosine_similarity
 from .operators.dedup import (
     dedup_exact,
+    jaccard_prefix_join,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -4163,6 +4164,76 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id",
             F.coalesce(F.col("__n"), F.lit(0)).alias("n_concurrent"),
         )
+    )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_toks_sql('text')}) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON b.doc_id > a.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBLOCKED exact token-Jaccard dedup via prefix filtering
+    (operators.dedup.jaccard_prefix_join): the oracle is the full
+    all-pairs join with no source/window restriction, which the
+    blocked dedup_token_jaccard cannot claim — prefix filtering on a
+    rarest-first global token order bounds candidates without any
+    blocking contract, so this is the exact-dedup plan that survives a
+    corpus with no natural blocking key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, threshold=0.8)
+
+
+@register(
+    "gap_fill_daily",
+    """
+    WITH b AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                      max(CAST(ts AS DATE)) AS d1
+               FROM events GROUP BY user_id),
+    spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                          CAST(d1 AS TIMESTAMP),
+                                                          INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+    act AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+    SELECT s.user_id, s.day, COALESCE(a.n, 0) AS n_events
+    FROM spine s LEFT JOIN act a ON s.user_id = a.user_id AND s.day = a.day
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling: densify each user's activity series to one
+    row per day between their first and last active day, zero-filled —
+    the regularization step before any windowed/rolling model over
+    irregular event data. The date spine is generated IN the plan
+    (sequence + explode per user: no driver-side calendar, no
+    cross-join against a global dimension — each user only densifies
+    their own [d0, d1] span), then one co-partitioned left join on
+    (user_id, day)."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    act = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(act, on=["user_id", "day"], how="left").select(
+        "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
 
 

@@ -607,3 +607,26 @@ def test_pagerank_matches_pure_python_iteration(spark):
     assert set(got) == set(nodes)
     for u in nodes:
         assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+
+
+def test_jaccard_prefix_join_equals_unblocked_quadratic(spark, docs):
+    """Prefix filtering is a pure candidate pruner: the result must
+    EQUAL the unblocked all-pairs exact join (ngram=1, no block, no
+    window) pair-for-pair and score-for-score."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    want = {
+        (r.src_id, r.dst_id): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, ngram=1, threshold=0.8, allow_quadratic=True
+        ).collect()
+    }
+    got = {
+        (r.src_id, r.dst_id): r.jaccard
+        for r in jaccard_prefix_join(docs, threshold=0.8).collect()
+    }
+    assert want, "fixture should contain near-dup pairs"
+    assert got == want
