@@ -28,6 +28,7 @@ sys.path.insert(0, ".")
 
 from apache_spark_link_prediction_spark.operators.dedup import (  # noqa: E402
     dedup_exact,
+    jaccard_prefix_join,
     levenshtein_near_dup_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -81,6 +82,11 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        # 32 executor threads share one JVM here; the default 1g heap
+        # under-provisions them ~100× vs a real cluster's per-core
+        # memory and OOMs the output-bound stress cases (quadratic
+        # true-pair growth under 10× cluster replication).
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source").cache()
@@ -96,6 +102,7 @@ def main() -> None:
             d, shingle_n=1, num_hashes=32, bands=8, threshold=0.8, prefilter_sigma=None
         ),
         "dedup_simhash": lambda d, e: simhash_near_dup_pairs(d),
+        "dedup_jaccard_prefix": lambda d, e: jaccard_prefix_join(d, threshold=0.8),
         "dedup_levenshtein": lambda d, e: levenshtein_near_dup_pairs(
             d, block_col="source"
         ),
@@ -109,7 +116,12 @@ def main() -> None:
             e, threshold=0.4, tables=8, planes=4
         ),
     }
-    wanted = sys.argv[1:] or list(ops)
+    # dedup_jaccard_prefix is opt-in (by name): its TRUE output is
+    # quadratic under cluster replication (~3M exact pairs at 1×
+    # sf0.1, ~100× that at 10×) — output-bound, not a plan failure,
+    # but it would dominate the harness. Production posture for such
+    # corpora: collapse exact dups first, or use minhash.
+    wanted = sys.argv[1:] or [n for n in ops if n != "dedup_jaccard_prefix"]
     print("| Operator | 1× | 10× | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name in wanted:
