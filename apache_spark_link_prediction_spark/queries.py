@@ -3862,6 +3862,65 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cdc_upsert",
+    # the batch twin's oracle VERBATIM: latest-wins is a max over all
+    # changes seen, so the drained stream's final state is independent
+    # of micro-batch boundaries — the rare stateful stream that earns a
+    # full SQL hash check rather than a rows-only row.
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(l.o_totalprice, c.c_acctbal) AS acctbal,
+           CAST(CASE WHEN l.o_custkey IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS updated
+    FROM customer c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: orders re-materialized as a 4-file bounded
+    change stream, folded per key by streaming_cdc_latest
+    (applyInPandasWithState, one (ord_us, ord_id, value) triple per
+    key), final per-key winner captured via foreachBatch last-emission,
+    then the same base-table left join as the batch twin
+    cdc_upsert_latest — whose oracle this query shares verbatim."""
+    import tempfile
+
+    from .sources.readers import write_parquet
+    from .streaming.events import (
+        run_stream_last_emission_per_group,
+        streaming_cdc_latest,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="orders_stream_")
+    write_parquet(o.repartition(4), path)
+    changes = (
+        spark.readStream.schema(o.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    latest = run_stream_last_emission_per_group(
+        streaming_cdc_latest(changes), group_cols=["key"]
+    ).select(F.col("key").alias("o_custkey"), F.col("value").alias("o_totalprice"))
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(latest), c["c_custkey"] == latest["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("o_totalprice", "c_acctbal").alias("acctbal"),
+            F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+            .cast("int")
+            .alias("updated"),
+        )
+    )
+
+
+@register(
     "time_weighted_avg_daily",
     """
     WITH t AS (

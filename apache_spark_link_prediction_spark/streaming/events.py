@@ -409,6 +409,58 @@ def streaming_custom_sessions(
     )
 
 
+def streaming_cdc_latest(
+    changes: DataFrame,
+    *,
+    key_col: str = "o_custkey",
+    ord_ts_col: str = "o_orderdate",
+    ord_id_col: str = "o_orderkey",
+    val_col: str = "o_totalprice",
+) -> DataFrame:
+    """Streaming CDC latest-wins: per key, keep the change row with the
+    greatest (business timestamp, id) and emit the current winner each
+    micro-batch (update mode). The streaming twin of the batch MERGE
+    collapse in queries.cdc_upsert_latest.
+
+    Latest-wins is a max over all changes seen, so the final state is
+    INDEPENDENT of micro-batch boundaries and arrival order — unlike
+    most stateful streams, this one is exactly batch-equivalent, which
+    is what lets the registry query share the batch twin's SQL oracle.
+    State per key is one (ord_us, ord_id, value) triple — O(distinct
+    keys), the same state class as any keyed compacted topic."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            best_us, best_id, best_val = state.get
+        else:
+            best_us, best_id, best_val = None, None, None
+        for pdf in pdfs:
+            for ts, oid, val in zip(
+                pdf[ord_ts_col], pdf[ord_id_col], pdf[val_col]
+            ):
+                us = ts.value // 1000  # pandas ns -> µs
+                if best_us is None or (us, oid) > (best_us, best_id):
+                    best_us, best_id, best_val = int(us), int(oid), float(val)
+        state.update((best_us, best_id, best_val))
+        yield pd.DataFrame(
+            {"key": [key[0]], "ord_us": [best_us], "value": [best_val]}
+        )
+
+    return (
+        changes.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType="key long, ord_us long, value double",
+            stateStructType="ord_us long, ord_id long, value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kafka endpoints
 # ---------------------------------------------------------------------------

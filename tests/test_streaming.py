@@ -373,3 +373,20 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path_factory):
         assert heavy <= set(emitted), f"{et}: missing heavy users"
         for u, mg in emitted.items():
             assert mg <= true_counts[(et, u)], f"{et}/{u}: MG count not a lower bound"
+
+
+def test_streaming_cdc_upsert_equals_batch_twin(spark, sf_dir):
+    """Latest-wins CDC is a max over all changes, so the drained stream
+    must equal the batch MERGE collapse row-for-row regardless of
+    micro-batch boundaries."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    got = {
+        (r.c_custkey, r.c_name, round(r.acctbal, 6), r.updated)
+        for r in QUERIES["streaming_cdc_upsert"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.c_custkey, r.c_name, round(r.acctbal, 6), r.updated)
+        for r in QUERIES["cdc_upsert_latest"](spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -40,6 +40,7 @@ EXECUTES_ON_BUILD = {
     "streaming_stateful_ema",
     "streaming_custom_sessions",
     "streaming_heavy_hitters_topk",
+    "streaming_cdc_upsert",
     "streaming_interval_join",
     "compaction_small_files",   # writes + rereads a temp table
     "bucketed_join_exchange_free",  # writes bucketed tables
