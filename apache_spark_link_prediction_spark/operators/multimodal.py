@@ -105,7 +105,16 @@ def decode_wav(payload: bytes) -> dict:
     with wave.open(io.BytesIO(payload)) as w:
         rate = w.getframerate()
         duration_ms = int(w.getnframes() * 1000 / rate) if rate else None
-    return {"width": None, "height": None, "duration_ms": duration_ms}
+        channels = w.getnchannels()
+        sample_width = w.getsampwidth()
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": duration_ms,
+        "channels": channels,
+        "sample_width": sample_width,
+        "framerate": rate,
+    }
 
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
@@ -339,3 +348,113 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 1
             )
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Testbed adapter: synthesize a REAL 16-bit mono PCM WAV payload
+    per document (stdlib ``wave`` writer — the same RIFF container
+    :func:`decode_wav` parses). One sample per character; sample k is
+    the deterministic integer ``((doc_id·31 + k·7) mod 201) − 100``,
+    so every downstream windowed statistic is closed-form in
+    (doc_id, n_chars) and a scalar SQL oracle can hash-check the whole
+    binary audio path end-to-end. Arrow-batched mapInPandas: the
+    Python synth stands in for the decode-side I/O a real corpus pays."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                k = np.arange(n, dtype=np.int64)
+                samples = ((int(doc_id) * 31 + k * 7) % 201 - 100).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(1000)
+                    w.writeframes(samples.tobytes())
+                ids.append(int(doc_id))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "modality": ["audio"] * len(ids),
+                    "mime": ["audio/wav"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return docs.select("doc_id", "n_chars").mapInPandas(op, schema=schema)
+
+
+def audio_energy_windows(media: DataFrame, *, window_samples: int = 50) -> DataFrame:
+    """Windowed RMS energy over PCM WAV payloads — the first feature
+    any audio curation pipeline computes (silence/clipping detection,
+    energy-based segmentation). REAL decode via the stdlib ``wave``
+    reader, vectorized RMS via numpy inside an exploding mapInPandas
+    (1 payload → ceil(n/window) window rows); malformed or non-audio
+    payloads yield no rows (quarantine contract as in
+    extract_media_features). Emits (media_id, win, n_samples, rms)
+    with rms rounded to 6 dp."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, rmss = [], [], [], []
+            for media_id, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "audio" or payload is None:
+                    continue
+                try:
+                    meta = decode_wav(bytes(payload))
+                except Exception:
+                    continue
+                if meta["sample_width"] != 2 or meta["channels"] != 1:
+                    continue
+                body = bytes(payload)
+                import io
+                import wave as wave_mod
+
+                with wave_mod.open(io.BytesIO(body)) as w:
+                    samples = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.float64)
+                for win in range(0, (len(samples) + window_samples - 1) // window_samples):
+                    chunk = samples[win * window_samples : (win + 1) * window_samples]
+                    ids.append(media_id)
+                    wins.append(win)
+                    ns.append(len(chunk))
+                    rmss.append(round(float(np.sqrt(np.mean(chunk * chunk))), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "win": pd.array(wins, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=AUDIO_ENERGY_SCHEMA)

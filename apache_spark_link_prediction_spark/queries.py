@@ -1652,6 +1652,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_energy",
+    """
+    WITH k AS (
+      SELECT doc_id, unnest(range(0, CAST(n_chars AS BIGINT))) AS k
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, k // 50 AS win,
+             CAST(((doc_id * 31 + k * 7) % 201) - 100 AS DOUBLE) AS x
+      FROM k
+    )
+    SELECT doc_id AS media_id, CAST(win AS INTEGER) AS win,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           round(sqrt(avg(x * x)), 6) AS rms
+    FROM w GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS audio energy over REAL PCM WAV payloads: documents
+    synthesize one 16-bit mono WAV each (one sample per character,
+    deterministic integer waveform), stdlib-wave decode + vectorized
+    numpy RMS per 50-sample window in an exploding mapInPandas. The
+    waveform is closed-form in (doc_id, n_chars), so the oracle
+    recomputes every window's RMS from scalars — the full binary
+    audio path (RIFF encode → decode → window → reduce) is hash-
+    checked end to end."""
+    from .operators.multimodal import audio_energy_windows, audio_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(audio_from_documents(docs), window_samples=50)
+
+
+@register(
     "asof_join_events",
     """
     SELECT c.event_id, c.user_id,

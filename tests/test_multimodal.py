@@ -262,3 +262,43 @@ def test_pillow_decoder_real_path(spark):
     )
     row = extract_media_features(media).collect()[0]
     assert (row.width, row.height) == (23, 7)
+
+
+def test_audio_energy_windows_real_wav_roundtrip(spark):
+    """audio_from_documents must emit RIFF/WAVE payloads the stdlib
+    decoder accepts, and audio_energy_windows must reproduce the
+    closed-form RMS; malformed and non-audio rows quarantine (no
+    rows, no crash)."""
+    import math
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        audio_energy_windows,
+        audio_from_documents,
+        decode_wav,
+    )
+
+    docs = spark.createDataFrame([(7, 120), (8, 49)], "doc_id long, n_chars long")
+    media = audio_from_documents(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    meta = decode_wav(payloads[7])
+    assert (meta["channels"], meta["sample_width"], meta["framerate"]) == (1, 2, 1000)
+    assert meta["duration_ms"] == 120
+
+    got = {
+        (r.media_id, r.win): (r.n_samples, r.rms)
+        for r in audio_energy_windows(media, window_samples=50).collect()
+    }
+    # doc 7: 120 samples -> windows of 50/50/20; doc 8: one 49-window
+    assert {k for k in got} == {(7, 0), (7, 1), (7, 2), (8, 0)}
+    assert got[(7, 2)][0] == 20 and got[(8, 0)][0] == 49
+    for (doc_id, win), (n, rms) in got.items():
+        xs = [((doc_id * 31 + k * 7) % 201) - 100 for k in range(win * 50, win * 50 + n)]
+        want = round(math.sqrt(sum(x * x for x in xs) / n), 6)
+        assert rms == want, ((doc_id, win), rms, want)
+
+    bad = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(b"not a wav")),
+         (2, "image", "image/png", bytearray(b"\x89PNG"))],
+        "media_id long, modality string, mime string, payload binary",
+    )
+    assert audio_energy_windows(bad).count() == 0
