@@ -120,6 +120,121 @@ def decode_wav(payload: bytes) -> dict:
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# PNG color type → samples per pixel (8-bit, non-interlaced decode path).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decoder for PNG, pure stdlib (struct + zlib): chunk walk
+    with CRC verification, IHDR meta for every valid PNG, and a full
+    IDAT inflate + per-scanline unfilter (filters 0-4 incl. Paeth) for
+    the 8-bit non-interlaced gray/RGB/gray-alpha/RGBA cases — so the
+    compressed-image branch is exercised end-to-end with no Pillow.
+    Palette / 16-bit / interlaced PNGs return header meta only (the
+    IHDR is authoritative for dimensions); corrupt payloads raise
+    ValueError for the quarantine contract."""
+    import zlib
+
+    if payload is None or len(payload) < 33 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("decode_png: not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("decode_png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("decode_png: missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    meta = {"width": width, "height": height, "duration_ms": None}
+    if (
+        bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+        or not idat
+        or not (width and height)
+    ):
+        return meta  # header-only tier (palette/16-bit/interlaced)
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decode_png: IDAT size mismatch")
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"decode_png: unknown filter {ftype}")
+        prev = line
+        meta["sample_sum"] = meta.get("sample_sum", 0) + sum(line)
+    # pixel-derived stat proves the inflate+unfilter path actually ran
+    # (extra keys are ignored by FEATURE_SCHEMA projection, like WAV's)
+    meta["mean_sample"] = meta.pop("sample_sum", 0) / (stride * height)
+    return meta
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Minimal stdlib PNG writer (filter 0 scanlines, one IDAT): the
+    synthesis twin of ``decode_png`` for tests/datagen. ``pixels`` is
+    row-major 8-bit samples, ``width*height*channels`` bytes."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError("encode_png: pixel buffer size mismatch")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
 
 def decode_image_pillow(payload: bytes) -> dict:
     """REAL decoder for compressed images (JPEG/PNG/WebP/…) via Pillow,
@@ -139,17 +254,20 @@ def decode_image_pillow(payload: bytes) -> dict:
 
 
 def decode_auto(payload: bytes) -> dict:
-    """Magic-byte dispatch: real BMP/WAV decoders for the formats that
-    need no external library, Pillow-backed JPEG/PNG when the deployment
-    ships Pillow (quarantined otherwise), SGM1 stub for the synthetic
-    testbed payloads. MP3/MP4 still need PyAV — register their decoders
-    here when available; everything downstream is unchanged."""
+    """Magic-byte dispatch: real BMP/WAV/PNG decoders for the formats
+    that need no external library (PNG via the stdlib zlib path above),
+    Pillow-backed JPEG when the deployment ships Pillow (quarantined
+    otherwise), SGM1 stub for the synthetic testbed payloads. MP3/MP4
+    still need PyAV — register their decoders here when available;
+    everything downstream is unchanged."""
     if payload is not None and len(payload) >= 12:
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
-        if payload[:3] == _JPEG_MAGIC or payload[:8] == _PNG_MAGIC:
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
+        if payload[:3] == _JPEG_MAGIC:
             return decode_image_pillow(payload)
     return decode_stub(payload)
 

@@ -1030,12 +1030,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sampling + ML pipelines (rows-only: seeds/hashes not SQL-portable)
 # ---------------------------------------------------------------------------
 
-@register("sample_bernoulli")
+@register(
+    "sample_bernoulli",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             CASE WHEN len(regexp_replace(trim(lower('doc:' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')) = 0 THEN 0
+                  ELSE list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(regexp_replace(trim(lower('doc:' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g'), ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, code) -> (acc * 131 + code) % 2147483647)
+             END AS h
+      FROM documents
+    ) WHERE h % 1000 < 200
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 (Predictor.scala:352-353): deterministic Bernoulli sample,
-    seed 12345."""
+    """S6 (Predictor.scala:352-353): deterministic p=0.2 Bernoulli
+    sample.  The reference uses ``sample(…, seed)``; Spark's seeded
+    sample is reproducible only for a FIXED partitioning (the seed is
+    mixed with the partition index), so at 100 TB — where file splits
+    shift with cluster size and AQE — it is not a stable sample at all.
+    The production-correct form is a keep decision hashed from the row
+    KEY (h(key) % 1000 < p·1000): partition-independent, re-runnable,
+    and engine-portable, which also makes it DuckDB-oracle-checkable.
+    The reference-compatible seeded path remains as the S6 operator
+    (sources/readers.py, seed 12345) with its own pytest."""
+    from .functions.textstats import doc_rolling_hash
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.sample(fraction=0.2, seed=12345).select("doc_id", "source")
+    h = doc_rolling_hash(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    return docs.filter((h % 1000) < 200).select("doc_id", "source")
 
 
 @register("p1_link_prediction")
@@ -1988,30 +2014,85 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_agg")  # rows-only: HLL++ sketch not SQL-portable
+@register(
+    "approx_distinct_agg",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HLL++
     (``approx_count_distinct``, rsd 2%) — the 100 TB path for distinct
     counts: the sketch is fixed-size and merges map-side, vs exact
-    count(DISTINCT)'s full shuffle of every (group, value) pair. Error
-    bound vs the exact twin asserted in pytest (≤ 5·rsd)."""
+    count(DISTINCT)'s full shuffle of every (group, value) pair.  The
+    sketch estimate itself is not engine-portable, so the oracle
+    contract is (exact count, estimate-within-bound flag): the Spark
+    side computes BOTH aggregates in one pass and folds the HLL value
+    into a boolean error-bound check (|approx−exact| ≤ 10%·exact, 5×
+    the nominal rsd) that DuckDB asserts as TRUE.  A sketch regression
+    flips the flag and fails the hash gate; tighter ≤5·rsd bound also
+    asserted in pytest."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("approx_within_10pct"),
     )
 
 
-@register("approx_quantile_agg")  # rows-only: GK sketch not SQL-portable
+@register(
+    "approx_quantile_agg",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS approx_within_rank_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group percentiles via the Greenwald-Khanna
-    sketch (``approx_percentile``, accuracy 1000 → ε ≤ 0.1%) — the
-    mergeable, bounded-memory alternative to ``percentile_agg``'s exact
-    full-sort-per-group. Rank error vs exact asserted in pytest."""
+    sketch (``approx_percentile``, accuracy 1000 → rank ε ≤ 0.1%) —
+    the mergeable, bounded-memory alternative to ``percentile_agg``'s
+    exact full-sort-per-group.  GK guarantees RANK error, not value
+    error, so the oracle contract is (exact quantiles, rank-bound
+    flag): each approx value must lie inside the exact value envelope
+    [q(r−0.01), q(r+0.01)] — a 10× slack on the nominal ε that absorbs
+    discrete-vs-interpolated rank granularity at small SF.  The exact
+    columns hash-match DuckDB ``quantile_cont``; a sketch regression
+    flips the flag.  Tighter per-quantile bound asserted in pytest."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 6).alias("p50"),
-        F.round(F.expr("approx_percentile(value, 0.95, 1000)"), 6).alias("p95"),
-        F.round(F.expr("approx_percentile(value, 0.99, 1000)"), 6).alias("p99"),
+    eps = 0.01
+    qs = [0.5, 0.95, 0.99]
+    lo = [max(q - eps, 0.0) for q in qs]
+    hi = [min(q + eps, 1.0) for q in qs]
+    agg = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}))").alias("__ex"),
+        F.expr(f"percentile(value, array({lo[0]}, {lo[1]}, {lo[2]}))").alias("__lo"),
+        F.expr(f"percentile(value, array({hi[0]}, {hi[1]}, {hi[2]}))").alias("__hi"),
+        F.expr(f"approx_percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}), 1000)").alias("__ap"),
+    )
+    in_bound = F.lit(True)
+    for i in range(3):
+        in_bound = in_bound & (
+            (F.col("__ap")[i] >= F.col("__lo")[i]) & (F.col("__ap")[i] <= F.col("__hi")[i])
+        )
+    return agg.select(
+        "event_type",
+        F.round(F.col("__ex")[0], 6).alias("p50_exact"),
+        F.round(F.col("__ex")[1], 6).alias("p95_exact"),
+        F.round(F.col("__ex")[2], 6).alias("p99_exact"),
+        in_bound.alias("approx_within_rank_bound"),
     )
 
 
@@ -4499,6 +4580,9 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and take priority in the round-6 window.
 # Queries ADDED in round 5 register outside the window (local-gate
 # verified this round, rotated in next round) so the budget above holds.
+# Also outside: sample_bernoulli / approx_distinct_agg /
+# approx_quantile_agg, promoted rows-only → oracle-backed in round 5
+# (hash-portable reformulations; VERDICT r04 item 5).
 # Everything outside the window is still verified every round by the
 # local gate (tools/check_oracle.py).  Rows-only queries (ML / seeded /
 # streaming-order — not SQL-portable by design) sort last; pytest pins

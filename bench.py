@@ -44,6 +44,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    # Load guard: a busy box inflates wall-clock and has previously been
+    # misread as a plan regression (r04 embedding_ann_lsh, adjudicated as
+    # contention in BASELINE.md Round 5).  Record the pre-run 1-min load
+    # and flag the run when it exceeds half the worker threads so a
+    # reviewer can discount the numbers without re-measuring.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_elevated = load1 is not None and load1 > cpus / 2
+
     from apache_spark_link_prediction_spark.queries import QUERIES
     from apache_spark_link_prediction_spark.session import get_spark
 
@@ -73,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1_pre_run": load1,
+                "load_elevated": load_elevated,
             }
         )
     )

@@ -200,27 +200,27 @@ def _pillow_available() -> bool:
 
 @pytest.mark.skipif(_pillow_available(), reason="covers the no-Pillow container")
 def test_pillow_decoder_quarantines_without_pillow():
-    """Without Pillow, JPEG/PNG-magic payloads raise ValueError (not
+    """Without Pillow, JPEG-magic payloads raise ValueError (not
     ImportError) from the decoder — the quarantine contract every other
-    corrupt/undecodable payload gets."""
+    corrupt/undecodable payload gets. (PNG no longer needs Pillow: the
+    stdlib decode_png path handles it in every environment.)"""
     from apache_spark_link_prediction_spark.operators.multimodal import (
         decode_auto,
         decode_image_pillow,
     )
 
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(ValueError, match="Pillow"):
-        decode_image_pillow(png)
+        decode_image_pillow(jpeg)
     with pytest.raises(ValueError, match="Pillow"):
-        decode_auto(png)
+        decode_auto(jpeg)
 
 
-def test_png_payload_through_pipeline_any_environment(spark):
-    """A PNG-magic payload through the full mapInPandas pipeline, valid
-    in BOTH environments: with Pillow the header is too short to decode
-    so it quarantines; without Pillow the import guard quarantines.
-    Either way byte-level features survive and the job never crashes —
-    the contract a 100 TB run with mixed/foreign codecs depends on."""
+def test_corrupt_png_payload_through_pipeline(spark):
+    """A PNG-magic payload with garbage after the signature quarantines
+    (decode_png raises on the truncated/CRC-less chunk) while byte-level
+    features survive and the job never crashes — the contract a 100 TB
+    run with mixed/foreign codecs depends on."""
     import hashlib
 
     from apache_spark_link_prediction_spark.operators.multimodal import (
@@ -238,30 +238,105 @@ def test_png_payload_through_pipeline_any_environment(spark):
     assert row.sha256 == hashlib.sha256(png_header_only).hexdigest()
 
 
-@pytest.mark.skipif(not _pillow_available(), reason="needs Pillow")
-def test_pillow_decoder_real_path(spark):
-    """With Pillow installed the SAME pipeline decodes real PNGs —
-    deployments with codec libs get real decode with no code change."""
-    import io
-
-    from PIL import Image
-
+def test_png_stdlib_decoder_real_path(spark):
+    """Real PNG decode with NO image library: encode_png → decode_png
+    round-trips dimensions AND pixel content (mean sample proves the
+    inflate+unfilter ran), and the same payload decodes through the
+    full mapInPandas pipeline. Runs in every environment — this is the
+    library-free tier of the compressed-image branch."""
     from apache_spark_link_prediction_spark.operators.multimodal import (
         decode_auto,
+        decode_png,
+        encode_png,
         extract_media_features,
     )
 
-    buf = io.BytesIO()
-    Image.new("RGB", (23, 7)).save(buf, format="PNG")
-    png = buf.getvalue()
-    assert decode_auto(png) == {"width": 23, "height": 7, "duration_ms": None}
+    w, h = 23, 7
+    pixels = bytes((x * 3 + y * 7 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png = encode_png(w, h, pixels, color_type=2)
+    meta = decode_auto(png)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["mean_sample"] == pytest.approx(sum(pixels) / len(pixels))
+
+    # grayscale + RGBA tiers too
+    g = encode_png(4, 2, bytes(range(8)), color_type=0)
+    assert decode_png(g)["mean_sample"] == pytest.approx(sum(range(8)) / 8)
+    rgba = encode_png(2, 2, bytes(range(16)), color_type=6)
+    assert decode_png(rgba)["width"] == 2
 
     media = spark.createDataFrame(
         [(1, "image", "image/png", bytearray(png))],
         "media_id long, modality string, mime string, payload binary",
     )
     row = extract_media_features(media).collect()[0]
-    assert (row.width, row.height) == (23, 7)
+    assert (row.width, row.height) == (w, h)
+
+
+def test_png_unfilter_all_filter_types():
+    """decode_png must invert every PNG scanline filter (0=None 1=Sub
+    2=Up 3=Average 4=Paeth): hand-build the filtered raw stream per
+    type from a known pixel grid and assert the decoded mean matches
+    the unfiltered ground truth. A zlib-level or CRC corruption raises
+    (quarantine tier)."""
+    import struct as _struct
+    import zlib
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_png,
+    )
+
+    w, h, ch = 5, 4, 3
+    stride = w * ch
+    rows = [bytes(((x * 11 + y * 17 + c * 5) % 256) for x in range(w) for c in range(ch)) for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def filter_line(ftype, cur, prev):
+        out = bytearray()
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                out.append(cur[i])
+            elif ftype == 1:
+                out.append((cur[i] - a) & 0xFF)
+            elif ftype == 2:
+                out.append((cur[i] - b) & 0xFF)
+            elif ftype == 3:
+                out.append((cur[i] - (a + b) // 2) & 0xFF)
+            else:
+                out.append((cur[i] - paeth(a, b, c)) & 0xFF)
+        return bytes(out)
+
+    prev = bytes(stride)
+    raw = b""
+    for y in range(h):
+        ftype = y % 5 if h >= 5 else [1, 2, 3, 4][y % 4]  # cycle filters
+        raw += bytes([ftype]) + filter_line(ftype, rows[y], prev)
+        prev = rows[y]
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    truth = sum(sum(r) for r in rows) / (stride * h)
+    assert decode_png(png)["mean_sample"] == pytest.approx(truth)
+
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # inside IDAT payload → CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
 
 
 def test_audio_energy_windows_real_wav_roundtrip(spark):
