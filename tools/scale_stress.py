@@ -77,6 +77,59 @@ def timed(df: DataFrame) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
+    """Materialize a 10× replica DIRECTORY for the events-family
+    registry queries (they take (spark, sf_dir), so the replica is a
+    drop-in sf_dir): every key column is offset per copy, keeping
+    per-key cardinality constant while rows grow 10× — the linear-
+    growth regime these window+agg plans must track (their shuffles key
+    on user/custkey, so time should scale with rows, not rows²)."""
+    ev = load_table(spark, SF_DIR, "events")
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * OFFSET)).alias("event_id"),
+            (F.col("user_id") + F.lit(k * OFFSET)).alias("user_id"),
+            "event_type",
+            "ts",
+            "value",
+            "props",
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    o = load_table(spark, SF_DIR, "orders")
+    parts = [
+        o.withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + F.lit(k * OFFSET),
+                "o_custkey": F.col("o_custkey") + F.lit(k * OFFSET),
+            }
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    c = load_table(spark, SF_DIR, "customer")
+    parts = [
+        c.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * OFFSET))
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+
+# Registry queries stressed via a replicated sf_dir (vs the operator
+# lambdas above, which take in-memory frames).
+EVENTS_QUERIES = ("cdc_upsert_latest", "time_weighted_avg_daily", "activity_streaks")
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
@@ -121,13 +174,26 @@ def main() -> None:
     # sf0.1, ~100× that at 10×) — output-bound, not a plan failure,
     # but it would dominate the harness. Production posture for such
     # corpora: collapse exact dups first, or use minhash.
-    wanted = sys.argv[1:] or [n for n in ops if n != "dedup_jaccard_prefix"]
+    wanted = sys.argv[1:] or [
+        *(n for n in ops if n != "dedup_jaccard_prefix"),
+        *EVENTS_QUERIES,
+    ]
+    events_wanted = [n for n in wanted if n in EVENTS_QUERIES]
+    replica_dir = "/tmp/spark_stress_10x"
+    if events_wanted:
+        build_events_replica(spark, replica_dir, COPIES)
+        from apache_spark_link_prediction_spark.queries import QUERIES
+
     print("| Operator | 1× | 10× | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name in wanted:
-        fn = ops[name]
-        t1, n1 = timed(fn(docs, emb))
-        t10, n10 = timed(fn(docs10, emb10))
+        if name in EVENTS_QUERIES:
+            t1, n1 = timed(QUERIES[name](spark, SF_DIR))
+            t10, n10 = timed(QUERIES[name](spark, replica_dir))
+        else:
+            fn = ops[name]
+            t1, n1 = timed(fn(docs, emb))
+            t10, n10 = timed(fn(docs10, emb10))
         ratio = t10 / t1
         print(
             f"| {name} | {t1:.1f}s | {t10:.1f}s | {ratio:.1f}× | "
