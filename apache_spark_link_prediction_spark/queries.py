@@ -4561,6 +4561,352 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions, batch 2: the remaining TPC-H join patterns this
+# schema can express (Q4/Q12/Q21/Q22 shapes — the testdata lacks
+# l_commitdate / l_receiptdate / l_shipmode / c_phone, so each keeps
+# the defining pattern with a shipdate-lag / nationkey stand-in), plus
+# two retrieval/LM text primitives (BM25, bigram next-token table).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking via EXISTS: orders in a
+    one-year window having at least one line shipped >90 days after the
+    order date (shipdate-lag stand-in for Q4's commitdate<receiptdate;
+    this schema carries only l_shipdate), counted per priority. The
+    EXISTS is a LEFT SEMI join on l_orderkey with the lag predicate as
+    a join-side filter — lineitem is never aggregated or deduped, and
+    the date filter prunes orders before the shuffle. At 100 TB both
+    sides shuffle once on orderkey; the priority agg is map-side
+    combined to 5 rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q12_late_shipments",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-mode priority split: lines shipped in
+    1997 bucketed by fulfilment lag (>60 days = LATE, standing in for
+    Q12's shipmode column) with urgent-vs-other conditional counts per
+    bucket. One equi-join on orderkey (the shipdate filter reaches the
+    lineitem scan as a pushed predicate) and one 2-row map-side-combined
+    agg — the classic fact-to-dim conditional rollup."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "LATE",
+            )
+            .otherwise("ONTIME")
+            .alias("ship_bucket"),
+            high.cast("long").alias("__hi"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("__hi").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("__hi")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders
+        ON o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+    stats AS (
+      SELECT l_orderkey, max(l_shipdate) AS mx,
+             count(DISTINCT l_suppkey) AS nsupp
+      FROM j GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+    last AS (
+      SELECT DISTINCT j.l_orderkey, j.l_suppkey
+      FROM j JOIN stats ON j.l_orderkey = stats.l_orderkey
+                       AND j.l_shipdate = stats.mx),
+    uniq AS (
+      SELECT l_orderkey FROM last GROUP BY l_orderkey HAVING count(*) = 1)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM last JOIN uniq USING (l_orderkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: on
+    completed ('F') multi-supplier orders, the supplier who was the
+    SOLE latest shipper (its shipdate equals the order max and no other
+    supplier ties it — Q21's EXISTS/NOT-EXISTS pair, decorrelated).
+    Spark-first: instead of two correlated self-joins over lineitem,
+    one orderkey agg derives (max shipdate, supplier count), joined
+    back on the SAME key — every shuffle in the plan keys on
+    l_orderkey, so AQE coalesces them into one exchange lineage; the
+    final per-supplier count is map-side combined and the top-20 sort
+    is a 20-row TakeOrdered, not a global sort. Total order via
+    (numwait DESC, s_name)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    stats = (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("mx"),
+            F.countDistinct("l_suppkey").alias("nsupp"),
+        )
+        .filter(F.col("nsupp") > 1)
+        .select(F.col("l_orderkey").alias("__ok"), "mx")
+    )
+    last = (
+        j.join(
+            stats,
+            (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_shipdate") == F.col("mx")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    uniq = (
+        last.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("l_orderkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        last.join(uniq, "l_orderkey")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS total,
+                      count(*) AS n
+               FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer CROSS JOIN t
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * t.n > t.total
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global sales opportunity: customers with
+    above-average positive balance and no RECENT orders (none since
+    1999 — Q22's "no orders in 7 years" window), counted per nation
+    (nationkey stands in for Q22's phone country code). Two canonical
+    patterns: the scalar "above average" subquery, decorrelated as a
+    1-row agg cross-joined in (and compared as acctbal·n > total in
+    exact DECIMAL, so the boundary never depends on float summation
+    order across engines), and the NOT EXISTS as a LEFT ANTI join
+    against date-filtered orders (the filter prunes the anti side
+    before its shuffle). At 100 TB the anti join shuffles on custkey
+    once; the 1-row threshold broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    t = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(t))
+        .filter(F.col("c_acctbal").cast("decimal(18,6)") * F.col("n") > F.col("total"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# BM25 constants (Robertson et al.; the standard Lucene-ish parameters).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("data", "learning", "model")
+
+
+@register(
+    "bm25_scoring",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_sql('text')}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN {_BM25_TERMS!r}
+           GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM toks WHERE token IN {_BM25_TERMS!r}
+           GROUP BY token)
+    SELECT tf.doc_id,
+           round(SUM(
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+             (tf.tf * ({_BM25_K1} + 1)) /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df ON tf.token = df.token
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query
+    term set (k1=1.2, b=0.75, Lucene-style idf ln(1+(N−df+.5)/(df+.5)))
+    — the retrieval/rerank primitive for training-data curation
+    (query-targeted corpus selection). Spark-first decomposition: token
+    explode → per-doc length agg; tf restricted to the query terms
+    BEFORE the shuffle (a 3-term IN filter on the exploded stream, so
+    the tf agg moves only matching tokens); df is |terms| rows and
+    broadcasts; avgdl/N is a 1-row agg cross-joined in. No collect, no
+    UDF — the formula is pure Catalyst arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    qt = toks.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = qt.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
+@register(
+    "bigram_next_token",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+      FROM d WHERE len(toks) >= 2),
+    c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    r AS (SELECT w1, w2, cnt,
+                 CAST(row_number() OVER (PARTITION BY w1
+                                         ORDER BY cnt DESC, w2) AS INT) AS rnk,
+                 SUM(cnt) OVER (PARTITION BY w1) AS tot
+          FROM c)
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / tot, 6) AS prob, rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram next-token table: for every leading token, the top-3
+    following tokens by corpus count with conditional probability — the
+    count-based LM / autocomplete primitive and the n-gram analogue of
+    vocab_topk. Bigrams are built IN-ARRAY with transform(sequence(…))
+    before the explode (adjacency needs no window function — per-doc
+    token order is already in the array), so the only shuffles are the
+    bigram count agg (map-side combined) and the per-w1 top-k window.
+    Probability = cnt/total-per-w1, both integers, so the double
+    division is bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(tokenize("text").alias("toks")).filter(F.size("toks") >= 2)
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), "w2")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .withColumn("tot", F.sum("cnt").over(Window.partitionBy("w1")))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias("prob"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
 # recorded exactly 50 rows, and the graded set shifted with registration

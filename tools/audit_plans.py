@@ -76,6 +76,12 @@ ALLOW = {
     # corpus-total scalar (1-row broadcast) cross-joined into the
     # per-token probability — same pattern as heavy_hitters_tokens
     "unigram_logprob_score": {"nested-loop join"},
+    # avgdl/N scalar (1-row broadcast) cross-joined into the BM25
+    # length normalization — same pattern as heavy_hitters_tokens
+    "bm25_scoring": {"nested-loop join"},
+    # above-average threshold scalar (1-row broadcast) cross-joined
+    # for the decorrelated Q22 comparison
+    "tpch_q22_idle_customers": {"nested-loop join"},
 }
 
 
