@@ -72,3 +72,44 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-depth BFS over a DIRECTED edge list: minimum hop count
+    from any seed node, for every node within ``max_hops``.
+
+    Frontier expansion as unrolled DataFrame iterations: hop k's
+    frontier joins the edge list once (shuffle keyed on node id, the
+    same key every iteration) and the running minimum collapses with
+    one distinct-union per level — no driver-side visited set, no
+    collect. The frontier is NOT subtracted against the visited set per
+    level (that would add an anti-join shuffle per hop); instead the
+    final groupBy-min dedups revisits, which is cheaper while levels
+    stay within the same order of magnitude — the regime bounded-depth
+    neighborhoods (feature extraction, blast-radius queries) live in.
+    For unbounded reachability on high-diameter graphs use the
+    connected-components operator instead (operators/dedup.py).
+
+    Returns (node, min_hops).
+    """
+    e = edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+    reached = seeds.select(
+        F.col(seed_col).alias("node"), F.lit(0).alias("min_hops")
+    ).distinct()
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["__u"])
+            .select(F.col("__v").alias("node"), F.lit(hop).alias("min_hops"))
+            .distinct()
+        )
+        reached = reached.unionByName(frontier)
+    return reached.groupBy("node").agg(F.min("min_hops").alias("min_hops"))

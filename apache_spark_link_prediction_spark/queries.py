@@ -4906,6 +4906,116 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_khop_reachability",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 2),
+    sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    s0 AS (SELECT p_partkey AS node FROM part WHERE p_size = 1),
+    h1 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN s0 ON sym.u = s0.node),
+    h2 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN h1 ON sym.u = h1.node),
+    h3 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN h2 ON sym.u = h2.node),
+    hops AS (
+      SELECT node, 0 AS h FROM s0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3)
+    SELECT node AS node_id, CAST(min(h) AS INT) AS min_hops
+    FROM hops GROUP BY node
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (3 hops) from a seed set (parts with p_size=1)
+    over the symmetrized co-purchase graph — the neighborhood /
+    blast-radius primitive (operators/graph.py bfs_min_hops). Each hop
+    is one frontier⋈edges join keyed on node id — the same key every
+    level, so a cluster reuses the partitioning — and the final
+    groupBy-min collapses revisits; the oracle unrolls the identical
+    three levels as chained CTEs."""
+    from .operators.graph import bfs_min_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = bfs_min_hops(sym, seeds, src="u", dst="v", max_hops=3)
+    return out.select(
+        F.col("node").alias("node_id"), F.col("min_hops").cast("int").alias("min_hops")
+    )
+
+
+@register(
+    "winsorize_by_group",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(value, 0.01), 6) AS DECIMAL(18,6)) AS lo,
+             CAST(round(quantile_cont(value, 0.99), 6) AS DECIMAL(18,6)) AS hi
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, CAST(e.value AS DECIMAL(18,6)) AS v, b.lo, b.hi
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(LEAST(GREATEST(v, lo), hi)) AS DOUBLE) AS winsorized_sum
+    FROM c GROUP BY event_type
+    """,
+)
+def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p01, p99]) — the outlier-
+    robust feature-cleaning primitive: per-type quantile bounds, then
+    clip-and-aggregate. The bounds table is |groups| rows and
+    broadcasts back; bounds are rounded to 6dp and the clipped sum runs
+    in exact DECIMAL, so the engine comparison never rides on float
+    summation order. At 100 TB the exact per-group quantile becomes
+    ``approx_percentile`` (same plan shape, mergeable sketch) as
+    documented on percentile_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).cast("decimal(18,6)").alias("lo"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).cast("decimal(18,6)").alias("hi"),
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            (v < F.col("lo")).cast("long").alias("__lo_clip"),
+            (v > F.col("hi")).cast("long").alias("__hi_clip"),
+            F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("__clipped"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("__lo_clip").alias("n_clipped_low"),
+            F.sum("__hi_clip").alias("n_clipped_high"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__clipped").cast("double").alias("winsorized_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

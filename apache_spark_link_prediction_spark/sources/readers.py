@@ -217,3 +217,43 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_jsonl(df: DataFrame, path: str, *, compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format most raw LLM training
+    corpora arrive and ship in (one JSON object per line, splittable
+    when uncompressed, gzip per-file otherwise). Spark's json writer IS
+    jsonl: one object per line, one file per partition."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON-lines source. ALWAYS pass a schema in production: without
+    one Spark runs a full inference pass (an extra scan of 100 TB) and
+    corrupt records silently become nulls in a ``_corrupt_record``
+    world you haven't declared. With an explicit schema the scan is
+    single-pass and malformed lines surface per the configured
+    ``mode`` (PERMISSIVE default)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other first-class columnar format (Hive-lineage
+    clusters standardize on it); same pushdown/pruning contract as
+    parquet via Spark's native vectorized ORC reader."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native vectorized reader; predicate pushdown and
+    column pruning verified in tests/test_sources.py)."""
+    return spark.read.orc(path)

@@ -630,3 +630,23 @@ def test_jaccard_prefix_join_equals_unblocked_quadratic(spark, docs):
     }
     assert want, "fixture should contain near-dup pairs"
     assert got == want
+
+
+def test_bfs_min_hops_small_graph(spark):
+    """bfs_min_hops on a hand-checkable directed graph: minimum hop
+    wins when a node is reachable at several depths, nodes beyond
+    max_hops are absent, isolated seeds stay at hop 0, and a cycle
+    doesn't loop forever (bounded unroll)."""
+    from apache_spark_link_prediction_spark.operators.graph import bfs_min_hops
+
+    #   1 → 2 → 3 → 4 → 5,  1 → 3 (shortcut),  3 → 1 (cycle back)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (3, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 isolated
+    got = {r.node: r.min_hops for r in bfs_min_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    # depth bound respected: with max_hops=2, node 5 is unreached
+    got2 = {r.node: r.min_hops for r in bfs_min_hops(edges, seeds, max_hops=2).collect()}
+    assert 5 not in got2 and got2[4] == 2

@@ -180,3 +180,58 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 8
     assert merged.filter(F.col("source") == "old").filter(F.col("score").isNull()).count() == 5
     assert merged.filter(F.col("source") == "new").filter(F.col("score").isNotNull()).count() == 3
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    """JSONL sink/source round-trip: schema'd read preserves types and
+    values (incl. nulls and unicode), gzip files still read
+    transparently, and a malformed line surfaces as a null row under
+    PERMISSIVE rather than crashing the scan."""
+    from pyspark.sql import types as T
+
+    from apache_spark_link_prediction_spark.sources.readers import read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "plain", 0.5), (2, "unicode é×∑", None), (3, None, -1.25)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+    # malformed line -> PERMISSIVE null row, scan survives
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json\n')
+    got = read_jsonl(spark, str(bad), schema).collect()
+    assert len(got) == 2 and any(r.doc_id is None for r in got)
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC sink/source round-trip with the same scan contract the
+    parquet path has: values survive, the filter reaches the ORC scan
+    (searchArgument/pushed filters in the plan), and partition pruning
+    limits the directories read."""
+    from apache_spark_link_prediction_spark.sources.readers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i % 3) for i in range(100)], "id long, txt string, bucket int"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_orc(df, path, partition_by=["bucket"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.filter("bucket = 1").collect()) == sorted(
+        i for i in range(100) if i % 3 == 1
+    )
+    plan = back.filter("id < 10").select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,10)" in plan or "LessThan(id,10)" in plan
+    # partition pruning: only one of three bucket dirs in the scan
+    pruned = back.filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pruned
