@@ -5016,6 +5016,70 @@ def winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_distinct_users_hll",
+    """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS sketch_within_5pct
+    FROM days d JOIN pairs p
+      ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — THE mergeable-sketch
+    pattern for distinct counts at 100 TB: COUNT(DISTINCT) does not
+    re-aggregate (yesterday's count is useless for today's window), but
+    a per-day DataSketches HLL sketch does — build |days| small
+    sketches once, then union 7 per output day (``hll_sketch_agg`` →
+    ``hll_union_agg`` → estimate), instead of re-shuffling a week of
+    raw user ids per day. The oracle contract mirrors
+    approx_distinct_agg: the exact rolling count hash-matches DuckDB
+    and the sketch estimate is folded into a ≤5% bound flag the oracle
+    asserts TRUE. The bounded range join is rewritten as an EQUI join:
+    each source day contributes to exactly 7 target days, so a
+    map-side explode of offsets 0..6 plus a broadcast join against the
+    observed-day spine replaces the nested-loop BETWEEN — the shuffle
+    keys on target day and the sketch union re-aggregates 7 summaries
+    per day. The exact twin here exists only to grade the sketch —
+    production keeps the sketch path alone."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off")
+    target = F.date_add(F.col("day"), F.col("__off")).alias("t_day")
+    exact = (
+        pairs.select("day", "user_id", offsets)
+        .select(target, "user_id")
+        .join(F.broadcast(days.select(F.col("day").alias("t_day"))), "t_day")
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    daily_sk = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    approx = (
+        daily_sk.select("day", "sk", offsets)
+        .select(target, "sk")
+        .join(F.broadcast(days.select(F.col("day").alias("t_day"))), "t_day")
+        .groupBy("t_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    )
+    return exact.join(approx, "t_day").select(
+        F.col("t_day").alias("day"),
+        "exact_users_7d",
+        (
+            F.abs(F.col("__est") - F.col("exact_users_7d"))
+            <= 0.05 * F.col("exact_users_7d")
+        ).alias("sketch_within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
