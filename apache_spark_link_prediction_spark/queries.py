@@ -5080,6 +5080,165 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_profile",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT * FROM (
+      SELECT 'user_id' AS column_name, (SELECT n_rows FROM n) AS n_rows,
+             CAST(count(user_id) AS BIGINT) AS n_non_null,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+             CAST(min(user_id) AS VARCHAR) AS min_value,
+             CAST(max(user_id) AS VARCHAR) AS max_value
+      FROM events
+      UNION ALL
+      SELECT 'event_type', (SELECT n_rows FROM n),
+             CAST(count(event_type) AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'value', (SELECT n_rows FROM n),
+             CAST(count(value) AS BIGINT),
+             CAST(count(DISTINCT value) AS BIGINT),
+             CAST(round(min(value), 6) AS VARCHAR),
+             CAST(round(max(value), 6) AS VARCHAR)
+      FROM events)
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the deequ/great-expectations primitive):
+    per-column completeness, cardinality, and range in ONE scan — all
+    columns' aggregates computed side-by-side in a single agg, then
+    unpivoted to a row per column, rather than one job per column
+    (which would re-read 100 TB per metric). min/max stringified so
+    heterogeneous column types share one report schema. At scale the
+    n_distinct term switches to approx_count_distinct (mergeable, no
+    per-column value shuffle) — same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.min("user_id").cast("string").alias("mn_user"),
+        F.max("user_id").cast("string").alias("mx_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.min("event_type").alias("mn_type"),
+        F.max("event_type").alias("mx_type"),
+        F.count("value").alias("nn_val"),
+        F.countDistinct("value").alias("nd_val"),
+        F.round(F.min("value"), 6).cast("string").alias("mn_val"),
+        F.round(F.max("value"), 6).cast("string").alias("mx_val"),
+    )
+    cols = [
+        ("user_id", "nn_user", "nd_user", "mn_user", "mx_user"),
+        ("event_type", "nn_type", "nd_type", "mn_type", "mx_type"),
+        ("value", "nn_val", "nd_val", "mn_val", "mx_val"),
+    ]
+    stack = F.expr(
+        "stack({}, {})".format(
+            len(cols),
+            ", ".join(f"'{name}', {nn}, {nd}, {mn}, {mx}" for name, nn, nd, mn, mx in cols),
+        )
+    ).alias("column_name", "n_non_null", "n_distinct", "min_value", "max_value")
+    return agg.select("n_rows", stack).select(
+        "column_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value"
+    )
+
+
+@register(
+    "corr_by_group",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,6)) AS x,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS DECIMAL(18,6)) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(18,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM t GROUP BY event_type)
+    SELECT event_type,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+    FROM s
+    """,
+)
+def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (value vs hour-of-day) computed
+    from EXACT decimal moment sums — ``F.corr`` (and DuckDB's) sums
+    doubles, so the last ulp depends on partition/summation order and
+    is not engine-portable; accumulating n/Σx/Σy/Σxy/Σx²/Σy² in
+    DECIMAL makes every input to the final double formula exact, so
+    both engines compute bit-identical r. Same single map-side-combined
+    agg as a plain corr; the formula is free."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.hour("ts").cast("decimal(18,6)").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("event_type", F.round(num / den, 6).alias("pearson_r"))
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT event_type,
+           CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           round(CAST(min(value) AS DOUBLE), 6) AS min_value,
+           round(CAST(max(value) AS DOUBLE), 6) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-aggregation: build DAILY partial aggregates
+    (count/sum/min/max — all algebraic, hence mergeable), then roll
+    them up to MONTHLY by merging partials, and prove via the oracle
+    that the merge equals aggregating the raw data directly. This is
+    the materialized-rollup contract every incremental pipeline relies
+    on (yesterday's partials never get recomputed; only the new day is
+    scanned, then |days| partial rows re-aggregate). Decimal sums keep
+    the merge bit-identical to the direct path."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("p_sum"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    )
+    return (
+        daily.groupBy("event_type", F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.sum("p_n").alias("n_events"),
+            F.sum("p_sum").cast("double").alias("total_value"),
+            F.round(F.min("p_min").cast("double"), 6).alias("min_value"),
+            F.round(F.max("p_max").cast("double"), 6).alias("max_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
