@@ -5239,6 +5239,74 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_missing_field
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read semi-structured path via Spark 4 VARIANT:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — no declared struct schema (the
+    twin json_props_extract_agg parses with an explicit schema; variant
+    is the right call when payload shape drifts or is heterogeneous,
+    since the parse survives unknown fields and paths bind at read).
+    Absent paths yield NULL (counted here to pin that semantic); the
+    oracle is plain JSON extraction."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.withColumn("__v", F.parse_json("props"))
+    return v.groupBy("event_type").agg(
+        F.sum(F.variant_get("__v", "$.k", "bigint")).alias("sum_k"),
+        F.count(F.variant_get("__v", "$.missing", "bigint")).alias("n_missing_field"),
+    )
+
+
+@register(
+    "python_datasource_agg",
+    """
+    WITH g AS (
+      SELECT range AS event_id,
+             (range * 2654435761) % 4294967296 AS h
+      FROM range(0, 50000))
+    SELECT CAST(h % 10 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round((h % 100000) / 1000.0, 3)
+                         AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM g GROUP BY 1
+    """,
+)
+def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector path: rows come from the pure-Python
+    ``synthetic_events`` DataSource (sources/pyds.py — Spark 4
+    ``pyspark.sql.datasource`` API, partition-parallel reader), then a
+    normal per-bucket aggregate. The generator is closed-form (Knuth
+    hash of the row id), so DuckDB reproduces every row from
+    ``range(n)`` and the hash gate verifies the whole connector
+    plumbing — partitions, schema, Arrow conversion — not just the
+    agg. Values sum in DECIMAL(18,3) (each is exactly 3 decimal
+    digits) to stay engine-portable."""
+    from .sources.pyds import register_synthetic_source
+
+    register_synthetic_source(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("n", 50000)
+        .option("partitions", 8)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -235,3 +235,25 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     # partition pruning: only one of three bucket dirs in the scan
     pruned = back.filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pruned
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """The custom Python DataSource yields exactly the closed-form rows
+    (synthetic_row is the shared truth), across ALL partitions with no
+    gaps or dupes, and re-reading is deterministic."""
+    from apache_spark_link_prediction_spark.sources.pyds import (
+        register_synthetic_source,
+        synthetic_row,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 997)  # prime: uneven partition splits exercised
+        .option("partitions", 7)
+        .load()
+    )
+    got = sorted((r.event_id, r.bucket, r.value) for r in df.collect())
+    want = sorted(synthetic_row(i) for i in range(997))
+    assert got == want
+    assert df.rdd.getNumPartitions() == 7
