@@ -22,6 +22,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    truncate_lineage_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
     upstream for undirected graphs): r_{k+1}(v) = (1-d)/N + d·Σ_{u→v}
@@ -36,6 +37,14 @@ def pagerank(
     damped mass, as in the classic formulation without dangling
     redistribution — callers wanting strict mass conservation should
     add sink self-loops upstream.
+
+    ``truncate_lineage_every=k`` materializes the rank frame with an
+    eager ``localCheckpoint`` every k iterations: at 3 unrolled
+    iterations the single lazy plan is ideal (Catalyst/AQE see it
+    whole), but at 20+ the plan tree grows linearly and analysis/
+    codegen time — and, on a cluster, recovery cost after executor
+    loss — grows with it. Periodic truncation caps plan depth at k
+    joins; numerically a no-op (pinned in tests).
 
     Returns (node, rank). Nodes = every src or dst endpoint.
     """
@@ -53,7 +62,7 @@ def pagerank(
     ranks = nodes.crossJoin(n_df).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             fanout.join(ranks, on=fanout["__u"] == ranks["node"])
             .select(F.col("__v").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
@@ -71,6 +80,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if truncate_lineage_every and (it + 1) % truncate_lineage_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

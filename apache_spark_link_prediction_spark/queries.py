@@ -5307,6 +5307,53 @@ def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Static enrichment dim for the stream-static join: event_type →
+# (priority tier, weight). 'error' is deliberately absent to pin the
+# left-join null semantics. Mirrored as CASE expressions in the oracle.
+_ENRICH_DIM = [
+    ("view", 1, 0.5),
+    ("click", 2, 1.0),
+    ("purchase", 3, 5.0),
+    ("signup", 2, 2.0),
+]
+
+
+@register(
+    "streaming_static_join",
+    f"""
+    SELECT event_id,
+           event_type,
+           CASE event_type {' '.join(f"WHEN '{t}' THEN {p}" for t, p, _ in _ENRICH_DIM)}
+           END AS priority,
+           round(value * CASE event_type
+                 {' '.join(f"WHEN '{t}' THEN {w}" for t, _, w in _ENRICH_DIM)}
+                 END, 6) AS weighted_value
+    FROM events
+    """,
+)
+def streaming_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment driven to completion: each
+    micro-batch left-joins the 4-row reference dim (stateless — no
+    watermark, unlike stream-stream joins), unmatched types
+    ('error') keep NULL enrichment. The drained stream must equal the
+    batch CASE-mapping oracle row-for-row — proving the per-batch join
+    neither drops nor duplicates under micro-batching."""
+    from .streaming.events import run_stream_to_memory, streaming_enrich_static
+
+    dim = spark.createDataFrame(_ENRICH_DIM, "event_type string, priority int, weight double")
+    enriched = streaming_enrich_static(
+        _events_as_stream(spark, sf_dir), dim
+    ).select(
+        "event_id",
+        "event_type",
+        "priority",
+        F.round(F.col("value") * F.col("weight"), 6).alias("weighted_value"),
+    )
+    return run_stream_to_memory(
+        enriched, name="q_streaming_static_join", output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -105,6 +105,22 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_enrich_static(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str = "event_type",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the
+    (small) static dimension — broadcast, stateless, no watermark
+    needed (unlike stream-stream joins, the static side is complete by
+    definition). The 100 TB pattern for attaching slowly-changing
+    reference data to a firehose; for dims that DO change mid-run, swap
+    in a ``foreachBatch`` re-read or the CDC-upsert stream
+    (streaming_cdc_latest)."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 def streaming_interval_join(
     events: DataFrame,
     *,

@@ -650,3 +650,20 @@ def test_bfs_min_hops_small_graph(spark):
     # depth bound respected: with max_hops=2, node 5 is unreached
     got2 = {r.node: r.min_hops for r in bfs_min_hops(edges, seeds, max_hops=2).collect()}
     assert 5 not in got2 and got2[4] == 2
+
+
+def test_pagerank_lineage_truncation_is_numerically_noop(spark):
+    """truncate_lineage_every caps the unrolled plan depth without
+    changing a single rank bit — 6 iterations checkpointed every 2 must
+    equal the fully-lazy 6-iteration run exactly."""
+    from apache_spark_link_prediction_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)], "src long, dst long"
+    )
+    plain = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    trunc = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=6, truncate_lineage_every=2).collect()
+    }
+    assert plain == trunc
