@@ -74,3 +74,61 @@ def test_tpch_q1_partial_aggregation(spark, sf_dir):
     plan = plan_of(QUERIES["tpch_q1_agg"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_join_strategy_hints_control_physical_join(spark, sf_dir):
+    """Join strategy is controllable per-join when the optimizer's
+    default is wrong for a workload: shuffle_hash avoids the sort of a
+    sort-merge join (right call when one side is modest and sorted
+    output isn't needed); merge forces sort-merge; broadcast pins the
+    map-side join. The hint must survive into the physical plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "ShuffledHashJoin" in plan_of(j)
+    j2 = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in plan_of(j2)
+    j3 = li.join(orders.hint("broadcast"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "BroadcastHashJoin" in plan_of(j3)
+
+
+def test_nested_struct_column_pruning(spark, tmp_path_factory):
+    """Schema pruning reaches INSIDE structs: selecting one subfield of
+    a nested column must scan only that leaf (ReadSchema shows the
+    pruned struct), not the whole struct — at 100 TB a wide metadata
+    struct would otherwise be read for a one-field projection."""
+    path = str(tmp_path_factory.mktemp("nested") / "t")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.struct(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("x").alias("big_payload"),
+        ).alias("meta"),
+    )
+    write_parquet(df, path)
+    back = spark.read.parquet(path).select("meta.a")
+    plan = plan_of(back)
+    assert "ReadSchema" in plan
+    # only leaf 'a' inside meta is read
+    assert "meta:struct<a:bigint>" in plan.replace(" ", "")
+    assert "big_payload" not in plan
+
+
+def test_observation_metrics_without_extra_pass(spark, sf_dir):
+    """The Observation API collects audit metrics DURING the job (no
+    second scan): row count and null count arrive with the action —
+    the pipeline-health hook a 100 TB run uses instead of re-running
+    count() style probes."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    n_direct = observed.count()  # one action drives both result + metrics
+    assert obs.get["n_rows"] == n_direct
+    assert obs.get["n_null_value"] == 0
