@@ -322,6 +322,72 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_sample", T.DoubleType(), True),
+    ]
+)
+
+
+def png_from_documents(docs: DataFrame, *, width: int = 16, height: int = 4) -> DataFrame:
+    """Testbed adapter: a REAL RGB PNG per document, pixels closed-form
+    from doc_id (pixel i = (doc_id·31 + i·7) mod 256) so downstream
+    decode results are reproducible by any engine from the id alone.
+    encode_png needs zlib, so this is an Arrow ``mapInPandas`` step —
+    payload built worker-side, never driver-side."""
+    n = width * height * 3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "mime": "image/png",
+                    "payload": [
+                        encode_png(
+                            width,
+                            height,
+                            bytes((int(d) * 31 + i * 7) % 256 for i in range(n)),
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Pixel-level PNG decode features via the stdlib codec: dimensions
+    plus the mean sample value (proof the inflate+unfilter ran, not
+    just a header peek). Undecodable rows quarantine to nulls."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = []
+            for payload in pdf["payload"]:
+                try:
+                    decoded.append(decode_png(payload))
+                except Exception:
+                    decoded.append({})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array([d.get("width") for d in decoded], dtype="Int32"),
+                    "height": pd.array([d.get("height") for d in decoded], dtype="Int32"),
+                    "mean_sample": pd.array(
+                        [d.get("mean_sample") for d in decoded], dtype="Float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=PNG_FEATURE_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, *, modality: str = "image") -> DataFrame:
     """Adapter for the testbed: wrap each document's text bytes in a
     synthetic SGM1 payload so the full binary pipeline is exercisable

@@ -5354,6 +5354,39 @@ def streaming_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_roundtrip",
+    """
+    SELECT d.doc_id AS media_id,
+           16 AS width, 4 AS height,
+           round(avg(CAST((d.doc_id * 31 + r.range * 7) % 256 AS DOUBLE)), 6)
+             AS mean_sample
+    FROM documents d CROSS JOIN range(0, 192) r
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full binary image cycle behind the hash gate: closed-form pixels
+    → stdlib PNG ENCODE (zlib, filter-0 scanlines) → opaque binary
+    column → stdlib PNG DECODE (chunk walk, CRC verify, inflate,
+    unfilter) → pixel-mean feature, all in Arrow mapInPandas stages.
+    Because pixel i of doc d is (d·31 + i·7) mod 256, DuckDB reproduces
+    the decoded mean from doc_id alone — so a corruption ANYWHERE in
+    the encode/decode/transport chain flips the hash. The WAV twin is
+    multimodal_audio_energy; SGM1 header paths are the other
+    multimodal_* queries."""
+    from .operators.multimodal import decode_png_features, png_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_png_features(png_from_documents(docs, width=16, height=4))
+    return feats.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round("mean_sample", 6).alias("mean_sample"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
