@@ -119,9 +119,16 @@ def test_observation_metrics_without_extra_pass(spark, sf_dir):
     """The Observation API collects audit metrics DURING the job (no
     second scan): row count and null count arrive with the action —
     the pipeline-health hook a 100 TB run uses instead of re-running
-    count() style probes."""
+    count() style probes.
+
+    Isolated on ``newSession()``: Spark 4.1's ObservationManager is a
+    non-serializable SparkSession field that, once an observation has
+    registered, breaks later closures that capture the session (the ML
+    training-summary path does) — observing on a child session leaves
+    the shared session's manager untouched."""
     from pyspark.sql import Observation
 
+    spark = spark.newSession()
     ev = load_table(spark, sf_dir, "events")
     obs = Observation("audit")
     observed = ev.observe(
