@@ -5387,6 +5387,101 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_hof_suite",
+    """
+    WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                          t -> t != '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+           CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                AS BIGINT) AS total_chars,
+           CAST(list_has_any(toks, ['spark', 'query']) AS BOOLEAN) AS mentions_engine,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_sort(list_distinct(toks)),
+                                 t -> CAST(length(t) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS shape_hash
+    FROM d
+    """,
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function semantics pinned cross-engine:
+    filter (predicate lambda), transform+aggregate (map/fold without
+    exploding — the shuffle-free path for per-row array math),
+    exists-any membership, and an order-sensitive fold over the
+    sorted distinct token lengths (catches any engine divergence in
+    sort/distinct/fold composition). All per-row, map-only — zero
+    shuffles; this family is why embedding math (dot products via
+    aggregate/zip_with) never needs a UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize("text").alias("toks"))
+    fold = F.expr(
+        "aggregate(transform(array_sort(array_distinct(toks)),"
+        " t -> cast(length(t) as bigint)), cast(0 as bigint),"
+        " (a, b) -> (a * 31 + b) % 1000000007)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.arrays_overlap("toks", F.array(F.lit("spark"), F.lit("query"))).alias(
+            "mentions_engine"
+        ),
+        fold.alias("shape_hash"),
+    )
+
+
+@register(
+    "null_semantics_suite",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN value < 10 THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,6)) END AS nv
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(nv) AS BIGINT) AS n_non_null,
+           CAST(SUM(CASE WHEN nv IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+           round(CAST(SUM(COALESCE(nv, CAST(0 AS DECIMAL(18,6)))) AS DOUBLE), 6)
+             AS sum_coalesced,
+           round(CAST(min(nv) AS DOUBLE), 6) AS min_skips_null
+    FROM t GROUP BY event_type
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity surface over a DERIVED nullable column
+    (events ship null-free, so value<10 becomes NULL in-plan to make
+    every check non-trivial): count(*) vs count(col) null skipping,
+    null-safe equality (``eqNullSafe`` / IS NOT DISTINCT FROM),
+    COALESCE defaulting inside an exact-decimal sum, and min() null
+    skipping. The same semantics the null-safe join family (J1/J2,
+    SURVEY §2.7) depends on, checked as aggregates so every row
+    participates."""
+    ev = load_table(spark, sf_dir, "events")
+    nv = F.when(F.col("value") < 10, F.lit(None)).otherwise(
+        F.col("value").cast("decimal(18,6)")
+    )
+    t = ev.select("event_type", nv.alias("nv"))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("nv").alias("n_non_null"),
+        F.sum(F.col("nv").eqNullSafe(F.lit(None).cast("decimal(18,6)")).cast("long")).alias(
+            "n_null_safe_null"
+        ),
+        F.round(
+            F.sum(F.coalesce("nv", F.lit(0).cast("decimal(18,6)"))).cast("double"), 6
+        ).alias("sum_coalesced"),
+        F.round(F.min("nv").cast("double"), 6).alias("min_skips_null"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
