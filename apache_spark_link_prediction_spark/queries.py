@@ -5482,6 +5482,111 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_release",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             count(*) OVER (PARTITION BY lang, source) AS k
+      FROM documents)
+    WHERE k >= 10
+    """,
+)
+def k_anonymity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release filter (privacy primitive for training-data
+    publication): rows whose quasi-identifier combination (lang,
+    source) appears in a group of at least k=10 survive; smaller
+    groups are suppressed entirely — re-identification needs a group,
+    and every released group hides each member among ≥ k-1 others.
+    One window count over the quasi-id key (the same shuffle a
+    groupBy would pay) with the filter applied before any release —
+    no suppressed row ever leaves the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source")
+    return (
+        docs.select("doc_id", "lang", "source", F.count(F.lit(1)).over(w).alias("__k"))
+        .filter(F.col("__k") >= 10)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "ndcg_retrieval_eval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_sql('text')}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN {_BM25_TERMS!r} GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM toks WHERE token IN {_BM25_TERMS!r} GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+               (tf.tf * ({_BM25_K1} + 1)) /
+               (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN df ON tf.token = df.token
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS rel,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+      FROM scored),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM ranked)
+    SELECT round((SELECT SUM(rel / log2(pos + 1)) FROM ranked WHERE pos <= 10) /
+                 (SELECT SUM(rel / log2(pos + 1)) FROM ideal WHERE pos <= 10),
+                 6) AS ndcg_at_10,
+           round((SELECT SUM(rel / log2(pos + 1)) FROM ranked WHERE pos <= 5) /
+                 (SELECT SUM(rel / log2(pos + 1)) FROM ideal WHERE pos <= 5),
+                 6) AS ndcg_at_5
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: NDCG@5/@10 of the BM25 ranking
+    against deterministic synthetic relevance labels (doc_id%3==0) —
+    the retrieval-eval loop a curation pipeline runs after every
+    scoring change. Ranking orders by the ROUNDED score (6dp) with a
+    doc_id tiebreak so the permutation is engine-stable (raw double
+    sums could differ in the last ulp and flip adjacent ranks); DCG
+    discounts are per-position over a fixed top-10, so the final
+    doubles agree. The global top-k window is a 10-row TakeOrdered at
+    scale, not a full sort."""
+    scored = bm25_scoring(spark, sf_dir)
+    rel = F.when(F.col("doc_id") % 3 == 0, 1.0).otherwise(0.0)
+    ranked = scored.select(
+        "doc_id",
+        rel.alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("pos"),
+    )
+    ideal = ranked.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")).alias("pos"),
+    )
+    gain = F.col("rel") / F.log2(F.col("pos") + 1)
+
+    def dcg(df, k, name):
+        return df.filter(F.col("pos") <= k).agg(F.sum(gain).alias(name))
+
+    return (
+        dcg(ranked, 10, "d10")
+        .crossJoin(F.broadcast(dcg(ideal, 10, "i10")))
+        .crossJoin(F.broadcast(dcg(ranked, 5, "d5")))
+        .crossJoin(F.broadcast(dcg(ideal, 5, "i5")))
+        .select(
+            F.round(F.col("d10") / F.col("i10"), 6).alias("ndcg_at_10"),
+            F.round(F.col("d5") / F.col("i5"), 6).alias("ndcg_at_5"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -157,3 +157,27 @@ def test_word_shingles_match_python(spark, rows, n):
     got = {r.i: r.g for r in df.select("i", word_shingles("s", n).alias("g")).collect()}
     for i, s in enumerate(rows):
         assert got[i] == py_shingles(s, n), (repr(s), n)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_codec_roundtrip_property(w, h, color_type, data):
+    """encode_png → decode_png round-trips dimensions and pixel mean
+    for arbitrary sizes, every supported color type, and arbitrary
+    pixel bytes (pure-Python, no Spark session needed)."""
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    n = w * h * _PNG_CHANNELS[color_type]
+    pixels = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    meta = decode_png(encode_png(w, h, pixels, color_type=color_type))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert abs(meta["mean_sample"] - sum(pixels) / n) < 1e-9

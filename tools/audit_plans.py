@@ -82,6 +82,9 @@ ALLOW = {
     # above-average threshold scalar (1-row broadcast) cross-joined
     # for the decorrelated Q22 comparison
     "tpch_q22_idle_customers": {"nested-loop join"},
+    # four 1-row DCG/IDCG scalar aggregates cross-joined into the final
+    # ratio row — same bounded global-scalar pattern as funnel_conversion
+    "ndcg_retrieval_eval": {"nested-loop join"},
 }
 
 
