@@ -5587,6 +5587,102 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interpolate_missing_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+               FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                                  CAST(mx AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    j AS (
+      SELECT s.user_id, s.day, d.v FROM spine s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+    anch AS (
+      SELECT user_id, day, v,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM j)
+    SELECT user_id, day,
+           round(COALESCE(v,
+                 pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                   / CAST(date_diff('day', pd, nd) AS DOUBLE))),
+                 6) AS v_filled,
+           CAST(v IS NULL AS BOOLEAN) AS interpolated
+    FROM anch
+    """,
+)
+def interpolate_missing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over per-user daily series gaps — the
+    hypertable densify+fill primitive (gap_fill_daily's spine plus
+    value reconstruction): missing days between two observations get
+    pv + (nv−pv)·Δ, where anchors come from IGNORE-NULLS running
+    last/first window pairs — no self-join against the observation
+    set, one user-keyed window shuffle total. No extrapolation: the
+    spine spans each user's observed [min, max] day only, so anchors
+    always exist. Daily values are exact-decimal SUMS (a mean would
+    ride on double division); the interpolation expression has
+    identical operation order in both engines, so round-6 matches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    anch = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast("double")
+    )
+    return anch.select(
+        "user_id",
+        "day",
+        F.round(F.coalesce("v", interp), 6).alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
