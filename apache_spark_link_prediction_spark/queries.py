@@ -5683,6 +5683,77 @@ def interpolate_missing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_pandas",
+    # asof_join_events' oracle VERBATIM — the Arrow path must produce
+    # the identical result set
+    """
+    SELECT c.event_id, c.user_id,
+           round(e.value, 6) AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark_guide's OTHER as-of formulation: per-user
+    ``pd.merge_asof`` inside ``applyInPandas`` (Arrow-batched grouped
+    map), against the same DuckDB native-ASOF oracle as the
+    union+window twin ``asof_join_events`` — both hash-green means the
+    Python path and the pure-Catalyst path agree row-for-row.
+    Same single user_id shuffle; use this shape when per-group logic
+    outgrows window expressibility (tolerance windows, nearest-rather-
+    than-backward matching), the Catalyst twin otherwise."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    # one grouped frame: side-tagged union so applyInPandas sees both
+    # inputs per user without a second shuffle
+    l_side = clicks.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit("L").alias("__side"),
+        F.lit(None).cast("double").alias("err_value"),
+    )
+    r_side = errors.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit("R").alias("__side"),
+        F.col("err_value"),
+    )
+    both = l_side.unionByName(r_side)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        left = pdf[pdf["__side"] == "L"].sort_values(["ts", "event_id"])
+        right = pdf[pdf["__side"] == "R"].sort_values("ts")
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "last_error_value"]
+            ).astype({"event_id": "int64", "user_id": "int64", "last_error_value": "float64"})
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["ts", "err_value"]].rename(columns={"err_value": "last_error_value"}),
+            on="ts",
+            direction="backward",
+        )
+        return merged[["event_id", "user_id", "last_error_value"]]
+
+    out = both.groupBy("user_id").applyInPandas(
+        fn, schema="event_id long, user_id long, last_error_value double"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("last_error_value", 6).alias("last_error_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
