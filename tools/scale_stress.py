@@ -127,7 +127,17 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
 # lambdas above, which take in-memory frames).
-EVENTS_QUERIES = ("cdc_upsert_latest", "time_weighted_avg_daily", "activity_streaks")
+EVENTS_QUERIES = (
+    "cdc_upsert_latest",
+    "time_weighted_avg_daily",
+    "activity_streaks",
+    "winsorize_by_group",
+    "rolling_distinct_users_hll",
+    "interpolate_missing_daily",
+    "corr_by_group",
+    "incremental_agg_merge",
+    "table_profile",
+)
 
 
 def main() -> None:
