@@ -5754,6 +5754,68 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multi_distinct_agg",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT …) over DIFFERENT columns in one
+    aggregate — Spark plans this with the Expand operator (each input
+    row fans out once per distinct column, tagged with a group id, then
+    one shuffle dedups all of them together) instead of one job per
+    distinct column. The row fan-out is ×|distinct-cols| BEFORE the
+    shuffle, which is the cost to watch at 100 TB: with many distinct
+    columns, switch to approx_count_distinct (no Expand, one sketch
+    per column, map-side merged — see approx_distinct_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    """
+    SELECT s.source, l.doc_id, l.n_chars
+    FROM (SELECT DISTINCT source FROM documents) s,
+    LATERAL (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+             FROM documents d
+             WHERE d.source = s.source
+             ORDER BY n_chars DESC, doc_id LIMIT 2) l
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL top-k-per-group): for each
+    source, its 2 longest documents — the third formulation of
+    top-k-per-group alongside the window row_number
+    (window_topk_per_group) and groupBy+slice(sort_array) shapes.
+    Spark decorrelates the LATERAL into a DomainJoin → window under
+    the hood, so the physical plan matches the window twin — pinning
+    that the SQL surface exists and optimizes, not a new executor
+    path. Registered via spark.sql on a temp view; same plan-first
+    contract as every DataFrame entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__lateral_docs")
+    return spark.sql(
+        """
+        SELECT s.source, l.doc_id, l.n_chars
+        FROM (SELECT DISTINCT source FROM __lateral_docs) s,
+        LATERAL (SELECT doc_id, n_chars
+                 FROM __lateral_docs d
+                 WHERE d.source = s.source
+                 ORDER BY n_chars DESC, doc_id LIMIT 2) l
+        """
+    ).select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
