@@ -5816,6 +5816,22 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+@register("bpe_tokenize_stats")  # rows-only: iterative argmax not SQL-portable
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus (operators/bpe.py — 8
+    merges learned as a distributed pair-count/argmax/fold loop over
+    the unique-word vocab) followed by corpus segmentation with the
+    learned merges: per-doc BPE token counts, the tokenizer-fertility
+    statistic. Rows-only (iterative argmax is not SQL-expressible);
+    exact merge-sequence and segmentation parity vs a pure-Python
+    reference implementation pinned in tests/test_operators.py."""
+    from .operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=8)
+    return apply_bpe(docs, merges).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

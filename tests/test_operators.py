@@ -667,3 +667,80 @@ def test_pagerank_lineage_truncation_is_numerically_noop(spark):
         for r in pagerank(edges, iterations=6, truncate_lineage_every=2).collect()
     }
     assert plain == trunc
+
+
+def _python_bpe(texts, num_merges):
+    """Reference BPE (Sennrich et al.): dict-of-tuples vocab, greedy
+    non-overlapping merge, lexicographic tie-break."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in "\x1f".join(kv[0])]))
+        # max count; ties -> lexicographically SMALLEST pair string
+        top_n = best[1]
+        cands = sorted("\x1f".join(p) for p, n in pairs.items() if n == top_n)
+        a, b = cands[0].split("\x1f")
+        merges.append((a, b))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_training_matches_python_reference(spark):
+    """train_bpe's distributed loop must learn the exact merge sequence
+    the pure-Python reference learns, including tie-breaks, and
+    apply_bpe's fold must reproduce the reference segmentation
+    lengths."""
+    from apache_spark_link_prediction_spark.operators.bpe import apply_bpe, train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low newer wide lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _python_bpe(texts, 8)
+    got = train_bpe(docs, num_merges=8)
+    assert got == want, (got, want)
+
+    # segmentation parity: token counts per doc after applying merges
+    def seg_len(text):
+        total = 0
+        for w in text.strip().lower().split():
+            syms = list(w) + ["</w>"]
+            for a, b in want:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            total += len(syms)
+        return total
+
+    stats = {r.doc_id: r.n_bpe_tokens for r in apply_bpe(docs, got).collect()}
+    for i, t in enumerate(texts):
+        assert stats[i] == seg_len(t), (i, stats[i], seg_len(t))
