@@ -125,6 +125,36 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
 
+def build_docs_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
+    """documents.parquet replica directory for docs-family registry
+    queries: same replication scheme as replicate_docs (offset doc_id,
+    per-copy token appended) plus the lang/n_chars columns the
+    registry queries read."""
+    docs = load_table(spark, SF_DIR, "documents")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" repl{k}")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.lit(6)).alias("n_chars"),
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+DOCS_QUERIES = (
+    "bm25_scoring",
+    "bigram_next_token",
+    "k_anonymity_release",
+    "array_hof_suite",
+    "unigram_logprob_score",
+)
+
 # Registry queries stressed via a replicated sf_dir (vs the operator
 # lambdas above, which take in-memory frames).
 EVENTS_QUERIES = (
@@ -187,17 +217,20 @@ def main() -> None:
     wanted = sys.argv[1:] or [
         *(n for n in ops if n != "dedup_jaccard_prefix"),
         *EVENTS_QUERIES,
+        *DOCS_QUERIES,
     ]
-    events_wanted = [n for n in wanted if n in EVENTS_QUERIES]
     replica_dir = "/tmp/spark_stress_10x"
-    if events_wanted:
+    if any(n in EVENTS_QUERIES for n in wanted):
         build_events_replica(spark, replica_dir, COPIES)
+    if any(n in DOCS_QUERIES for n in wanted):
+        build_docs_replica(spark, replica_dir, COPIES)
+    if any(n in EVENTS_QUERIES or n in DOCS_QUERIES for n in wanted):
         from apache_spark_link_prediction_spark.queries import QUERIES
 
     print("| Operator | 1× | 10× | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name in wanted:
-        if name in EVENTS_QUERIES:
+        if name in EVENTS_QUERIES or name in DOCS_QUERIES:
             t1, n1 = timed(QUERIES[name](spark, SF_DIR))
             t10, n10 = timed(QUERIES[name](spark, replica_dir))
         else:
