@@ -5832,6 +5832,83 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(docs, merges).orderBy("doc_id")
 
 
+@register(
+    "snapshot_diff_audit",
+    """
+    WITH a AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+               FROM customer),
+    b AS (
+      SELECT c_custkey AS k,
+             CAST(c_acctbal AS DECIMAL(18,2))
+               + CASE WHEN c_custkey % 5 = 0 THEN CAST(100 AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END AS v
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000 AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS v
+      FROM customer WHERE c_custkey % 131 = 0),
+    d AS (
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.v <> b.v THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(b.v, CAST(0 AS DECIMAL(18,2)))
+               - COALESCE(a.v, CAST(0 AS DECIMAL(18,2))) AS delta
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(delta) AS DOUBLE) AS total_delta
+    FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the table-diff audit every incremental
+    pipeline needs after a backfill or CDC replay): FULL OUTER join of
+    two snapshots on the business key, each row classified
+    added/removed/changed/unchanged with an exact-decimal value delta,
+    rolled up per status. Snapshot B is derived in-plan with
+    deterministic mutations (deletes %97, updates %5, inserts %131) so
+    the audit is oracle-checkable end-to-end. One key-partitioned
+    shuffle; at 100 TB add a row-hash column to compare wide rows
+    cheaply instead of column-by-column."""
+    c = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    a = c.select(F.col("c_custkey").alias("k"), dec.alias("v"))
+    b = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (
+                dec
+                + F.when(F.col("c_custkey") % 5 == 0, F.lit(100)).otherwise(0).cast(
+                    "decimal(18,2)"
+                )
+            ).alias("v"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 131 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("k"), dec.alias("v")
+            )
+        )
+    )
+    aj, bj = a.alias("a"), b.alias("b")
+    joined = aj.join(bj, F.col("a.k") == F.col("b.k"), "full_outer")
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.v") != F.col("b.v"), "changed")
+        .otherwise("unchanged")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    delta = F.coalesce(F.col("b.v"), zero) - F.coalesce(F.col("a.v"), zero)
+    return (
+        joined.select(status.alias("status"), delta.alias("delta"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("delta").cast("double").alias("total_delta"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
