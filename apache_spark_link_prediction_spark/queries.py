@@ -5909,6 +5909,72 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_ORACLE = f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_toks_sql('text')} AS toks,
+             {_rolling_hash_sql('text')} AS th,
+             {_rolling_hash_sql("'doc:' || CAST(doc_id AS VARCHAR)")} AS sh
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr', 'es')),
+    f AS (
+      SELECT * FROM q
+      WHERE len(toks) >= 20
+        AND list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+            / len(toks) BETWEEN 2 AND 12),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+      FROM f)
+    SELECT CASE WHEN sh % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_words
+    FROM d WHERE rn = 1
+    GROUP BY 1, 2
+"""
+
+
+@register("curation_pipeline_e2e", _CURATION_ORACLE)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data curation pipeline END-TO-END in one lazy plan —
+    language gate → quality gate (Gopher-style word-count and
+    mean-word-length bands) → exact dedup (min doc_id per normalized
+    rolling-hash fingerprint) → deterministic hash train/test split →
+    per-(split, lang) corpus stats. Each stage exists standalone
+    (lang_id, gopher_quality_filter, dedup_exact, train_test_split_hash);
+    this entry proves they COMPOSE: Catalyst fuses the two scans'
+    worth of filters into one, the dedup window is the only wide
+    stage before the final 8-row rollup, and the whole chain is
+    hash-checked against one composed DuckDB oracle."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = docs.filter(F.col("lang").isin("en", "de", "fr", "es")).select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        doc_rolling_hash("text").alias("th"),
+        doc_rolling_hash(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        ).alias("sh"),
+    )
+    n = F.size("toks")
+    mean_len = (
+        F.aggregate("toks", F.lit(0.0), lambda a, t: a + F.length(t).cast("double")) / n
+    )
+    f = q.filter((n >= 20) & mean_len.between(2, 12))
+    w = Window.partitionBy("th").orderBy("doc_id")
+    d = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select(
+        F.when(F.col("sh") % 100 < 80, "train").otherwise("test").alias("split"),
+        "lang",
+        n.alias("nw"),
+    ).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("long").alias("total_words"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
