@@ -5975,6 +5975,55 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_chunk_text",
+    # doc_chunking's oracle VERBATIM — the Python UDTF surface must
+    # produce the identical chunk rows
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, GREATEST(CAST(ceil(len(toks) / {_CHUNK}.0) AS INT), 1))) AS chunk_id
+          FROM d)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}]) AS INT) AS n_tokens,
+           array_to_string(toks[chunk_id * {_CHUNK} + 1 : chunk_id * {_CHUNK} + {_CHUNK}], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (one row in → N rows out in pure
+    Python, the table-function extension point): document chunking as
+    a LATERAL table function, sharing doc_chunking's oracle VERBATIM —
+    both hash-green proves the UDTF route equals the Catalyst
+    explode+slice route row-for-row (same pattern as the
+    asof_join_pandas / asof_join_events twin pair). The tokenizer
+    inside the UDTF reimplements functions.pairwise.tokenize's ASCII
+    ``\\s`` contract in Python. Prefer the Catalyst twin in
+    production; the UDTF is the escape hatch when per-row expansion
+    logic outgrows expressions."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    chunk = _CHUNK
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), not Python \s
+
+    @udtf(returnType="doc_id bigint, chunk_id int, n_tokens int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = [t for t in ws.split((text or "").strip().lower()) if t != ""]
+            n_chunks = max((len(toks) + chunk - 1) // chunk, 1)
+            for i in range(n_chunks):
+                piece = toks[i * chunk : (i + 1) * chunk]
+                yield doc_id, i, len(piece), " ".join(piece)
+
+    spark.udtf.register("__chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT c.* FROM __udtf_docs, LATERAL __chunk_doc(doc_id, text) c"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -85,6 +85,11 @@ ALLOW = {
     # four 1-row DCG/IDCG scalar aggregates cross-joined into the final
     # ratio row — same bounded global-scalar pattern as funnel_conversion
     "ndcg_retrieval_eval": {"nested-loop join"},
+    # deliberately a Python table function: the query EXISTS to pin the
+    # Spark 4 UDTF surface against its Catalyst twin (doc_chunking,
+    # shared oracle); the plan node is BatchEvalPythonUDTF (per-row by
+    # design for UDTFs), and production uses the Catalyst twin
+    "udtf_chunk_text": {"row-at-a-time Python UDF"},
 }
 
 
