@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6021,6 +6023,48 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
     return spark.sql(
         "SELECT c.* FROM __udtf_docs, LATERAL __chunk_doc(doc_id, text) c"
+    )
+
+
+@register(
+    "pandas_udf_cosine",
+    """
+    WITH q AS (SELECT list_transform(range(0, 64),
+                                     i -> ((i * 37) % 19 - 9) / 10.0) AS qv)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qv FROM q)), 4) AS cosine_q
+    FROM embeddings
+    """,
+)
+def pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow ``@pandas_udf`` surface (the one Python-UDF tier
+    not yet exercised elsewhere — mapInPandas/applyInPandas/UDTF all
+    are): vectorized numpy cosine of every embedding against a fixed
+    closed-form query vector, one Arrow batch per partition, zero
+    per-row Python. The Catalyst twin of this exact math is
+    functions/vectors.py (zip_with/aggregate); 4dp rounding absorbs
+    summation-order ulps exactly as the embedding_pairs_exact oracle
+    does. Production guidance unchanged — built-ins first, Arrow UDFs
+    when expressions run out."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.array([((i * 37) % 19 - 9) / 10.0 for i in range(64)])
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    # `from __future__ import annotations` stringifies hints; use names
+    # resolvable from this module's globals at registration time.
+    @pandas_udf("double")
+    def cos_q(col: "pandas.Series") -> "pandas.Series":
+        m = np.stack(col.to_numpy())  # (batch, 64) float64
+        dots = m @ qv
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        return pandas.Series(np.round(dots / norms, 4))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", cos_q(F.col("embedding").cast("array<double>")).alias("cosine_q")
     )
 
 
