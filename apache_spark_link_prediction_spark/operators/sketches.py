@@ -109,3 +109,71 @@ def heavy_hitters(
         .filter(F.col("n") >= threshold)
         .drop("__total")
     )
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) as a DataFrame:
+    one row per non-empty cell ``(j, bucket, c)`` where ``c`` = number
+    of input rows whose key hashes to ``bucket`` under hash row ``j``.
+
+    The sketch is a fixed ``depth × width`` grid — O(1) state
+    regardless of key cardinality — and cells are plain counts, so two
+    sketches merge by summing cells (the property that makes it a
+    100 TB pre-aggregation: each partition folds its rows into ≤
+    depth×width cells map-side, and the shuffle carries cells, not
+    keys). Point estimate = min over the key's ``depth`` cells;
+    overcounts only (collisions add, never subtract), error ≤ n/width
+    with prob ≥ 1 - 2^-depth.
+
+    Hashing is the engine-portable rolling hash
+    (functions.textstats.doc_rolling_hash) over ``'cm:<j>:<key>'`` so a
+    SQL oracle can rebuild the identical grid — no xxhash64 opacity.
+    """
+    from ..functions.textstats import doc_rolling_hash
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).select(
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
+    bucket = (
+        doc_rolling_hash(
+            F.concat_ws(":", F.lit("cm"), F.col("j").cast("string"), F.col("__k"))
+        )
+        % width
+    )
+    return (
+        keyed.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate each probe key against a ``count_min_table``
+    sketch: min over the key's ``depth`` cells, 0 when any cell is
+    empty (absent from the sparse sketch). Probes × depth is a LEFT
+    join onto the ≤ depth×width-row sketch — broadcastable by
+    construction."""
+    from ..functions.textstats import doc_rolling_hash
+
+    pk = probes.select(F.col(key_col), F.col(key_col).cast("string").alias("__k")).select(
+        key_col,
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
+    bucket = (
+        doc_rolling_hash(
+            F.concat_ws(":", F.lit("cm"), F.col("j").cast("string"), F.col("__k"))
+        )
+        % width
+    )
+    return (
+        pk.select(key_col, "j", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), on=["j", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

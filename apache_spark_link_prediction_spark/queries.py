@@ -6069,6 +6069,362 @@ def pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 4 — index-accelerated search, portable sketches,
+# weighted sampling, drift/concentration/outlier statistics, debounce,
+# and the mapInArrow API tier.
+# ---------------------------------------------------------------------------
+
+@register(
+    "trigram_search_index",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE contains(lower(text), 'merge batch')
+    """,
+)
+def trigram_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style substring search (operators/text_index.py): trigram
+    posting-list cover → ids-only candidates → LEFT SEMI → ``contains``
+    verify. Exact by construction — the oracle IS the full scan the
+    index exists to avoid. At 100 TB the posting table is materialized
+    once (bucketed by gram) and each query touches only the needle's
+    gram buckets plus the candidate docs; no counterpart in the
+    reference (pure-scan workload, Predictor.scala)."""
+    from .operators.text_index import trigram_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_search(docs, "merge batch").select("doc_id", "source")
+
+
+_CMS_ORACLE = f"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT t.j,
+             ({_rolling_hash_sql("'cm:' || CAST(t.j AS VARCHAR) || ':' || k")}) % 256 AS bucket
+      FROM keys, generate_series(0, 3) AS t(j)),
+    sketch AS (SELECT j, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+    probes AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 20)),
+    pcells AS (
+      SELECT p.user_id, t.j,
+             ({_rolling_hash_sql("'cm:' || CAST(t.j AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}) % 256 AS bucket
+      FROM probes p, generate_series(0, 3) AS t(j)),
+    est AS (
+      SELECT user_id, min(coalesce(c, 0)) AS est
+      FROM pcells LEFT JOIN sketch USING (j, bucket)
+      GROUP BY 1),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+    SELECT e.user_id, e.est, coalesce(x.exact_n, 0) AS exact_n
+    FROM est e LEFT JOIN exact x USING (user_id)
+"""
+
+
+@register("count_min_freq", _CMS_ORACLE)
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketches.py:
+    count_min_table): 4×256 grid built with the engine-portable rolling
+    hash, so the DuckDB oracle rebuilds the IDENTICAL sketch cell-for-
+    cell and the hash gate checks the whole estimator, not just "ran".
+    Probe users 0-19 get (estimate, exact) side by side — est ≥ exact
+    always (collisions only add). The mergeable fixed-size grid is the
+    100 TB shape: partitions fold map-side into ≤ 1024 cells; the
+    shuffle carries cells, never keys."""
+    from .operators.sketches import count_min_estimate, count_min_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_table(ev, "user_id", depth=4, width=256)
+    probes = spark.range(20).select(F.col("id").alias("user_id"))
+    est = count_min_estimate(sketch, probes, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, on="user_id", how="left").select(
+        "user_id", "est", F.coalesce(F.col("exact_n"), F.lit(0)).alias("exact_n")
+    )
+
+
+_WSAMPLE_ORACLE = f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((({_rolling_hash_sql("'ws:' || CAST(doc_id AS VARCHAR)")}) + 0.5)
+                / 2147483647.0)
+               / greatest(n_chars, 1) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT source, doc_id, n_chars FROM ranked WHERE rk <= 5
+"""
+
+
+@register("weighted_sample_ares", _WSAMPLE_ORACLE)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES), k=5 per
+    source stratum, weight = n_chars: priority ``ln(u)/w`` with the
+    uniform u derived from the engine-portable rolling hash instead of
+    RNG state — reproducible with no seed, and the ordering decision is
+    identical double arithmetic in both engines so the oracle checks
+    the SELECTION, not just row counts. One window shuffle keyed by
+    stratum; at 100 TB swap row_number for a per-partition top-k
+    (heap) + merge, same priority key."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = doc_rolling_hash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(2147483647.0)
+    priority = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        docs.withColumn("priority", priority)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "ks_drift_sources",
+    """
+    WITH f AS (
+      SELECT n_chars AS x,
+             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS a,
+             CASE WHEN source = 'src2' THEN 1 ELSE 0 END AS b
+      FROM documents WHERE source IN ('src1', 'src2')),
+    g AS (SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM f GROUP BY x),
+    c AS (
+      SELECT CAST(SUM(ca) OVER (ORDER BY x) AS DOUBLE) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY x) AS DOUBLE) AS cumb,
+             CAST(SUM(ca) OVER () AS DOUBLE) AS ta,
+             CAST(SUM(cb) OVER () AS DOUBLE) AS tb
+      FROM g)
+    SELECT round(max(abs(cuma / ta - cumb / tb)), 4) AS ks_d,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b
+    FROM c
+    """,
+)
+def ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the doc-length
+    distributions of two sources — the distribution-drift gate a
+    training pipeline runs between corpus snapshots (complement of
+    token_drift_js, which compares vocabularies). The global-order
+    window runs over the GROUPED value grid (distinct n_chars — value
+    domain, not row count), so the single-partition cumsum is bounded
+    regardless of corpus size; at 100 TB the grid would be pre-binned
+    by approx quantiles first."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.filter(F.col("source").isin("src1", "src2")).select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("source") == "src1", 1).otherwise(0).alias("a"),
+        F.when(F.col("source") == "src2", 1).otherwise(0).alias("b"),
+    )
+    g = f.groupBy("x").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    wo = Window.orderBy("x")
+    wall = Window.partitionBy()
+    c = g.select(
+        F.sum("ca").over(wo).cast("double").alias("cuma"),
+        F.sum("cb").over(wo).cast("double").alias("cumb"),
+        F.sum("ca").over(wall).cast("double").alias("ta"),
+        F.sum("cb").over(wall).cast("double").alias("tb"),
+    )
+    return c.agg(
+        F.round(
+            F.max(F.abs(F.col("cuma") / F.col("ta") - F.col("cumb") / F.col("tb"))), 4
+        ).alias("ks_d"),
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH spend AS (
+      SELECT c_mktsegment, c_custkey,
+             SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS v
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_mktsegment, v, c_custkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY v, c_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+             SUM(v) OVER (PARTITION BY c_mktsegment) AS tv
+      FROM spend)
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(CAST(2 * SUM(rk * v) AS DOUBLE)
+                   / (CAST(max(n) AS DOUBLE) * CAST(max(tv) AS DOUBLE))
+                 - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE),
+                 4) AS gini
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    concentration/inequality statistic (data-mixture skew audit when
+    run over tokens-per-source). Rank-weighted closed form
+    ``2·Σ r·v / (n·Σv) − (n+1)/n`` with v summed in DECIMAL (exact in
+    both engines) and doubles only in the final ratio; ties broken by
+    custkey so the rank assignment is total-ordered. One agg shuffle +
+    one per-segment window."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("v"))
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    wrank = wseg.orderBy("v", "c_custkey")
+    ranked = spend.select(
+        "c_mktsegment",
+        "v",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+        F.sum("v").over(wseg).alias("tv"),
+    )
+    n_d = F.max("n").cast("double")
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            (F.lit(2) * F.sum(F.col("rk") * F.col("v"))).cast("double")
+            / (n_d * F.max("tv").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d,
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.adev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(max(d.med), 4) AS med,
+           round(max(m2.mad), 4) AS mad
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY 1
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x − median| > 3·MAD per event_type —
+    the median/MAD variant of zscore_by_group_pandas (mean/std is
+    skew-fragile; MAD has a 50% breakdown point). Exact interpolated
+    ``percentile`` matches DuckDB's quantile_cont bit-for-bit (same
+    lower+frac·(upper−lower) formula on the same doubles). Two agg
+    passes + a broadcast-sized per-type stats join; at 100 TB swap
+    exact percentile for approx_percentile and keep the same plan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+    )
+
+
+@register(
+    "event_debounce",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN gap IS NULL
+                          OR gap > CAST(7200 AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM g GROUP BY 1
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: per (user, type), keep an event only when
+    the previous one is ≥ 2h older — the duplicate-burst suppressor
+    upstream of sessionization. Gap arithmetic on µs-exact integers
+    (unix_micros / epoch_us) so the threshold decision is identical in
+    both engines — a fractional-seconds double here would be a
+    comparison on different roundings. Single window shuffle keyed by
+    (user, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap")
+    g = ev.select("event_type", gap)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > F.lit(7_200_000_000)),
+                1,
+            ).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+@register(
+    "arrow_vec_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the one Arrow-native Python tier not exercised
+    elsewhere (mapInPandas / applyInPandas / applyInPandasWithState /
+    scalar pandas_udf / UDTF all are): RecordBatches in, RecordBatches
+    out, no pandas materialization. L2 norms of the embedding column
+    via zero-copy flatten → (n, 64) numpy view; float32 values widen to
+    float64 BEFORE squaring to match the oracle's DOUBLE[] cast; 4dp
+    rounding absorbs summation-order ulps (same contract as
+    pandas_udf_cosine)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(len(emb), -1)
+            l2 = np.round(np.sqrt((m * m).sum(axis=1)), 4)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
 # recorded exactly 50 rows, and the graded set shifted with registration

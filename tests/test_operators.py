@@ -744,3 +744,82 @@ def test_bpe_training_matches_python_reference(spark):
     stats = {r.doc_id: r.n_bpe_tokens for r in apply_bpe(docs, got).collect()}
     for i, t in enumerate(texts):
         assert stats[i] == seg_len(t), (i, stats[i], seg_len(t))
+
+
+# ---------------------------------------------------------------------------
+# Trigram inverted index (operators/text_index.py)
+# ---------------------------------------------------------------------------
+
+def test_trigram_search_equals_full_scan(spark, docs):
+    from apache_spark_link_prediction_spark.operators.text_index import trigram_search
+
+    needle = "merge batch"
+    via_index = {
+        r.doc_id for r in trigram_search(docs, needle).select("doc_id").collect()
+    }
+    full_scan = {
+        r.doc_id
+        for r in docs.filter(F.lower(F.col("text")).contains(needle))
+        .select("doc_id")
+        .collect()
+    }
+    assert via_index == full_scan and len(full_scan) > 0
+
+
+def test_trigram_search_verify_kills_false_positives(spark):
+    from apache_spark_link_prediction_spark.operators.text_index import trigram_search
+
+    # doc 2 covers every trigram of "abcdef" but not contiguously — the
+    # posting-list cover alone would accept it; the verify pass must not.
+    d = spark.createDataFrame(
+        [(1, "xx abcdef yy"), (2, "abcd bcde cdef"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in trigram_search(d, "abcdef").collect())
+    assert got == [1]
+
+
+def test_trigram_search_short_needle_and_short_text(spark):
+    from apache_spark_link_prediction_spark.operators.text_index import trigram_search
+
+    # texts shorter than 3 chars must not hit Spark's descending
+    # sequence(1, n-2) footgun; needles shorter than 3 degrade to scan.
+    d = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "xabx")], "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in trigram_search(d, "ab").collect()) == [1, 3]
+    assert [r.doc_id for r in trigram_search(d, "xabx").collect()] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_count_min_estimate_upper_bounds_exact(spark):
+    from apache_spark_link_prediction_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 13
+    df = spark.createDataFrame(rows, "k long")
+    sketch = count_min_table(df, "k", depth=4, width=64)
+    probes = spark.createDataFrame([(0,), (3,), (99,), (12345,)], "k long")
+    est = {r.k: r.est for r in count_min_estimate(sketch, probes, "k", depth=4, width=64).collect()}
+    exact = {0: 100, 3: 100, 99: 13, 12345: 0}
+    for k, true_n in exact.items():
+        assert est[k] >= true_n, (k, est[k], true_n)
+    # total mass bounds the overestimate: err <= n (trivially) and the
+    # sketch is exact when a key's 4 cells see no collisions.
+    assert est[12345] <= 713
+
+
+def test_count_min_sketch_is_fixed_size(spark):
+    from apache_spark_link_prediction_spark.operators.sketches import count_min_table
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    cells = count_min_table(df, "k", depth=4, width=32)
+    assert cells.count() <= 4 * 32
+    # every depth row conserves total mass
+    per_row = cells.groupBy("j").agg(F.sum("c").alias("mass")).collect()
+    assert sorted(r.mass for r in per_row) == [5000] * 4
