@@ -6297,53 +6297,48 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mad_outliers",
-    """
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY 1),
-    dev AS (
-      SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
-      FROM events e JOIN med m USING (event_type)),
-    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
-    SELECT d.event_type,
-           count(*) AS n,
-           CAST(sum(CASE WHEN d.adev > 3.0 * m2.mad THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers,
-           round(max(d.med), 4) AS med,
-           round(max(m2.mad), 4) AS mad
-    FROM dev d JOIN mad m2 USING (event_type)
-    GROUP BY 1
+    "token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_toks_sql("text")}) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    p AS (
+      SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS total
+      FROM tc)
+    SELECT doc_id,
+           CAST(max(total) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(
+                     -(CAST(c AS DOUBLE) / total)
+                       * ln(CAST(c AS DOUBLE) / total), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE), 4) AS entropy
+    FROM p GROUP BY doc_id
     """,
 )
-def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier detection: |x − median| > 3·MAD per event_type —
-    the median/MAD variant of zscore_by_group_pandas (mean/std is
-    skew-fragile; MAD has a 50% breakdown point). Exact interpolated
-    ``percentile`` matches DuckDB's quantile_cont bit-for-bit (same
-    lower+frac·(upper−lower) formula on the same doubles). Two agg
-    passes + a broadcast-sized per-type stats join; at 100 TB swap
-    exact percentile for approx_percentile and keep the same plan."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy (nats) — the within-doc diversity
+    signal of the quality family: low entropy = repetitive/templated
+    text, the complement of repetition_ratio (top-bigram share) and
+    unigram_logprob_score (corpus-LM fit). Each term −p·ln p is an
+    identical double in both engines (same integer c/total), rounded to
+    9dp and summed in DECIMAL so the cross-engine sum is EXACT (house
+    no-raw-double-aggregation rule), then rounded to 4dp. One explode +
+    two doc-keyed aggs, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    dev = ev.join(F.broadcast(med), on="event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    wdoc = Window.partitionBy("doc_id")
+    p = tc.select(
+        "doc_id", "c", F.sum("c").over(wdoc).alias("total")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), on="event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
-            ).alias("n_outliers"),
-            F.round(F.max("med"), 4).alias("med"),
-            F.round(F.max("mad"), 4).alias("mad"),
-        )
+    ratio = F.col("c").cast("double") / F.col("total")
+    term = F.round(-ratio * F.log(ratio), 9).cast("decimal(18,9)")
+    return p.groupBy("doc_id").agg(
+        F.max("total").cast("long").alias("n_tokens"),
+        F.round(F.sum(term).cast("double"), 4).alias("entropy"),
     )
 
 
