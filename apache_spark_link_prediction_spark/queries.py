@@ -6419,6 +6419,136 @@ def arrow_vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
 
 
+@register(
+    "chi_square_independence",
+    """
+    WITH o AS (
+      SELECT event_type, user_id % 10 AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type) AS r,
+             SUM(n) OVER (PARTITION BY bucket) AS c,
+             SUM(n) OVER () AS t
+      FROM o)
+    SELECT round(CAST(SUM(CAST(round(
+               (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * c / t)
+                 * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * c / t)
+                 / (CAST(r AS DOUBLE) * c / t), 9)
+             AS DECIMAL(28,9))) AS DOUBLE), 4) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT bucket) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event_type and a user-hash
+    cohort — completes the data-audit statistics family (corr_by_group:
+    linear, ks_drift_sources: distributional, token_drift_js:
+    vocabulary, this: categorical association). Observed/expected terms
+    are identical doubles in both engines (pure integer-count
+    arithmetic), rounded 9dp and summed in DECIMAL — exact cross-engine
+    sum. The contingency grid after the first agg is |types|×10 rows,
+    so the window pass is trivially bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    )
+    o = ev.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    m = o.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("n").over(Window.partitionBy("bucket")).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("t"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("t")
+    term = F.round(
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e, 9
+    ).cast("decimal(28,9)")
+    return m.agg(
+        F.round(F.sum(term).cast("double"), 4).alias("chi2"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("bucket")) - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+_PMI_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS pos
+      FROM (SELECT doc_id, unnest({_toks_sql("text")}) AS tok,
+                   generate_subscripts({_toks_sql("text")}, 1) AS pos
+            FROM documents)),
+    bg AS (
+      SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS c12
+      FROM tok t1 JOIN tok t2
+        ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      GROUP BY 1, 2),
+    uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n1 FROM uni)
+    SELECT w1, w2, c12,
+           round(ln(CAST(c12 AS DOUBLE) * n1
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 4) AS pmi
+    FROM bg JOIN uni u1 ON bg.w1 = u1.tok
+            JOIN uni u2 ON bg.w2 = u2.tok
+            CROSS JOIN tot
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 25
+"""
+
+
+@register("bigram_pmi", _PMI_ORACLE)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of the 25 most frequent adjacent
+    token pairs — the phrase-mining / collocation primitive next to
+    bigram_next_token (that one ranks by conditional probability, PMI
+    normalizes away unigram popularity). PMI per row is a closed-form
+    double over integer counts (no float aggregation), so 4dp rounding
+    is bit-identical cross-engine. Plan: posexplode → one window per
+    doc for adjacency → two broadcastable unigram joins; the bigram agg
+    is map-side combinable and the top-25 is a total-ordered limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select("tok", F.lead("tok").over(wdoc).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = tok.groupBy(F.col("tok")).agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n1")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
