@@ -406,12 +406,40 @@ def simhash_near_dup_pairs(
 
     Emits (src_id, dst_id, hamming) with src_id < dst_id.
     """
+    base = simhash_cols(docs, id_col, text_col, bits)
+    return signature_band_pairs(
+        base,
+        bits=bits,
+        blocks=blocks,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def signature_band_pairs(
+    sigs: DataFrame,
+    *,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Banded Hamming-ball self-join over ANY ``(__id, __sh)`` signature
+    frame (simhash text signatures, image perceptual hashes, …): by
+    pigeonhole, two signatures within Hamming distance < ``blocks``
+    agree exactly on ≥1 of the ``blocks`` bit-blocks, so block equality
+    is the bucket key and the full-signature ``bit_count(xor)`` verify
+    runs only inside buckets. Hot buckets are deterministically dropped
+    at ``max_bucket_size`` (recall/cost cap, same contract as minhash).
+
+    Emits (src_id, dst_id, hamming) with src_id < dst_id.
+    """
     assert bits % blocks == 0
+    assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
 
-    base = simhash_cols(docs, id_col, text_col, bits)
-    banded = base.select(
+    banded = sigs.select(
         "__id",
         "__sh",
         F.posexplode(

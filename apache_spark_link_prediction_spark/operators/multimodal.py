@@ -173,6 +173,7 @@ def decode_png(payload: bytes) -> dict:
     if len(raw) != (stride + 1) * height:
         raise ValueError("decode_png: IDAT size mismatch")
     prev = bytearray(stride)
+    pixel_rows: list[bytes] = []
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
@@ -199,9 +200,12 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"decode_png: unknown filter {ftype}")
         prev = line
         meta["sample_sum"] = meta.get("sample_sum", 0) + sum(line)
+        pixel_rows.append(bytes(line))
     # pixel-derived stat proves the inflate+unfilter path actually ran
     # (extra keys are ignored by FEATURE_SCHEMA projection, like WAV's)
     meta["mean_sample"] = meta.pop("sample_sum", 0) / (stride * height)
+    meta["channels"] = ch
+    meta["pixels"] = b"".join(pixel_rows)
     return meta
 
 
@@ -642,3 +646,156 @@ def audio_energy_windows(media: DataFrame, *, window_samples: int = 50) -> DataF
             )
 
     return media.mapInPandas(op, schema=AUDIO_ENERGY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (numpy, cached per size)."""
+    import numpy as np
+
+    key = ("dct", n)
+    cached = _dct_matrix.__dict__.get(key)
+    if cached is None:
+        k = np.arange(n).reshape(-1, 1)
+        x = np.arange(n).reshape(1, -1)
+        cached = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        cached[0] /= np.sqrt(2.0)
+        _dct_matrix.__dict__[key] = cached
+    return cached
+
+
+def phash64_from_gray(gray) -> int:
+    """64-bit perceptual hash of a grayscale image (float array, h×w):
+    nearest-neighbor downsample to 32×32 → 2-D DCT-II → keep the 8×8
+    low-frequency block → threshold each coefficient against the median
+    of the 63 non-DC coefficients (the DC bit thresholds against the
+    same median, keeping the hash 64 bits and near-balanced). Returned
+    as a SIGNED 64-bit value so it stores in a Spark LongType and
+    ``bit_count(xor)`` computes Hamming distance JVM-side."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g32 = gray[np.ix_(ys, xs)].astype(np.float64)
+    m = _dct_matrix(32)
+    d = (m @ g32 @ m.T)[:8, :8].ravel()
+    med = float(np.median(d[1:]))
+    bits = 0
+    for i, v in enumerate(d):
+        if v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image payload (PNG via the stdlib codec;
+    undecodable / header-only payloads quarantine to null). The hash is
+    the ONLY thing shuffled downstream — 8 bytes per image, never
+    pixels; this is what makes image near-dup viable at 100 TB of
+    media: the expensive decode+DCT is a map-only pass over the payload
+    partitions, and the pair-finding runs on longs."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ph = None
+                try:
+                    meta = decode_png(bytes(payload))
+                    px = meta.get("pixels")
+                    if px is not None:
+                        arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                            meta["height"], meta["width"], meta["channels"]
+                        )
+                        gray = arr.mean(axis=2)
+                        ph = phash64_from_gray(gray)
+                except Exception:
+                    ph = None
+                ids.append(int(media_id))
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    *,
+    blocks: int = 8,
+    max_hamming: int = 7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash → banded Hamming
+    join (operators.dedup.signature_band_pairs — the same pigeonhole
+    machinery as SimHash text dedup, reused on image signatures).
+    Emits (src_id, dst_id, hamming), src_id < dst_id."""
+    from .dedup import signature_band_pairs
+
+    sigs = image_phash(media).filter(F.col("phash").isNotNull()).select(
+        F.col("media_id").alias("__id"), F.col("phash").alias("__sh")
+    )
+    return signature_band_pairs(
+        sigs,
+        bits=64,
+        blocks=blocks,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def png_near_dup_testbed(
+    docs: DataFrame, *, classes: int = 100, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Testbed adapter with ENGINEERED near-duplicates: every doc in the
+    same ``doc_id % classes`` class renders the same closed-form
+    grayscale PNG except for a one-byte perturbation at a doc-specific
+    position — visually near-identical images whose perceptual hashes
+    collide or differ by a few bits, never exact payload duplicates
+    (sha256 dedup would miss ALL of them; that is the point of pHash)."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cls = d % classes
+                # class-dependent FREQUENCY (2cls+3 multiplies i), not a
+                # constant brightness shift — a shift would leave every
+                # non-DC DCT coefficient identical across classes and
+                # make all classes mutual near-dups
+                base = bytearray(
+                    ((2 * cls + 3) * i + (i * i) // 7) % 256 for i in range(n)
+                )
+                base[d % n] ^= 3  # per-doc one-byte wiggle
+                payloads.append(encode_png(width, height, bytes(base), color_type=0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)

@@ -6549,6 +6549,31 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("image_phash_neardup")  # rows-only: DCT perceptual hashing is
+# not SQL-expressible; exactness properties (identical→0, perturbed→≤7,
+# banding completeness vs brute force) are pinned in tests/test_multimodal.py
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection the sha256 tier cannot do: real
+    PNG payloads (engineered near-dup classes, every payload byte-wise
+    UNIQUE) → stdlib decode → 32×32 DCT perceptual hash → banded
+    Hamming join (operators/multimodal.py: image_phash,
+    phash_near_dup_pairs; banding shared with SimHash via
+    dedup.signature_band_pairs). Decode+DCT is map-only over payload
+    partitions; only 8-byte hashes shuffle — the 100 TB media-dedup
+    shape. Emits near-dup pair counts per Hamming distance (bounded,
+    deterministic)."""
+    from .operators.multimodal import phash_near_dup_pairs, png_near_dup_testbed
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = png_near_dup_testbed(docs, classes=100)
+    pairs = phash_near_dup_pairs(media, blocks=8, max_hamming=7)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
