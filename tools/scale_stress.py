@@ -153,6 +153,13 @@ DOCS_QUERIES = (
     "k_anonymity_release",
     "array_hof_suite",
     "unigram_logprob_score",
+    # round-5 batch 4
+    "trigram_search_index",
+    "weighted_sample_ares",
+    "ks_drift_sources",
+    "token_entropy",
+    "bigram_pmi",
+    "image_phash_neardup",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -167,6 +174,11 @@ EVENTS_QUERIES = (
     "corr_by_group",
     "incremental_agg_merge",
     "table_profile",
+    # round-5 batch 4
+    "count_min_freq",
+    "event_debounce",
+    "chi_square_independence",
+    "gini_revenue_concentration",
 )
 
 
