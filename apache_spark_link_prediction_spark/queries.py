@@ -6695,6 +6695,69 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE links AS (
+      SELECT o_custkey AS cust, o_orderkey AS cur,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS nxt,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 100 = 0),
+    walk(cust, node, pos) AS (
+      SELECT cust, cur, CAST(1 AS BIGINT) FROM links WHERE rn = 1
+      UNION ALL
+      SELECT l.cust, l.nxt, w.pos + 1
+      FROM walk w JOIN links l ON l.cust = w.cust AND l.cur = w.node
+      WHERE l.nxt IS NOT NULL)
+    SELECT cust, node, pos FROM walk
+"""
+
+
+@register("sql_recursive_cte", _RECURSIVE_WALK_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` (Catalyst UnionLoop — new in 4.0):
+    successor-chain walk over each sampled customer's orders in date
+    order, positions assigned by RECURSION, not by the window (the
+    window only builds the adjacency list + head markers). The oracle
+    is the VERBATIM same SQL text on DuckDB — one dialect, two engines
+    — so this pins Spark's recursive-CTE semantics (UNION ALL
+    accumulation, per-iteration join) against an independent
+    implementation. Iteration count = longest per-customer chain, and
+    each step is a frontier⋈links equi-join — the fixpoint shape
+    graph_khop_reachability builds manually via the DataFrame loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@register(
+    "sql_parameterized",
+    """
+    SELECT source, count(*) AS n,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars BETWEEN 200 AND 400 AND lang = 'en'
+    GROUP BY source
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(..., args={...})`` — the
+    injection-safe binding API, parameters typed as literals by
+    Catalyst, so the BETWEEN still reaches the parquet scan as a pushed
+    filter). The oracle is the same query with the bindings inlined —
+    proving parameter substitution is semantically invisible."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT source, count(*) AS n,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE n_chars BETWEEN :lo AND :hi AND lang = :lang
+        GROUP BY source
+        """,
+        args={"lo": 200, "hi": 400, "lang": "en"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
