@@ -1,0 +1,124 @@
+"""Property tests for the batch-4 statistical operators — closed-form
+parity on engineered fixtures, beyond what the SQL oracle (which shares
+the formula) can establish."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from apache_spark_link_prediction_spark.queries import QUERIES
+
+
+def _df_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_ks_is_zero_for_identical_distributions(spark, tmp_path):
+    # src1 and src2 carry the SAME n_chars multiset → D must be exactly 0
+    rows = []
+    for i, n in enumerate([100, 150, 150, 200, 350]):
+        rows.append((2 * i, "t", "en", "src1", n))
+        rows.append((2 * i + 1, "t", "en", "src2", n))
+    d = str(tmp_path / "sf")
+    _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
+    row = QUERIES["ks_drift_sources"](spark, d).collect()[0]
+    assert row.ks_d == 0.0 and row.n_a == 5 and row.n_b == 5
+
+
+def test_ks_is_one_for_disjoint_distributions(spark, tmp_path):
+    rows = [(i, "t", "en", "src1", 100 + i) for i in range(5)]
+    rows += [(10 + i, "t", "en", "src2", 900 + i) for i in range(5)]
+    d = str(tmp_path / "sf")
+    _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
+    row = QUERIES["ks_drift_sources"](spark, d).collect()[0]
+    assert row.ks_d == 1.0
+
+
+def test_gini_closed_form_small_case(spark, tmp_path):
+    # one segment, customers spending 1,2,3,4 → closed form
+    # G = 2*(1*1+2*2+3*3+4*4)/(4*10) - 5/4 = 60/40 - 1.25 = 0.25
+    cust = spark.createDataFrame(
+        [(i, "SEG") for i in range(1, 5)], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(1, 5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    d = str(tmp_path / "sf")
+    cust.write.parquet(f"{d}/customer.parquet")
+    orders.write.parquet(f"{d}/orders.parquet")
+    row = QUERIES["gini_revenue_concentration"](spark, d).collect()[0]
+    assert row.n_customers == 4
+    assert abs(row.gini - 0.25) < 1e-9
+
+
+def test_chi2_is_zero_for_exactly_independent_table(spark, tmp_path):
+    # counts n_ij = 4 for every (type, bucket) cell → expected == observed
+    rows = []
+    eid = 0
+    for t in ("a", "b", "c"):
+        for b in range(10):
+            for _ in range(4):
+                rows.append((eid, t, b))
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000)).withColumn(
+        "value", F.lit(1.0)
+    ).withColumn("props", F.lit("{}"))
+    d = str(tmp_path / "sf")
+    ev.write.parquet(f"{d}/events.parquet")
+    row = QUERIES["chi_square_independence"](spark, d).collect()[0]
+    assert row.chi2 == 0.0 and row.dof == (3 - 1) * (10 - 1)
+
+
+def test_weighted_sample_prefers_heavy_docs_and_respects_k(spark, tmp_path):
+    # one stratum: 3 docs with weight 10^6 vs 50 docs with weight 1 —
+    # A-ES must keep all heavy docs in the k=5 sample (probability of a
+    # weight-1 doc beating a weight-1e6 doc under the hash-uniform is
+    # astronomically small, and the query is deterministic anyway).
+    rows = [(i, "t", "en", "s", 1) for i in range(50)]
+    rows += [(100 + i, "t", "en", "s", 1_000_000) for i in range(3)]
+    d = str(tmp_path / "sf")
+    _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
+    got = QUERIES["weighted_sample_ares"](spark, d).collect()
+    assert len(got) == 5
+    picked = {r.doc_id for r in got}
+    assert {100, 101, 102} <= picked
+
+
+def test_token_entropy_closed_form(spark, tmp_path):
+    # "a a b b" → H = ln 2; "a a a a" → H = 0
+    rows = [(1, "a a b b", "en", "s", 7), (2, "a a a a", "en", "s", 7)]
+    d = str(tmp_path / "sf")
+    _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in QUERIES["token_entropy"](spark, d).collect()}
+    assert got[1] == (4, round(math.log(2), 4))
+    assert got[2] == (4, 0.0)
+
+
+def test_debounce_keeps_first_and_spaced_events(spark, tmp_path):
+    base = 1_700_000_000
+    rows = [
+        (1, base, 10, "click", 1.0, "{}"),
+        (2, base + 60, 10, "click", 1.0, "{}"),          # 1 min later: dropped
+        (3, base + 3 * 3600, 10, "click", 1.0, "{}"),    # 3h later: kept
+        (4, base, 11, "click", 1.0, "{}"),               # other user: kept
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(f"{d}/events.parquet")
+    row = QUERIES["event_debounce"](spark, d).collect()[0]
+    assert (row.n_events, row.n_kept) == (4, 3)
