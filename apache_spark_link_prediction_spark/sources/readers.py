@@ -257,3 +257,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (native vectorized reader; predicate pushdown and
     column pruning verified in tests/test_sources.py)."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's ``binaryFile`` source — the
+    production entry point for the multimodal family (one row per file:
+    path, modificationTime, length, content). ``pathGlobFilter`` prunes
+    by extension at LISTING time (files never opened), and downstream
+    feature extraction should project away ``content`` as early as
+    possible so only small typed columns shuffle. For 100 TB of media,
+    pair with ``spark.sql.files.maxPartitionBytes`` so a task sees a
+    bounded byte budget rather than a bounded file count."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -257,3 +257,43 @@ def test_python_datasource_partitioned_deterministic(spark):
     want = sorted(synthetic_row(i) for i in range(997))
     assert got == want
     assert df.rdd.getNumPartitions() == 7
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """binaryFile connector → MEDIA_SCHEMA adapter → pHash: the real
+    media-lake ingestion path (files on disk, not parquet payloads),
+    with pathGlobFilter pruning non-matching extensions at listing."""
+    import pyspark.sql.functions as F
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        encode_png,
+        image_phash,
+    )
+    from apache_spark_link_prediction_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    n = 16 * 16
+    for i in range(6):
+        pixels = bytes(((2 * (i % 2) + 3) * j + (j * j) // 7) % 256 for j in range(n))
+        (d / f"img_{i}.png").write_bytes(encode_png(16, 16, pixels, color_type=0))
+    (d / "notes.txt").write_text("not an image")
+
+    files = read_binary_files(spark, str(d), glob="*.png")
+    assert files.count() == 6  # the .txt never enters the frame
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/png").alias("mime"),
+        F.col("content").alias("payload"),
+    )
+    hashes = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert len(hashes) == 6 and all(v is not None for v in hashes.values())
+    # files with the same generator class hash identically; the two
+    # classes are structurally different content → far apart
+    assert hashes[0] == hashes[2] == hashes[4]
+    assert hashes[1] == hashes[3] == hashes[5]
+    ham = bin((hashes[0] ^ hashes[1]) & (2**64 - 1)).count("1")
+    assert ham > 10
