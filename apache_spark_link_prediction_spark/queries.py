@@ -6758,6 +6758,94 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "association_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    items AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS i1, c.item AS i2, count(*) AS c12
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 10),
+    rules AS (
+      SELECT i1 AS antecedent, i2 AS consequent, c12, x.c AS c_a, y.c AS c_b
+      FROM pairs JOIN items x ON i1 = x.item JOIN items y ON i2 = y.item
+      UNION ALL
+      SELECT i2, i1, c12, y.c, x.c
+      FROM pairs JOIN items x ON i1 = x.item JOIN items y ON i2 = y.item)
+    SELECT antecedent, consequent, c12 AS pair_support,
+           round(CAST(c12 AS DOUBLE) / c_a, 4) AS confidence,
+           round(CAST(c12 AS DOUBLE) * (SELECT n_orders FROM n)
+                 / (CAST(c_a AS DOUBLE) * c_b), 4) AS lift
+    FROM rules
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 25
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (A→B support/confidence/lift)
+    over order baskets — the frequent-itemset primitive (FP-growth's
+    k=2 tier as pure DataFrame algebra; parts coarsened mod 200 so
+    baskets share items at testbed scale). Plan: distinct baskets →
+    ONE orderkey-co-partitioned self-join with i1<i2 dedup → map-side-
+    combined pair counts → min-support prune BEFORE the metric joins
+    (anti-monotone Apriori cut) → two broadcast item-count joins.
+    Metrics are closed-form doubles over integer counts, 4dp — exact
+    cross-engine; top-25 is total-ordered by (lift, A, B)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    n_orders = b.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    items = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = b.select("l_orderkey", F.col("item").alias("i1"))
+    c = b.select("l_orderkey", F.col("item").alias("i2"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 10)
+    )
+    x = items.select(F.col("item").alias("i1"), F.col("c").alias("c_a"))
+    y = items.select(F.col("item").alias("i2"), F.col("c").alias("c_b"))
+    both = pairs.join(F.broadcast(x), "i1").join(F.broadcast(y), "i2")
+    fwd = both.select(
+        F.col("i1").alias("antecedent"),
+        F.col("i2").alias("consequent"),
+        "c12",
+        F.col("c_a"),
+        F.col("c_b"),
+    )
+    rev = both.select(
+        F.col("i2").alias("antecedent"),
+        F.col("i1").alias("consequent"),
+        "c12",
+        F.col("c_b").alias("c_a"),
+        F.col("c_a").alias("c_b"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_orders))
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("c12").alias("pair_support"),
+            F.round(F.col("c12").cast("double") / F.col("c_a"), 4).alias("confidence"),
+            F.round(
+                F.col("c12").cast("double")
+                * F.col("n_orders")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
