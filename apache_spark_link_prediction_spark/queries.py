@@ -6846,6 +6846,51 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_stream_join_outer",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS pu, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+                    - INTERVAL 2 HOUR AS final_wm)
+    SELECT click_id, purchase_id, c.user_id,
+           round(CASE WHEN purchase_id IS NULL THEN NULL
+                      ELSE epoch(p_ts) - epoch(c_ts) END, 6) AS delay_s
+    FROM c LEFT JOIN p
+      ON c.user_id = pu AND p_ts >= c_ts AND p_ts < c_ts + INTERVAL 1 HOUR
+    CROSS JOIN wm
+    WHERE purchase_id IS NOT NULL
+       OR c_ts + INTERVAL 1 HOUR < final_wm
+    """,
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join driven to completion:
+    matches emit like the inner variant; unmatched clicks null-extend
+    only once the watermark proves the join window empty — and Spark's
+    GLOBAL watermark is the MIN across both withWatermark nodes, each
+    fed by its own FILTERED stream (final no-data batch:
+    least(max click ts, max purchase ts) − 2h; max over ALL events is
+    exactly 2 rows wrong at sf0.01, which is how this rule got pinned)
+    — so clicks whose window reaches into that tail NEVER emit. That
+    makes the drained
+    output closed-form — the oracle is the batch left join minus the
+    tail — turning Structured Streaming's outer-join state-eviction
+    rule itself into a hash-checked contract (boundary pinned STRICT:
+    window end < watermark evicts; == does not)."""
+    from .streaming.events import run_stream_to_memory, streaming_interval_join
+
+    out = streaming_interval_join(
+        _events_as_stream(spark, sf_dir), how="left_outer"
+    )
+    return run_stream_to_memory(
+        out, name="q_streaming_ssj_outer", output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

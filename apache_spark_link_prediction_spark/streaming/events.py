@@ -128,6 +128,7 @@ def streaming_interval_join(
     right_type: str = "purchase",
     interval_s: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time range condition:
     each ``left_type`` event matches the same user's ``right_type``
@@ -162,11 +163,18 @@ def streaming_interval_join(
         )
         .withWatermark("p_ts", watermark)
     )
+    # ``how="left_outer"``: unmatched clicks emit (purchase_id NULL) only
+    # once the purchase-side watermark proves no match can still arrive
+    # (click.ts + interval < watermark); clicks inside the final
+    # watermark tail of a bounded stream therefore NEVER emit — that is
+    # the documented outer-join contract, pinned in
+    # tests/test_streaming.py.
     joined = left.join(
         right,
         (F.col("user_id") == F.col("__r_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr(f"INTERVAL {interval_s} SECONDS")),
+        how,
     )
     return joined.select(
         "click_id",

@@ -390,3 +390,51 @@ def test_streaming_cdc_upsert_equals_batch_twin(spark, sf_dir):
         for r in QUERIES["cdc_upsert_latest"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_interval_join_left_outer_watermark_semantics(spark, tmp_path):
+    """Stream-stream LEFT OUTER with event-time bounds: unmatched left
+    rows emit null-extended ONLY after the right watermark proves no
+    match can arrive; left rows inside the bounded stream's final
+    watermark tail never emit. Both halves of the contract pinned."""
+    import pyspark.sql.functions as F
+
+    from apache_spark_link_prediction_spark.sources.readers import write_parquet
+    from apache_spark_link_prediction_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    t0 = 1_704_067_200  # 2024-01-01 UTC
+    day = 86_400
+    rows = [
+        # (event_id, epoch_s, user_id, type)  — interval 1h, wm 2h
+        (1, t0, 1, "click"),          # matched by 101
+        (101, t0 + 600, 1, "purchase"),
+        (2, t0, 2, "click"),          # unmatched; must flush as NULL row
+        (103, t0 + 10 * day, 9, "purchase"),  # watermark pusher
+        (3, t0 + 10 * day, 3, "click"),       # in final tail: never emits
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path / "stream_src")
+    write_parquet(ev.repartition(2), path)
+    out = streaming_interval_join(
+        read_events_stream(spark, path), how="left_outer"
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in run_stream_to_memory(
+            out, name="t_ssj_outer", output_mode="append"
+        ).collect()
+    }
+    assert got == {(1, 101), (2, None)}
