@@ -6891,6 +6891,110 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_scalar_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE abs(x - (mn + round((x - mn) / ((mx - mn) / 255))
+                                  * ((mx - mn) / 255)))
+             END AS err
+      FROM e JOIN st USING (dim))
+    SELECT vec_id, round(max(err), 6) AS max_recon_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding store — the 4×
+    compression tier every 100 TB vector corpus runs before ANN: per-
+    dimension [min,max] fitted corpus-wide (one posexplode agg, 64-row
+    broadcast result), each value snapped to its 256-level grid, and
+    the per-vector max reconstruction error reported. The quantize→
+    dequantize→error round trip is identical double arithmetic in both
+    engines, so the hash gate certifies the QUANTIZER, not just row
+    counts. Error is bounded by scale/2 per dimension by construction
+    (also pinned in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+    st = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255)
+    dequant = F.col("mn") + F.round((F.col("x") - F.col("mn")) / scale) * scale
+    err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.abs(F.col("x") - dequant)
+    )
+    return (
+        e.join(F.broadcast(st), "dim")
+        .select("vec_id", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(F.round(F.max("err"), 6).alias("max_recon_err"))
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS pl
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT p.probe_id, e.vec_id AS cand_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv),
+                   4) AS cos
+      FROM p JOIN embeddings e ON e.label <> p.pl),
+    ranked AS (
+      SELECT probe_id, cand_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rk
+      FROM scored)
+    SELECT probe_id, cand_id AS hard_negative_id, cos
+    FROM ranked WHERE rk = 1
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each probe, the
+    most-similar embedding with a DIFFERENT label — the negatives that
+    actually move a contrastive loss (random negatives are trivially
+    easy). Probe set broadcasts (designed bounded nested loop, same
+    allowlist rationale as embedding_topk_bruteforce); rank is
+    engine-stable because it orders on the 4dp-ROUNDED cosine with a
+    cand_id tiebreak (raw-double ordering would be ulp-fragile across
+    engines)."""
+    from .functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("pv"),
+        F.col("label").alias("pl"),
+    )
+    scored = (
+        emb.join(F.broadcast(probes), emb.label != F.col("pl"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("pv")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_id", F.col("cand_id").alias("hard_negative_id"), "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -122,3 +122,57 @@ def test_debounce_keeps_first_and_spaced_events(spark, tmp_path):
     ev.write.parquet(f"{d}/events.parquet")
     row = QUERIES["event_debounce"](spark, d).collect()[0]
     assert (row.n_events, row.n_kept) == (4, 3)
+
+
+def test_scalar_quantization_error_bounded_by_half_scale(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+
+    errs = QUERIES["embedding_scalar_quantization"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    # worst-case bound: half of the LARGEST per-dimension grid step
+    wide = (
+        e.groupBy("dim")
+        .agg(((F.max("x") - F.min("x")) / 255 / 2).alias("half_scale"))
+        .agg(F.max("half_scale").alias("bound"))
+        .collect()[0]
+        .bound
+    )
+    worst = errs.agg(F.max("max_recon_err").alias("m")).collect()[0].m
+    assert worst <= wide + 1e-9
+    assert worst > 0  # quantization actually happened
+
+
+def test_hard_negatives_have_different_label_and_max_cos(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+
+    got = {r.probe_id: (r.hard_negative_id, r.cos) for r in QUERIES[
+        "hard_negative_mining"
+    ](spark, sf_dir).collect()}
+    emb = {r.vec_id: (list(r.embedding), r.label) for r in load_table(
+        spark, sf_dir, "embeddings"
+    ).collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for probe_id, (neg_id, c) in got.items():
+        pv, pl = emb[probe_id]
+        nv, nl = emb[neg_id]
+        assert nl != pl
+        best = max(
+            round(cos(v, pv), 4) for vid, (v, l) in emb.items() if l != pl
+        )
+        assert round(cos(nv, pv), 4) == c == best

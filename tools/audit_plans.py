@@ -90,6 +90,16 @@ ALLOW = {
     # shared oracle); the plan node is BatchEvalPythonUDTF (per-row by
     # design for UDTFs), and production uses the Catalyst twin
     "udtf_chunk_text": {"row-at-a-time Python UDF"},
+    # unigram-total scalar (1-row broadcast) cross-joined into the PMI
+    # denominator — same pattern as heavy_hitters_tokens
+    "bigram_pmi": {"nested-loop join"},
+    # basket-count scalar (1-row broadcast) cross-joined into the lift
+    # denominator — same pattern as heavy_hitters_tokens
+    "association_rules": {"nested-loop join"},
+    # 8-probe broadcast against the corpus with a label-inequality
+    # predicate — definitionally |probes|x|corpus| like
+    # embedding_topk_bruteforce; the corpus side streams once
+    "hard_negative_mining": {"nested-loop join"},
 }
 
 

@@ -123,6 +123,27 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    li = load_table(spark, SF_DIR, "lineitem")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * OFFSET))
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
+def build_emb_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
+    emb = load_table(spark, SF_DIR, "embeddings")
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * OFFSET))
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def build_docs_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
@@ -179,6 +200,16 @@ EVENTS_QUERIES = (
     "event_debounce",
     "chi_square_independence",
     "gini_revenue_concentration",
+    # round-5 batch 5 (lineitem/orders replicas)
+    "association_rules",
+    "dq_constraint_audit",
+    "sql_recursive_cte",
+)
+
+# Registry queries over a replicated embeddings.parquet directory.
+EMB_QUERIES = (
+    "embedding_scalar_quantization",
+    "hard_negative_mining",
 )
 
 
@@ -230,19 +261,24 @@ def main() -> None:
         *(n for n in ops if n != "dedup_jaccard_prefix"),
         *EVENTS_QUERIES,
         *DOCS_QUERIES,
+        *EMB_QUERIES,
     ]
     replica_dir = "/tmp/spark_stress_10x"
     if any(n in EVENTS_QUERIES for n in wanted):
         build_events_replica(spark, replica_dir, COPIES)
     if any(n in DOCS_QUERIES for n in wanted):
         build_docs_replica(spark, replica_dir, COPIES)
-    if any(n in EVENTS_QUERIES or n in DOCS_QUERIES for n in wanted):
+    if any(n in EMB_QUERIES for n in wanted):
+        build_emb_replica(spark, replica_dir, COPIES)
+    if any(
+        n in EVENTS_QUERIES or n in DOCS_QUERIES or n in EMB_QUERIES for n in wanted
+    ):
         from apache_spark_link_prediction_spark.queries import QUERIES
 
     print("| Operator | 1× | 10× | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name in wanted:
-        if name in EVENTS_QUERIES or name in DOCS_QUERIES:
+        if name in EVENTS_QUERIES or name in DOCS_QUERIES or name in EMB_QUERIES:
             t1, n1 = timed(QUERIES[name](spark, SF_DIR))
             t10, n10 = timed(QUERIES[name](spark, replica_dir))
         else:
