@@ -6995,6 +6995,75 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH updates AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    dedup AS (SELECT user_id, ts, value FROM updates WHERE rn = 1),
+    changes AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM dedup),
+    versions AS (
+      SELECT user_id, ts AS valid_from, value FROM changes
+      WHERE prev IS NULL OR value IS DISTINCT FROM prev)
+    SELECT c.event_id, c.user_id, round(v.value, 6) AS value_at_event
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN versions v
+      ON c.user_id = v.user_id AND v.valid_from <= c.ts
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against the SCD2 dimension that
+    ``scd2_history`` builds: each click reads the purchase-value version
+    valid AT its event time — the lakehouse feature-store join (no
+    training-time leakage of future dimension states). Composed as
+    change-compression (scd2_history's lineage) + the union+window
+    as-of join (operators/joins.as_of_join): one user-keyed shuffle,
+    O(|facts|+|versions|) rows, never the fact×version inequality
+    blow-up. Oracle: DuckDB's native ASOF LEFT JOIN over the same
+    version CTE."""
+    from .operators.joins import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    w_dup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    versions = (
+        dedup.select(
+            "user_id", "ts", "value", F.lag("value").over(w_user).alias("prev")
+        )
+        .filter(
+            F.col("prev").isNull() | ~F.col("value").eqNullSafe(F.col("prev"))
+        )
+        .select("user_id", "ts", F.col("value").alias("value_at_event"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = as_of_join(
+        clicks,
+        versions,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["value_at_event"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_at_event", 6).alias("value_at_event")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
