@@ -7158,6 +7158,124 @@ def string_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_linear",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.purchase_id, p.user_id, c.click_id
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR)
+    SELECT purchase_id, user_id,
+           count(*) AS n_touches,
+           round(1.0 / count(*), 4) AS credit_each
+    FROM touches
+    GROUP BY purchase_id, user_id
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the hour before a
+    purchase shares conversion credit equally (the marketing twin of
+    the as-of join's last-touch model — asof_join_events — and the
+    forward-looking attribution of streaming_stream_join). Same
+    user-keyed equi-join + time-band shape as the interval joins: one
+    shuffle on user_id, band predicate evaluated in-join, never a
+    cartesian. Purchases with zero touches are absent by definition
+    (inner semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return touches.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)), 4).alias("credit_each"),
+    )
+
+
+@register("embedding_pipeline_e2e")  # rows-only: LSH bucketing is
+# hash-opaque to SQL; the composition's recall floor and the exact-tier
+# agreement are pinned in tests/test_stats.py
+def embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-store pipeline composed end-to-end in one lazy
+    plan: scalar-int8 quantize (per-dim min/max via ONE posexplode agg,
+    folded back in as 64-entry map literals — no driver collect) →
+    dequantize with nested zip_with (pure Catalyst HOFs) → sign-LSH
+    top-k retrieval over the DEQUANTIZED corpus → per-probe recall
+    against the full-precision brute-force oracle tier. Emits
+    (probe_id, recall) — what a 100 TB vector store actually ships
+    (4× smaller index) with the quality cost measured in-plan."""
+    from .operators.similarity import brute_force_top_k, lsh_bucketed_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "x")
+    st = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    stats = st.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("mn")))
+        ).alias("mnm"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("mx")))
+        ).alias("mxm"),
+        F.max("dim").alias("ndim"),
+    )
+    dims = F.sequence(F.lit(1), F.col("ndim"))
+    mn_arr = F.transform(dims, lambda d: F.col("mnm")[d])
+    mx_arr = F.transform(dims, lambda d: F.col("mxm")[d])
+    paired = F.zip_with(
+        F.col("embedding"), mn_arr, lambda xv, mnv: F.struct(xv.alias("x"), mnv.alias("mn"))
+    )
+    dequant = F.zip_with(
+        paired,
+        mx_arr,
+        lambda s, mxv: F.when(mxv == s.mn, s.x).otherwise(
+            s.mn + F.round((s.x - s.mn) / ((mxv - s.mn) / 255)) * ((mxv - s.mn) / 255)
+        ),
+    )
+    corpus_q = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", dequant.alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 8)
+    approx = lsh_bucketed_top_k(corpus_q, probes, k=5, tables=8, planes=4).select(
+        F.col("query_id").alias("probe_id"), F.col("neighbor_id").alias("hit_q")
+    )
+    exact = brute_force_top_k(emb, probes, k=5).select(
+        F.col("query_id").alias("probe_id"), F.col("neighbor_id").alias("hit_x")
+    )
+    joined = exact.join(
+        approx,
+        (exact.probe_id == approx.probe_id) & (F.col("hit_x") == F.col("hit_q")),
+        "left",
+    )
+    return (
+        joined.groupBy(exact.probe_id.alias("probe_id"))
+        .agg((F.count("hit_q") / F.lit(5.0)).alias("recall"))
+        .select("probe_id", F.round("recall", 2).alias("recall"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

@@ -176,3 +176,15 @@ def test_hard_negatives_have_different_label_and_max_cos(spark, sf_dir):
             round(cos(v, pv), 4) for vid, (v, l) in emb.items() if l != pl
         )
         assert round(cos(nv, pv), 4) == c == best
+
+
+def test_embedding_pipeline_e2e_recall_floor(spark, sf_dir):
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_pipeline_e2e"](spark, sf_dir).collect()
+    assert len(rows) == 8  # one row per probe
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    mean = sum(r.recall for r in rows) / len(rows)
+    # int8 quantization costs a little vs the raw ann_lsh floor (0.4);
+    # the composed pipeline must still clear it on the fixed corpus
+    assert mean >= 0.4, mean
