@@ -7277,6 +7277,323 @@ def embedding_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion tier 2 — Q2/Q9/Q11/Q20 need the PARTSUPP table the
+# testbed doesn't ship. A stand-in keeps every defining query shape:
+# the (partkey, suppkey) relation is the REAL distinct pairs observed
+# in lineitem, and ps_supplycost / ps_availqty derive from the engine-
+# portable rolling hash of the key pair — deterministic, identically
+# reproducible in DuckDB, and value-distributed enough to make the
+# min-cost / threshold logic non-trivial.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = f"""
+      SELECT ps_partkey, ps_suppkey,
+             CAST(round(((h % 90000) + 10000) / 100.0, 2) AS DECIMAL(18,2))
+               AS ps_supplycost,
+             ((h % 9000) + 1000) AS ps_availqty
+      FROM (
+        SELECT ps_partkey, ps_suppkey,
+               {_rolling_hash_sql("'ps:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)")} AS h
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                              l_suppkey AS ps_suppkey FROM lineitem))
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PARTSUPP_SQL`` (see block comment above)."""
+    from .functions.textstats import doc_rolling_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    h = doc_rolling_hash(
+        F.concat(
+            F.lit("ps:"),
+            F.col("ps_partkey").cast("string"),
+            F.lit(":"),
+            F.col("ps_suppkey").cast("string"),
+        )
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        F.round(((h % 90000) + 10000) / 100.0, 2)
+        .cast("decimal(18,2)")
+        .alias("ps_supplycost"),
+        ((h % 9000) + 1000).alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    region_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    costed AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name, ps_supplycost
+      FROM part JOIN ps ON p_partkey = ps_partkey
+                JOIN region_supp ON ps_suppkey = s_suppkey
+      WHERE p_size = 15),
+    mins AS (SELECT p_partkey, min(ps_supplycost) AS m
+             FROM costed GROUP BY 1)
+    SELECT round(c.s_acctbal, 2) AS s_acctbal, c.s_name, c.n_name,
+           c.p_partkey, c.p_name, CAST(c.ps_supplycost AS DOUBLE) AS supplycost
+    FROM costed c JOIN mins USING (p_partkey)
+    WHERE c.ps_supplycost = mins.m
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part within a region —
+    the decorrelated MIN subquery): per-part min over the region-
+    filtered partsupp join, equality join back (all min-cost ties kept,
+    per spec), total-ordered top-20. Broadcast dims, one partkey-keyed
+    shuffle for the min."""
+    ps = _partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    region_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costed = (
+        part.join(ps, part.p_partkey == ps.ps_partkey)
+        .join(F.broadcast(region_supp), ps.ps_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "ps_supplycost")
+    )
+    mins = costed.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("m"))
+    return (
+        costed.join(mins, "p_partkey")
+        .filter(F.col("ps_supplycost") == F.col("m"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL})
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation × order-year): the
+    5-way star join with the name filter pushed to the part scan, all
+    money in DECIMAL, supplycost from the partsupp stand-in. Dims
+    broadcast; the only wide shuffles are lineitem⋈ps on (part,supp)
+    and lineitem⋈orders on orderkey."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    g AS (
+      SELECT ps_partkey,
+             SUM(ps_supplycost * ps_availqty) AS v
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      GROUP BY 1),
+    t AS (SELECT SUM(v) AS total FROM g)
+    SELECT ps_partkey, CAST(v AS DOUBLE) AS stock_value
+    FROM g CROSS JOIN t
+    WHERE v > total * 0.002
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (inventory concentration: parts whose stock
+    value in a supplier-nation group exceeds a fraction of the group
+    total): decimal-exact value sums, the global total folded back as a
+    1-row broadcast scalar (the standing driver-collect-free pattern),
+    relative HAVING applied in-plan."""
+    ps = _partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    g = (
+        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    t = g.agg(F.sum("v").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("v") > F.col("total") * 0.002)
+        .select("ps_partkey", F.col("v").cast("double").alias("stock_value"))
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2),
+    qualified AS (
+      SELECT DISTINCT ps_suppkey
+      FROM ps
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = ps_partkey
+      WHERE p_name LIKE 'small%' AND ps_availqty > 0.5 * qty)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN qualified ON s_suppkey = ps_suppkey
+    """,
+)
+def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess inventory of selected
+    parts relative to a year's shipments): the nested IN-chain
+    decorrelated into shipped-quantity agg ⋈ partsupp threshold ⋈
+    DISTINCT suppkeys, then the supplier/nation projection. Date range
+    pushed to the lineitem scan; part-name filter broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    qualified = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(qualified, supplier.s_suppkey == qualified.ps_suppkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    f"""
+    WITH ps AS ({_PARTSUPP_SQL}),
+    complaints AS (
+      SELECT s_suppkey FROM supplier
+      WHERE ({_rolling_hash_sql("'cmpl:' || CAST(s_suppkey AS VARCHAR)")}) % 10 = 0)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#17'
+      AND p_size IN (1, 4, 9, 15, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute, excluding a
+    complaint blacklist): the testbed has no comment column, so the
+    blacklist is a deterministic hash-derived 10% of suppliers — the
+    defining NOT-IN anti-join + grouped COUNT DISTINCT survive intact.
+    Blacklist and part filter broadcast; one (brand,type,size)-keyed
+    distinct shuffle."""
+    from .functions.textstats import doc_rolling_hash
+
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17")
+        & F.col("p_size").isin(1, 4, 9, 15, 23, 36, 45, 49)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    complaints = supplier.filter(
+        doc_rolling_hash(
+            F.concat(F.lit("cmpl:"), F.col("s_suppkey").cast("string"))
+        )
+        % 10
+        == 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            ps.ps_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
 # recorded exactly 50 rows, and the graded set shifted with registration
