@@ -7593,6 +7593,73 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pareto_skyline_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             p_size
+      FROM part),
+    w AS (
+      SELECT *,
+             max(p_size) OVER (ORDER BY price_c
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS best_cheaper,
+             max(p_size) OVER (ORDER BY price_c
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS best_leq
+      FROM p)
+    SELECT p_partkey, p_name,
+           round(price_c / 100.0, 2) AS price, p_size
+    FROM w
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND best_leq <= p_size
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (price↓, size↑) — q dominates p iff q is cheaper-or-equal AND
+    bigger-or-equal with one strict. The classic formulation is an
+    O(n²) self-join; sorted by integer price-cents, dominance collapses
+    to two running-max windows (strictly-cheaper via RANGE … 1
+    PRECEDING on the cents key, cheaper-or-equal via CURRENT ROW), so
+    the plan is one sort — and at scale the global RANGE window would
+    become a per-price-band pass + band-wise prefix merge, same
+    O(n log n) shape. Price is exact integer cents so the strict-
+    inequality frame boundary is engine-stable."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        "p_size",
+    )
+    w_strict = (
+        Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_leq = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = p.select(
+        "p_partkey",
+        "p_name",
+        "price_c",
+        "p_size",
+        F.max("p_size").over(w_strict).alias("best_cheaper"),
+        F.max("p_size").over(w_leq).alias("best_leq"),
+    )
+    return w.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("best_leq") <= F.col("p_size"))
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("price_c") / 100.0, 2).alias("price"),
+        "p_size",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

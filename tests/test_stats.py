@@ -188,3 +188,32 @@ def test_embedding_pipeline_e2e_recall_floor(spark, sf_dir):
     # int8 quantization costs a little vs the raw ann_lsh floor (0.4);
     # the composed pipeline must still clear it on the fixed corpus
     assert mean >= 0.4, mean
+
+
+def test_pareto_skyline_equals_naive_dominance(spark, tmp_path):
+    import random
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"part {i}", round(rng.uniform(1, 50), 2), rng.randint(1, 30))
+        for i in range(200)
+    ]
+    # engineered edges: exact price ties with different sizes, duplicates
+    rows += [(200, "tie a", 10.0, 5), (201, "tie b", 10.0, 9), (202, "dup", 10.0, 9)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, n, p, s, "Brand#1", "ECONOMY") for i, n, p, s in rows],
+        "p_partkey long, p_name string, p_retailprice double, p_size int, p_brand string, p_type string",
+    ).write.parquet(f"{d}/part.parquet")
+    got = {r.p_partkey for r in QUERIES["pareto_skyline_parts"](spark, d).collect()}
+    cents = [(i, round(p * 100), s) for i, n, p, s in rows]
+    naive = {
+        i
+        for i, pc, s in cents
+        if not any(
+            (qc <= pc and qs >= s and (qc < pc or qs > s)) for _, qc, qs in cents
+        )
+    }
+    assert got == naive and len(naive) > 0
