@@ -100,6 +100,13 @@ ALLOW = {
     # predicate — definitionally |probes|x|corpus| like
     # embedding_topk_bruteforce; the corpus side streams once
     "hard_negative_mining": {"nested-loop join"},
+    # group-total scalar (1-row broadcast) cross-joined for the
+    # relative HAVING — same pattern as heavy_hitters_tokens
+    "tpch_q11_important_stock": {"nested-loop join"},
+    # 1-row quantizer-stats broadcast (per-dim min/max maps) folded
+    # into the dequantize HOF, plus the brute-force exact tier it
+    # composes (embedding_topk_bruteforce's allowlisted shape)
+    "embedding_pipeline_e2e": {"nested-loop join"},
 }
 
 

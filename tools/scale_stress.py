@@ -132,6 +132,12 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    # dimensions pass through unreplicated (they are the broadcast side;
+    # growing facts 10x against FIXED dims is the realistic scale-up)
+    for dim in ("part", "supplier", "nation", "region"):
+        load_table(spark, SF_DIR, dim).write.mode("overwrite").parquet(
+            f"{out_dir}/{dim}.parquet"
+        )
 
 
 def build_emb_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
@@ -204,6 +210,14 @@ EVENTS_QUERIES = (
     "association_rules",
     "dq_constraint_audit",
     "sql_recursive_cte",
+    # round-5 batch 6 (facts 10x vs fixed dims)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_inventory",
+    "attribution_linear",
+    "scd2_point_in_time_join",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
