@@ -7452,18 +7452,19 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
       GROUP BY 1),
-    t AS (SELECT SUM(v) AS total FROM g)
+    t AS (SELECT SUM(v) AS total, count(*) AS n_parts FROM g)
     SELECT ps_partkey, CAST(v AS DOUBLE) AS stock_value
     FROM g CROSS JOIN t
-    WHERE v > total * 0.002
+    WHERE v > (total / n_parts) * 1.5
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (inventory concentration: parts whose stock
-    value in a supplier-nation group exceeds a fraction of the group
-    total): decimal-exact value sums, the global total folded back as a
-    1-row broadcast scalar (the standing driver-collect-free pattern),
-    relative HAVING applied in-plan."""
+    value in a supplier-nation group exceeds a threshold relative to
+    the group's AVERAGE — scale-free, unlike the spec's fixed fraction
+    of total, which empties at larger SFs): decimal-exact value sums,
+    the global total folded back as a 1-row broadcast scalar (the
+    standing driver-collect-free pattern), relative HAVING in-plan."""
     ps = _partsupp(spark, sf_dir)
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -7475,10 +7476,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
     )
-    t = g.agg(F.sum("v").alias("total"))
+    t = g.agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_parts"))
     return (
         g.crossJoin(F.broadcast(t))
-        .filter(F.col("v") > F.col("total") * 0.002)
+        .filter(F.col("v") > (F.col("total") / F.col("n_parts")) * 1.5)
         .select("ps_partkey", F.col("v").cast("double").alias("stock_value"))
     )
 

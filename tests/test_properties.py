@@ -181,3 +181,47 @@ def test_png_codec_roundtrip_property(w, h, color_type, data):
     meta = decode_png(encode_png(w, h, pixels, color_type=color_type))
     assert (meta["width"], meta["height"]) == (w, h)
     assert abs(meta["mean_sample"] - sum(pixels) / n) < 1e-9
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    probes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+)
+@BATCH
+def test_count_min_never_underestimates(spark, keys, probes):
+    from collections import Counter
+
+    from apache_spark_link_prediction_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = count_min_table(df, "k", depth=3, width=16)
+    pdf = spark.createDataFrame([(p,) for p in set(probes)], "k long")
+    est = {
+        r.k: r.est
+        for r in count_min_estimate(sketch, pdf, "k", depth=3, width=16).collect()
+    }
+    exact = Counter(keys)
+    for p in set(probes):
+        assert est[p] >= exact.get(p, 0), (p, est[p], exact.get(p, 0))
+        assert est[p] <= len(keys)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc x", min_size=0, max_size=20), min_size=1, max_size=40
+    ),
+    needle=st.text(alphabet="abc x", min_size=1, max_size=6),
+)
+@BATCH
+def test_trigram_search_always_equals_scan(spark, docs, needle):
+    from apache_spark_link_prediction_spark.operators.text_index import trigram_search
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in trigram_search(df, needle).collect())
+    want = sorted(i for i, t in enumerate(docs) if needle.lower() in t.lower())
+    assert got == want
