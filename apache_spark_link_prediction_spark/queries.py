@@ -7661,6 +7661,48 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("neardup_pipeline_e2e")  # rows-only: minhash LSH banding is
+# hash-opaque to SQL; partition/keeper invariants pinned in
+# tests/test_stats.py
+def neardup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate curation pipeline composed end-to-end (the
+    approximate sibling of curation_pipeline_e2e's exact-dedup stage):
+    minhash-LSH candidate pairs → iterative connected components →
+    quality keeper per cluster (longest doc, id tiebreak) → survivor
+    summary per source. This is the production 100 TB dedup sequence —
+    banded candidate generation carries ids only, CC propagates labels
+    over the pair set (≪ corpus), and the keeper window runs per
+    cluster, so nothing in the plan is corpus-quadratic. Emits
+    (source, n_docs, n_kept, n_removed)."""
+    from .operators.dedup import connected_components, minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.8)
+    comp = connected_components(pairs)
+    labeled = docs.join(
+        comp, docs.doc_id == comp.node_id, "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    marked = labeled.withColumn("rk", F.row_number().over(w))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

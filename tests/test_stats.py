@@ -217,3 +217,28 @@ def test_pareto_skyline_equals_naive_dominance(spark, tmp_path):
         )
     }
     assert got == naive and len(naive) > 0
+
+
+def test_neardup_pipeline_partitions_corpus(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+
+    rows = QUERIES["neardup_pipeline_e2e"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_kept + r.n_removed == r.n_docs for r in rows)
+    # keeper-per-cluster invariant: kept overall == number of clusters
+    # (singletons included)
+    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.8)
+    comp = connected_components(pairs)
+    in_pairs = comp.count()
+    n_clusters = comp.select("component").distinct().count() + (n_docs - in_pairs)
+    assert sum(r.n_kept for r in rows) == n_clusters
+    assert sum(r.n_removed for r in rows) > 0  # the corpus has near-dups
