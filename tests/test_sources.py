@@ -297,3 +297,35 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     assert hashes[1] == hashes[3] == hashes[5]
     ham = bin((hashes[0] ^ hashes[1]) & (2**64 - 1)).count("1")
     assert ham > 10
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lakehouse schema evolution: partitions written before/after a
+    column was added must read as ONE unified schema with nulls for the
+    missing column — and without mergeSchema, footer-sampling keeps the
+    first schema (both behaviors pinned)."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(f"{d}/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{d}/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "v", "score", "p"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
+    """Compression-codec coverage: zstd / snappy / gzip / uncompressed
+    parquet all round-trip the same frame bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k"), F.sha1(F.col("id").cast("string")).alias("s")
+    )
+    want = sorted((r.id, r.k, r.s) for r in df.collect())
+    for codec in ("zstd", "snappy", "gzip", "uncompressed"):
+        p = str(tmp_path / codec)
+        df.write.option("compression", codec).parquet(p)
+        got = sorted((r.id, r.k, r.s) for r in spark.read.parquet(p).collect())
+        assert got == want, codec
