@@ -7703,6 +7703,57 @@ def neardup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "numeric_semantics_suite",
+    """
+    SELECT event_id,
+           round(value) AS r0,
+           round(-value, 1) AS rneg,
+           round(value, 2) AS r2,
+           CAST(trunc(value) AS BIGINT) AS trunc_int,
+           CAST(trunc(-value) AS BIGINT) AS trunc_neg,
+           CAST(floor(-value) AS BIGINT) AS floor_neg,
+           CAST(ceil(-value) AS BIGINT) AS ceil_neg,
+           (user_id - 100) // 7 AS div_trunc,
+           (user_id - 100) % 7 AS mod_sign,
+           CAST(value AS DECIMAL(18,3)) AS dec3,
+           greatest(value, 10.0) AS gmax,
+           least(value, 10.0) AS gmin
+    FROM events WHERE event_id % 131 = 0
+    """,
+)
+def numeric_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-convention pin — the dialect every oracle in this repo
+    is written in. Probed divergences this suite exists to document:
+    DuckDB ``CAST(double AS BIGINT)`` ROUNDS half-even while Spark
+    TRUNCATES (2.5→2 vs 2, 3.5→4 vs 3!), so the agreeing form is
+    ``trunc()`` before the cast (Spark's bare cast ≡ DuckDB's
+    trunc+cast); both engines round doubles half-AWAY-from-zero
+    (round(2.5)=3, round(-2.5)=-3); integer division truncates toward
+    zero in both (``div`` / ``//``: -7/2 → -3, NOT floor's -4); ``%``
+    takes the DIVIDEND's sign in both (-7 % 3 = -1; Spark's pmod is
+    the positive variant and has no DuckDB twin). Verified over real
+    doubles, not just literals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 131 == 0)
+    v = F.col("value")
+    shifted = F.col("user_id") - 100
+    return ev.select(
+        "event_id",
+        F.round(v).alias("r0"),
+        F.round(-v, 1).alias("rneg"),
+        F.round(v, 2).alias("r2"),
+        v.cast("long").alias("trunc_int"),
+        (-v).cast("long").alias("trunc_neg"),
+        F.floor(-v).cast("long").alias("floor_neg"),
+        F.ceil(-v).cast("long").alias("ceil_neg"),
+        F.expr("(user_id - 100) div 7").alias("div_trunc"),
+        (shifted % 7).alias("mod_sign"),
+        v.cast("decimal(18,3)").alias("dec3"),
+        F.greatest(v, F.lit(10.0)).alias("gmax"),
+        F.least(v, F.lit(10.0)).alias("gmin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
