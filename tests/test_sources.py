@@ -329,3 +329,27 @@ def test_parquet_codec_matrix_roundtrip(spark, tmp_path):
         df.write.option("compression", codec).parquet(p)
         got = sorted((r.id, r.k, r.s) for r in spark.read.parquet(p).collect())
         assert got == want, codec
+
+
+def test_corrupt_parquet_file_handling(spark, tmp_path):
+    """Operational contract for a dirty data lake: with
+    ignoreCorruptFiles the good files' rows survive a garbage file in
+    the directory; without it the read fails loudly (never silently
+    drops)."""
+    import pytest
+
+    d = tmp_path / "lake"
+    spark.range(10).write.parquet(str(d / "good1"))
+    spark.range(10, 20).write.parquet(str(d / "good2"))
+    (d / "good1" / "part-corrupt.snappy.parquet").write_bytes(b"PAR1 not really")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = sorted(
+            r.id for r in spark.read.parquet(str(d / "good1"), str(d / "good2")).collect()
+        )
+        assert got == list(range(20))
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d / "good1")).collect()

@@ -41,7 +41,10 @@ from apache_spark_link_prediction_spark.operators.similarity import (  # noqa: E
 from apache_spark_link_prediction_spark.sources.readers import load_table  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
-COPIES = 10
+# COPIES is env-overridable for deeper soaks (e.g. SPARK_STRESS_COPIES=100
+# extends the 10x curve a second decade on the cheap ops).
+import os as _os
+COPIES = int(_os.environ.get("SPARK_STRESS_COPIES", "10"))
 OFFSET = 10_000_000
 
 
@@ -289,7 +292,7 @@ def main() -> None:
     ):
         from apache_spark_link_prediction_spark.queries import QUERIES
 
-    print("| Operator | 1× | 10× | ratio | exponent |")
+    print(f"| Operator | 1× | {COPIES}× | ratio | exponent |")
     print("|---|---|---|---|---|")
     for name in wanted:
         if name in EVENTS_QUERIES or name in DOCS_QUERIES or name in EMB_QUERIES:
@@ -302,7 +305,7 @@ def main() -> None:
         ratio = t10 / t1
         print(
             f"| {name} | {t1:.1f}s | {t10:.1f}s | {ratio:.1f}× | "
-            f"{math.log10(ratio):.2f} |  # rows {n1} → {n10}"
+            f"{math.log(ratio, COPIES):.2f} |  # rows {n1} → {n10}"
         )
 
 
