@@ -353,3 +353,39 @@ def test_corrupt_parquet_file_handling(spark, tmp_path):
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     with pytest.raises(Exception):
         spark.read.parquet(str(d / "good1")).collect()
+
+
+def test_native_xml_source_roundtrip(spark, tmp_path):
+    """Spark 4 native XML connector (rowTag reads, from_xml/to_xml
+    expressions): schema'd ingest of nested rows plus the scalar
+    parse/serialize round trip."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "xmlsrc"
+    d.mkdir()
+    (d / "docs.xml").write_text(
+        "<docs>"
+        + "".join(
+            f"<doc><doc_id>{i}</doc_id><lang>en</lang><n>{i * 7}</n></doc>"
+            for i in range(6)
+        )
+        + "</docs>"
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, n long")
+        .load(str(d))
+    )
+    assert sorted((r.doc_id, r.n) for r in df.collect()) == [
+        (i, i * 7) for i in range(6)
+    ]
+    # expression tier: to_xml -> from_xml is identity on the struct
+    back = df.select(
+        F.from_xml(
+            F.to_xml(F.struct("doc_id", "lang", "n")), "doc_id long, lang string, n long"
+        ).alias("s")
+    ).select("s.doc_id", "s.n")
+    assert sorted((r.doc_id, r.n) for r in back.collect()) == [
+        (i, i * 7) for i in range(6)
+    ]
