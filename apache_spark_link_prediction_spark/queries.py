@@ -7754,6 +7754,43 @@ def numeric_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_hof_suite",
+    """
+    SELECT event_type,
+           (user_id % 5) + 100 AS cohort_key,
+           count(*) * 2 AS doubled
+    FROM events
+    GROUP BY event_type, user_id % 5
+    HAVING count(*) * 2 >= 100
+    """,
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function pin: counts are packed into a MAP per
+    event_type (map_from_entries ∘ collect_list), then pushed through
+    transform_values (×2) → map_filter (≥100) → transform_keys (+100)
+    → exploded back to rows. The oracle computes the same RESULT
+    relationally (GROUP BY + HAVING), so the hash gate proves the map
+    HOF chain is semantics-preserving — build/transform/filter/rekey/
+    unpack loses and invents nothing. (Maps explode back to columns
+    before comparison; MAP values themselves are not hash-normalizable
+    cross-engine.)"""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", (F.col("user_id") % 5).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    packed = per.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "c"))).alias("m")
+    )
+    m = F.col("m")
+    m = F.transform_values(m, lambda k, v: v * 2)
+    m = F.map_filter(m, lambda k, v: v >= 100)
+    m = F.transform_keys(m, lambda k, v: k + 100)
+    return packed.select(
+        "event_type", F.explode(m).alias("cohort_key", "doubled")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
