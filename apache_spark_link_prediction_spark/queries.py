@@ -7791,6 +7791,116 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_paths_topk",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > CAST(1800 AS BIGINT) * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS session_no
+      FROM o),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_no)
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining (the product-analytics 'user flows' report):
+    gap-sessionize (30 min), serialize each session's event types in
+    event order into a path string, rank the most common paths. One
+    user-keyed window pass + one path-keyed count (map-side
+    combinable); total-ordered top-15. The path serialization is
+    order-pinned by (ts, event_id) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.lag(us).over(w)) > F.lit(1_800_000_000)),
+        1,
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(w).alias("session_no"),
+    )
+    paths = (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
+@register(
+    "grouping_sets_report",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() provenance flags — the
+    generalization rollup_agg/cube_agg specialize (this exact set is
+    neither a rollup nor a cube prefix chain: it includes BOTH
+    single-column slices plus the grand total). The gid disambiguates
+    real 'ALL' values from coalesced super-aggregate NULLs; one Expand
+    + single agg shuffle in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
