@@ -7928,6 +7928,19 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local gate (tools/check_oracle.py).  Rows-only queries (ML / seeded /
 # streaming-order — not SQL-portable by design) sort last; pytest pins
 # their semantics.
+#
+# Round-6 window planning (for whoever rotates next): the registry ended
+# round 5 at ~171 oracle-backed entries.  Priority order for the 50
+# slots: (1) doc_rolling_hash + set_except_all (r03-green, held out two
+# rounds); (2) the ~45 round-5 additions with no driver row yet (tpch
+# q2/q9/q11/q16/q20, trigram/count-min/weighted-sample/ks/gini/chi2/
+# entropy/pmi/debounce/arrow-norms, dq audit, recursive-cte/param-sql,
+# scd2-pit, attribution, association rules, skyline, quantization/
+# hard-negatives, semantics suites, session paths, grouping sets,
+# streaming_stream_join_outer, funnel/retention/concurrent/pagerank/
+# jaccard-prefix/gap-fill/logprob/drift from batch 1); overflow carries
+# to round 7 — with >100 entries beyond the window, full driver coverage
+# now takes ~3 rounds per rotation cycle.
 # ---------------------------------------------------------------------------
 
 _WINDOW_THIS_ROUND = [
