@@ -7901,6 +7901,46 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pandas_api_on_spark",
+    """
+    SELECT source,
+           count(*) AS n,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS mean_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``) — the third public
+    query-authoring surface next to DataFrame and SQL, and the one a
+    pandas-native user reaches for first. The ps.groupby/agg lowers to
+    the SAME Catalyst plan family as the DataFrame twin, which the hash
+    gate proves by checking it against the plain SQL oracle (mean
+    recomputed decimal-exact to dodge double-sum ulps). Index handling
+    (reset_index → to_spark) is the part worth pinning — it's where
+    column drift happens."""
+    import pyspark.pandas as psx
+
+    psdf = psx.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = psdf.groupby("source").agg(
+        n=("doc_id", "count"),
+        sum_chars=("n_chars", "sum"),
+        max_chars=("n_chars", "max"),
+    )
+    sdf = agg.reset_index().to_spark()
+    return sdf.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sum_chars").cast("decimal(18,2)").cast("double") / F.col("n"), 4
+        ).alias("mean_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
