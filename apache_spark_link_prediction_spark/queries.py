@@ -7941,6 +7941,27 @@ def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_audio_centroid")  # rows-only: FFT not SQL-expressible;
+# pure-tone closed form pinned in tests/test_multimodal.py
+def multimodal_audio_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio feature over REAL PCM WAV payloads:
+    windowed spectral centroid (operators/multimodal.py:
+    audio_spectral_centroid — rFFT magnitude, DC excluded), the
+    brightness signal audio curation filters on, next to the
+    time-domain RMS twin multimodal_audio_energy. Synth payloads are
+    closed-form from (doc_id, n_chars); per-media mean centroid
+    emitted."""
+    from .operators.multimodal import audio_from_documents, audio_spectral_centroid
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = audio_from_documents(docs)
+    frames = audio_spectral_centroid(media, frame_samples=256)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("centroid_hz"), 4).alias("mean_centroid_hz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

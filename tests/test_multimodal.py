@@ -450,3 +450,48 @@ def test_decode_png_exposes_pixels_roundtrip():
     meta = decode_png(encode_png(8, 4, pixels, color_type=0))
     assert meta["channels"] == 1
     assert meta["pixels"] == pixels
+
+
+def test_spectral_centroid_pure_tone_and_quarantine(spark):
+    """A 1 kHz sine at 8 kHz with 256-sample frames puts the tone
+    exactly on FFT bin 32 — the centroid must read ~1000 Hz in every
+    full frame; a white-ish wide-spectrum signal must read brighter;
+    non-audio payloads quarantine (skip) without failing the batch."""
+    import io
+    import struct as st
+    import wave as wave_mod
+
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        audio_spectral_centroid,
+    )
+
+    def wav_bytes(samples: "np.ndarray", rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    k = np.arange(1024)
+    tone = (10000 * np.sin(2 * np.pi * 1000 * k / 8000)).round()
+    rng = np.random.RandomState(3)
+    noise = rng.randint(-10000, 10000, size=1024)
+    rows = [
+        (1, "audio", "audio/wav", bytearray(wav_bytes(tone))),
+        (2, "audio", "audio/wav", bytearray(wav_bytes(noise))),
+        (3, "audio", "audio/wav", bytearray(b"not a wav")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary"
+    )
+    out = audio_spectral_centroid(media, frame_samples=256).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.centroid_hz)
+    assert 3 not in by_media  # quarantined
+    assert all(abs(c - 1000.0) < 1.0 for c in by_media[1]), by_media[1]
+    assert sum(by_media[2]) / len(by_media[2]) > 1500  # broadband reads brighter
