@@ -139,3 +139,34 @@ def test_observation_metrics_without_extra_pass(spark, sf_dir):
     n_direct = observed.count()  # one action drives both result + metrics
     assert obs.get["n_rows"] == n_direct
     assert obs.get["n_null_value"] == 0
+
+
+def test_trigram_search_plan_is_semi_join_with_pushed_gram_filter(spark, sf_dir):
+    """Candidate generation filters on the needle grams (an IN list the
+    optimizer keeps tight) and verification re-enters the docs via a
+    LEFT SEMI join — never a cartesian, never a full second scan of all
+    columns before the semi."""
+    plan = plan_of(QUERIES["trigram_search_index"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the gram IN (...) filter exists pre-aggregation
+    assert "gram" in plan
+
+
+def test_association_rules_broadcasts_item_counts(spark, sf_dir):
+    """The two unigram-count metric joins must broadcast (items are a
+    bounded dim after the mod-200 coarsening); the basket self-join is
+    the only wide shuffle."""
+    plan = plan_of(QUERIES["association_rules"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_count_min_partial_aggregates_before_exchange(spark, sf_dir):
+    """The sketch's cell counts must map-side combine: a partial
+    HashAggregate appears below the Exchange so the shuffle carries
+    <= depth*width cells per partition, never raw rows."""
+    plan = plan_of(QUERIES["count_min_freq"](spark, sf_dir))
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1
