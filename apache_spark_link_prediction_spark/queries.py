@@ -3746,7 +3746,7 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
         .select(
             "event_type",
-            F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19)).alias("bin"),
+            F.least(F.floor(F.col("value") / 25.0), F.lit(19).cast("long")).alias("bin"),
         )
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -7891,7 +7891,8 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, 'ALL') AS rf,
                coalesce(l_linestatus, 'ALL') AS ls,
-               GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+               CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
                count(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem
