@@ -389,3 +389,27 @@ def test_native_xml_source_roundtrip(spark, tmp_path):
     assert sorted((r.doc_id, r.n) for r in back.collect()) == [
         (i, i * 7) for i in range(6)
     ]
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Lakehouse write semantics: with partitionOverwriteMode=dynamic an
+    overwrite replaces ONLY the partitions present in the incoming
+    frame; static mode (the default) wipes the whole table first."""
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, part string"
+    )
+    base.write.partitionBy("part").parquet(p)
+
+    patch = spark.createDataFrame([(99, "b")], "id long, part string")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("part").parquet(p)
+        got = sorted((r.id, r.part) for r in spark.read.parquet(p).collect())
+        assert got == [(1, "a"), (2, "a"), (4, "c"), (99, "b")]  # only b replaced
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    patch.write.mode("overwrite").partitionBy("part").parquet(p)
+    got = sorted((r.id, r.part) for r in spark.read.parquet(p).collect())
+    assert got == [(99, "b")]  # static wipe
