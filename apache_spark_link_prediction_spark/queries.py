@@ -7963,6 +7963,108 @@ def multimodal_audio_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_decay_user_score",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS t_us FROM events),
+    terms AS (
+      SELECT user_id,
+             CAST(round(value * exp(-((t_us - epoch_us(ts)) / 1000000.0)
+                                     / 604800.0), 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM events CROSS JOIN mx
+      WHERE event_type = 'purchase')
+    SELECT user_id,
+           count(*) AS n_purchases,
+           round(CAST(SUM(term) AS DOUBLE), 4) AS decayed_score
+    FROM terms GROUP BY user_id
+    """,
+)
+def time_decay_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user activity score — the feature-store staple:
+    Σ value·exp(−Δt/τ) with τ = 7 days, anchored at the corpus max
+    event time (in-plan scalar, no driver clock so the result is
+    reproducible). Each exp term is computed on an identical double
+    argument in both engines and rounded to 9dp BEFORE the decimal sum,
+    absorbing the ≤1-ulp libm divergence between JVM Math.exp and
+    C exp while keeping the aggregate exact. Batch twin of
+    streaming_stateful_ema's decay semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_us")
+    )
+    term = F.round(
+        F.col("value")
+        * F.exp(-((F.col("t_us") - us) / F.lit(1000000.0)) / F.lit(604800.0)),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("term").cast("double"), 4).alias("decayed_score"),
+        )
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH e0 AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v FROM lineitem),
+    du AS (SELECT u, CAST(count(*) AS DECIMAL(18,0)) AS d FROM e0 GROUP BY u),
+    dv AS (SELECT v, CAST(count(*) AS DECIMAL(18,0)) AS d FROM e0 GROUP BY v),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e0 JOIN du ON e0.u = du.u JOIN dv ON e0.v = dv.v),
+    s AS (
+      SELECT CAST(count(*) AS DECIMAL(18,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the order↔part bipartite graph: Pearson
+    correlation between endpoint degrees over the edge list (Newman's
+    r) — do hub orders attach to hub parts? Integer degrees make every
+    moment exact in DECIMAL (corr_by_group's bit-identical idiom), so
+    the single-row statistic hash-matches cross-engine. Two degree aggs
+    (broadcastable) + one edge-keyed join; at 100 TB the degree tables
+    are the small side by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")).distinct()
+    du = e0.groupBy("u").agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("dx"))
+    dv = e0.groupBy("v").agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("dy"))
+    pairs = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
