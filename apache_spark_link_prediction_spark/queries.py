@@ -8065,6 +8065,55 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "target_encode_loo",
+    """
+    WITH t AS (
+      SELECT event_id, event_type,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+      FROM events),
+    s AS (
+      SELECT event_type, SUM(y) AS sy, count(*) AS n
+      FROM t GROUP BY event_type)
+    SELECT event_id, t.event_type,
+           CAST(s.n AS BIGINT) AS cat_freq,
+           round(CAST(s.sy - t.y AS DOUBLE) / (s.n - 1), 6) AS te_loo
+    FROM t JOIN s USING (event_type)
+    WHERE s.n > 1
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding + frequency encoding — the
+    categorical feature-prep pair every tabular-ML pipeline runs before
+    training: each row's category becomes (Σy − y_self)/(n−1), which
+    unlike the plain category mean cannot leak the row's own label.
+    Per-category sums are DECIMAL-exact, so the per-row encoded value
+    is identical cross-engine before the final 6dp round. One grouped
+    agg (broadcastable — |categories| rows) + one broadcast join back;
+    no window, no shuffle of the fact beyond the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        t.join(F.broadcast(s), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("n").cast("long").alias("cat_freq"),
+            F.round(
+                (F.col("sy") - F.col("y")).cast("double") / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
