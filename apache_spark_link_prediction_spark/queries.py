@@ -8114,6 +8114,119 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "confusion_matrix_macro_f1",
+    """
+    WITH scored AS (
+      SELECT label AS truth,
+             CASE WHEN list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> x)) > 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM embeddings),
+    cm AS (SELECT truth, pred, count(*) AS n FROM scored GROUP BY 1, 2),
+    per_class AS (
+      SELECT c.truth AS class,
+             CAST(coalesce(SUM(CASE WHEN pred = c.truth THEN n END), 0)
+                  AS DOUBLE) AS tp,
+             CAST(coalesce((SELECT SUM(n) FROM cm WHERE pred = c.truth), 0)
+                  AS DOUBLE) AS pred_n,
+             CAST(SUM(n) AS DOUBLE) AS truth_n
+      FROM cm c GROUP BY c.truth)
+    SELECT class,
+           CAST(truth_n AS BIGINT) AS support,
+           round(CASE WHEN pred_n = 0 THEN 0.0 ELSE tp / pred_n END, 6)
+             AS precision,
+           round(tp / truth_n, 6) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0
+                      ELSE 2 * (tp / pred_n) * (tp / truth_n)
+                           / (tp / pred_n + tp / truth_n) END, 6) AS f1
+    FROM per_class
+    """,
+)
+def confusion_matrix_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 from a confusion matrix — the
+    multi-class eval report (threshold_metrics covers the binary sweep,
+    NDCG the ranking tier; this is the classification tier). The
+    classifier is a closed-form rule (sign of the embedding's component
+    sum) so both engines score identical predictions and the metric
+    arithmetic — integer confusion counts → double ratios — is
+    bit-identical. Two bounded aggs; the confusion matrix is
+    |classes|² rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("label").alias("truth"),
+        F.when(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    cm = scored.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    truth_side = cm.groupBy(F.col("truth").alias("class")).agg(
+        F.sum("n").cast("double").alias("truth_n"),
+        F.sum(F.when(F.col("pred") == F.col("truth"), F.col("n")))
+        .cast("double")
+        .alias("tp_raw"),
+    )
+    pred_side = cm.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").cast("double").alias("pred_n")
+    )
+    per = truth_side.join(F.broadcast(pred_side), "class", "left").select(
+        "class",
+        "truth_n",
+        F.coalesce(F.col("tp_raw"), F.lit(0.0)).alias("tp"),
+        F.coalesce(F.col("pred_n"), F.lit(0.0)).alias("pred_n"),
+    )
+    prec = F.when(F.col("pred_n") == 0, 0.0).otherwise(F.col("tp") / F.col("pred_n"))
+    rec = F.col("tp") / F.col("truth_n")
+    return per.select(
+        "class",
+        F.col("truth_n").cast("long").alias("support"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(F.col("tp") == 0, 0.0).otherwise(2 * prec * rec / (prec + rec)), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "cdc_apply_deletes",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id, round(value, 6) AS value
+    FROM latest WHERE event_type = 'purchase'
+    """,
+)
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDC apply — the full MERGE semantics next to
+    cdc_upsert_latest's upsert-only tier: 'purchase' acts as upsert,
+    'error' as tombstone; a user whose LATEST change is a tombstone is
+    absent from the snapshot, not null-valued. One user-keyed window,
+    deletes resolved in-plan (no anti-join second pass)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.round("value", 6).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each
