@@ -221,12 +221,21 @@ EVENTS_QUERIES = (
     "tpch_q20_excess_inventory",
     "attribution_linear",
     "scd2_point_in_time_join",
+    # round-5 batch 7
+    "time_decay_user_score",
+    "target_encode_loo",
+    "graph_degree_assortativity",
+    "cdc_apply_deletes",
+    "session_paths_topk",
+    "map_hof_suite",
+    "grouping_sets_report",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
 EMB_QUERIES = (
     "embedding_scalar_quantization",
     "hard_negative_mining",
+    "confusion_matrix_macro_f1",
 )
 
 
