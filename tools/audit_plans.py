@@ -64,7 +64,7 @@ ALLOW = {
     # bounded by construction, the driver-collect-free way to put
     # global counts in one row
     "crossvalidate_counts": {"nested-loop join"},
-    "funnel_conversion": {"nested-loop join"},
+    "funnel_view_click_purchase": {"nested-loop join"},
     # the EXACT all-pairs verification twin of embedding_topk_bruteforce
     # (demoted from the driver window; fenced to verification use) —
     # all-pairs is its definition
