@@ -68,6 +68,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _np_round_half_away(x, decimals: int):
+    """Half-away-from-zero rounding for numpy arrays / pandas Series —
+    the convention of both ``F.round`` and DuckDB ``round()``.
+    ``np.round`` / ``Series.round`` use banker's half-to-even, so an
+    exact .00005 tie at 4dp would hash-mismatch cross-engine (ADVICE
+    r05); every Python-UDF tier that rounds for the oracle comparator
+    goes through this helper instead."""
+    import numpy as np
+
+    p = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 # SQL fragment shared by every token-level oracle (mirror of
 # functions.pairwise.tokenize).
 def _toks_sql(col: str) -> str:
@@ -1611,7 +1624,12 @@ def p2_lsh_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     *dissimilar* colliding pairs, self-pairs and both directions kept,
     distance mislabeled ``jaccardSimilarity``). The intent-mode twin is
     ``p2_lsh_similarity``; mode equivalence quirks are pinned in
-    tests/test_plans.py."""
+    tests/test_plans.py. This registry row runs at threshold 0.8 so the
+    gate row exercises REAL output on the sampled corpus (measured, seed-
+    pinned LSH: 44 pairs at sf0.001 / 20 at sf0.01 — the reference's
+    production threshold 0.97 legitimately emits 0 here, VERDICT r05
+    item 4); the 0.97 semantics are pinned by an engineered fixture in
+    tests/test_plans.py::test_p2_reference_mode_emits_at_production_threshold."""
     from .plans.p2 import lsh_similarity_join
     from .plans.text_pipeline import preprocess_documents
 
@@ -1622,7 +1640,7 @@ def p2_lsh_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     processed, _ = preprocess_documents(docs, text_cols=["text"])
     feats = processed.select("srcId", "tf_idf").cache()
-    return lsh_similarity_join(feats, threshold=0.97, mode="reference")
+    return lsh_similarity_join(feats, threshold=0.8, mode="reference")
 
 
 _CLUSTERS_EXACT_ORACLE = f"""
@@ -2232,7 +2250,7 @@ def zscore_by_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
-                "z": ((pdf["value"] - pdf["value"].mean()) / std).round(4),
+                "z": _np_round_half_away((pdf["value"] - pdf["value"].mean()) / std, 4),
             }
         )
 
@@ -6079,7 +6097,7 @@ def pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = np.stack(col.to_numpy())  # (batch, 64) float64
         dots = m @ qv
         norms = np.sqrt((m * m).sum(axis=1)) * qn
-        return pandas.Series(np.round(dots / norms, 4))
+        return pandas.Series(_np_round_half_away(dots / norms, 4))
 
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -6380,7 +6398,8 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry debounce: per (user, type), keep an event only when
-    the previous one is ≥ 2h older — the duplicate-burst suppressor
+    the previous one is STRICTLY more than 2h older (gap > 7200 s, both
+    engines use the strict inequality) — the duplicate-burst suppressor
     upstream of sessionization. Gap arithmetic on µs-exact integers
     (unix_micros / epoch_us) so the threshold decision is identical in
     both engines — a fractional-seconds double here would be a
@@ -6429,7 +6448,7 @@ def arrow_vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb = batch.column("embedding")
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             m = flat.reshape(len(emb), -1)
-            l2 = np.round(np.sqrt((m * m).sum(axis=1)), 4)
+            l2 = _np_round_half_away(np.sqrt((m * m).sum(axis=1)), 4)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
             )
@@ -8058,13 +8077,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r) — do hub orders attach to hub parts? Integer degrees make every
     moment exact in DECIMAL (corr_by_group's bit-identical idiom), so
     the single-row statistic hash-matches cross-engine. Two degree aggs
-    (broadcastable) + one edge-keyed join; at 100 TB the degree tables
-    are the small side by construction."""
+    + one edge-keyed join. Scale note: the order-side degree table has
+    one row per distinct order — same order of magnitude as the edge
+    list — so it takes a plain shuffle join (co-partitioned on u, the
+    edge key). Only the part-side table (|parts| ≪ |edges| under TPC-H
+    ratios) is broadcast; if the part dimension ever outgrew the
+    broadcast threshold, AQE would demote that hint too."""
     li = load_table(spark, sf_dir, "lineitem")
     e0 = li.select(F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")).distinct()
     du = e0.groupBy("u").agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("dx"))
     dv = e0.groupBy("v").agg(F.count(F.lit(1)).cast("decimal(18,0)").alias("dy"))
-    pairs = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v").select(
+    pairs = e0.join(du, "u").join(F.broadcast(dv), "v").select(
         F.col("dx").alias("x"), F.col("dy").alias("y")
     )
     s = pairs.agg(
