@@ -1,0 +1,117 @@
+"""Semantics pins for the round-5 post-gate feature queries.
+
+VERDICT r05 item 3: the five queries committed after the final gate
+snapshot (time_decay_user_score, graph_degree_assortativity,
+target_encode_loo, confusion_matrix_macro_f1, cdc_apply_deletes) had no
+pytest reference. Each test here recomputes the expected answer with an
+INDEPENDENT implementation (pandas/numpy over the raw parquet — not the
+DuckDB oracle, not Spark) and compares against the registered query at
+sf0.001, so the semantics are pinned even when the query sits outside
+the driver's 50-slot grading window.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from apache_spark_link_prediction_spark.queries import QUERIES
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_pd() -> pd.DataFrame:
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    # mirror sources.readers.load_table's µs normalization
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+def test_time_decay_user_score_matches_numpy(spark, events_pd):
+    out = {
+        r["user_id"]: (r["n_purchases"], r["decayed_score"])
+        for r in QUERIES["time_decay_user_score"](spark, SF_DIR).collect()
+    }
+    ev = events_pd
+    t_max_us = ev["ts"].astype("int64").max()
+    p = ev[ev["event_type"] == "purchase"]
+    assert set(out) == set(p["user_id"].unique())
+    for uid, grp in p.groupby("user_id"):
+        dt_s = (t_max_us - grp["ts"].astype("int64").to_numpy()) / 1e6
+        terms = np.round(grp["value"].to_numpy() * np.exp(-dt_s / 604800.0), 9)
+        n, score = out[uid]
+        assert n == len(grp)
+        assert score == pytest.approx(round(float(terms.sum()), 4), abs=1e-4)
+
+
+def test_graph_degree_assortativity_matches_numpy(spark):
+    row = QUERIES["graph_degree_assortativity"](spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    e0 = li.drop_duplicates()
+    du = e0.groupby("l_orderkey").size()
+    dv = e0.groupby("l_partkey").size()
+    x = du.loc[e0["l_orderkey"]].to_numpy(dtype=float)
+    y = dv.loc[e0["l_partkey"]].to_numpy(dtype=float)
+    assert row["n_edges"] == len(e0)
+    expected = np.corrcoef(x, y)[0, 1]
+    assert row["assortativity"] == pytest.approx(expected, abs=1e-5)
+
+
+def test_target_encode_loo_matches_pandas(spark, events_pd):
+    out = QUERIES["target_encode_loo"](spark, SF_DIR).toPandas()
+    ev = events_pd.copy()
+    ev["y"] = ev["value"].round(6)
+    grp = ev.groupby("event_type")["y"].agg(["sum", "count"])
+    big = grp[grp["count"] > 1]
+    # every multi-member category present, with the right frequency
+    merged = out.merge(big, left_on="event_type", right_index=True)
+    assert len(merged) == int(big["count"].sum()) == len(out)
+    assert (merged["cat_freq"] == merged["count"]).all()
+    # LOO value: (S - y_self) / (n - 1), spot-checked exactly per row
+    ev_idx = ev.set_index("event_id")
+    sample = out.sample(n=min(200, len(out)), random_state=7)
+    for r in sample.itertuples():
+        S, n = big.loc[r.event_type, "sum"], big.loc[r.event_type, "count"]
+        y_self = ev_idx.loc[r.event_id, "y"]
+        assert r.te_loo == pytest.approx(round((S - y_self) / (n - 1), 6), abs=1e-6)
+    # identity: the mean of LOO encodings equals the category mean
+    for et, sub in out.groupby("event_type"):
+        assert sub["te_loo"].mean() == pytest.approx(
+            big.loc[et, "sum"] / big.loc[et, "count"], abs=1e-4
+        )
+
+
+def test_confusion_matrix_macro_f1_matches_numpy(spark):
+    out = {r["class"]: r for r in QUERIES["confusion_matrix_macro_f1"](spark, SF_DIR).collect()}
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["label", "embedding"])
+    truth = emb["label"].to_numpy()
+    pred = np.array([1 if float(np.sum(np.asarray(v, dtype=np.float64))) > 0 else 0
+                     for v in emb["embedding"]])
+    assert set(out) == set(np.unique(truth))
+    for cls, r in out.items():
+        tp = int(((truth == cls) & (pred == cls)).sum())
+        pred_n = int((pred == cls).sum())
+        truth_n = int((truth == cls).sum())
+        prec = tp / pred_n if pred_n else 0.0
+        rec = tp / truth_n
+        f1 = 0.0 if tp == 0 else 2 * prec * rec / (prec + rec)
+        assert r["support"] == truth_n
+        assert r["precision"] == pytest.approx(prec, abs=1e-6)
+        assert r["recall"] == pytest.approx(rec, abs=1e-6)
+        assert r["f1"] == pytest.approx(f1, abs=1e-6)
+
+
+def test_cdc_apply_deletes_tombstone_semantics(spark, events_pd):
+    out = {r["user_id"]: r["value"] for r in QUERIES["cdc_apply_deletes"](spark, SF_DIR).collect()}
+    ev = events_pd[events_pd["event_type"].isin(["purchase", "error"])]
+    latest = ev.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    upserts = latest[latest["event_type"] == "purchase"]
+    tombstoned = set(latest.loc[latest["event_type"] == "error", "user_id"])
+    assert set(out) == set(upserts["user_id"])
+    # a user whose latest change is a tombstone is ABSENT, not null-valued
+    assert not (set(out) & tombstoned) and tombstoned
+    for r in upserts.itertuples():
+        assert out[r.user_id] == pytest.approx(round(float(r.value), 6), abs=1e-6)
