@@ -1,0 +1,88 @@
+"""CLI parity tests — the reference's ``main`` (Predictor.scala:424-432)
+as ``python -m apache_spark_link_prediction_spark``, driven end-to-end
+over reference-format fixture files (quoted headerless CSV, space- and
+tab-separated edge lists per FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+from apache_spark_link_prediction_spark.cli import main
+
+_DOCS = [
+    ("1", "1999", "alpha beta", "a, b", "J1", "alpha beta gamma delta epsilon zeta"),
+    ("2", "2000", "alpha beta", "a", "J1", "alpha beta gamma delta epsilon zeta"),
+    ("3", "2001", "other", "c", "J2", "alpha beta gamma qqq www yyy zzz xxx ppp"),
+    ("4", "2002", "noise", "d", "J3", "completely unrelated words appearing nowhere else"),
+]
+
+
+def _write_fixtures(tmp_path):
+    node_info = tmp_path / "node_information.csv"
+    node_info.write_text(
+        "".join(
+            f'{i},{y},"{t}","{a}","{j}","{ab}"\n' for i, y, t, a, j, ab in _DOCS
+        )
+    )
+    training = tmp_path / "training_set.txt"
+    training.write_text("1 2 1\n1 3 0\n2 3 0\n1 4 0\n")
+    testing = tmp_path / "testing_set.txt"
+    testing.write_text("1 2\n3 4\n")
+    truth = tmp_path / "Cit-HepTh.txt"
+    truth.write_text("1\t2\n")
+    return node_info, training, testing, truth
+
+
+def test_cli_p1_prints_reference_metric_lines(spark, tmp_path, capsys):
+    node_info, training, testing, truth = _write_fixtures(tmp_path)
+    rc = main(
+        [
+            "p1",
+            "--node-info", str(node_info),
+            "--training-set", str(training),
+            "--testing-set", str(testing),
+            "--ground-truth", str(truth),
+        ],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    # Predictor.scala:328-341 output shape
+    assert "Threshold: " in out and "Precision: " in out
+    assert "F-score: " in out and "Beta = 1" in out
+    assert "Best F1: " in out
+
+
+def test_cli_p2_prints_reference_counts(spark, tmp_path, capsys):
+    node_info, _, _, truth = _write_fixtures(tmp_path)
+    rc = main(
+        [
+            "p2",
+            "--node-info", str(node_info),
+            "--ground-truth", str(truth),
+            "--fraction", "1.0",
+            "--threshold", "0.9",
+        ],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    # Predictor.scala:420-421 output shape; docs 1+2 are exact dups, the
+    # canonical (1,2) pair is in ground truth -> both counts >= 1
+    total = int(out.split("Total edges created: ")[1].splitlines()[0])
+    correct = int(out.split("Correct edges detected: ")[1].splitlines()[0])
+    assert total >= 1 and correct >= 1
+
+
+def test_cli_p2_reference_mode_runs(spark, tmp_path, capsys):
+    node_info, _, _, truth = _write_fixtures(tmp_path)
+    rc = main(
+        [
+            "p2",
+            "--node-info", str(node_info),
+            "--ground-truth", str(truth),
+            "--fraction", "1.0",
+            "--mode", "reference",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "Total edges created: " in capsys.readouterr().out
