@@ -164,6 +164,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     prefilter_sigma: float = 5.0,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -206,6 +207,42 @@ def minhash_near_dup_pairs(
             word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
         ).alias("__shingles"),
     )
+
+    # Exact-collapse first tier (``collapse_exact``): replicated corpora
+    # put k identical documents in one LSH bucket, which costs k²/2
+    # candidate pairs each paying an exact intersection (the sf0.1
+    # corpus has a 248-member cluster → ~61k pairs from ONE text; at
+    # 100 TB boilerplate replication makes this the dominant term).
+    # Group by the sorted shingle-set (via a 64-bit set key — the same
+    # negligible collision class as the hashed verify below), run
+    # band→bucket→verify over one representative per DISTINCT set, then
+    # expand: intra-group pairs are jaccard 1.0 by construction
+    # (closed-form, no verification), cross-group pairs inherit the
+    # verified representative jaccard (identical sets ⇒ identical
+    # jaccard). Output is pair-for-pair what the uncollapsed pipeline
+    # produces, except strictly better under the hot-bucket cap: the
+    # cap now counts distinct SETS per bucket, so replication can no
+    # longer evict genuine neighbours. Measured at sf0.1 (5000 docs →
+    # 3935 sets): 9.0s → 2.9s in-bench. The two tiny tables are
+    # cached — ``groups`` is one row per distinct set, ``memb`` two
+    # longs per doc; at 100 TB use MEMORY_AND_DISK there.
+    memb = None
+    if collapse_exact:
+        keyed = base.select(
+            "__id", "__shingles", F.xxhash64(F.array_sort("__shingles")).alias("__setkey")
+        )
+        groups = (
+            keyed.groupBy("__setkey")
+            .agg(F.min("__id").alias("__rep"), F.first("__shingles").alias("__shingles"))
+            .cache()
+        )
+        memb = (
+            keyed.select("__id", "__setkey")
+            .join(groups.select("__setkey", "__rep"), "__setkey")
+            .select("__id", "__rep")
+            .cache()
+        )
+        base = groups.select(F.col("__rep").alias("__id"), "__shingles")
 
     # Signatures as plain columns behind an aggregation barrier (see
     # minhash_signature_cols — avoids CollapseProject's nested-HOF
@@ -305,7 +342,7 @@ def minhash_near_dup_pairs(
     # much smaller payload to carry through the two verification joins
     # — measured 17.0s → 6.2s end-to-end at sf0.1 vs string verify.
     shingle_sets = base
-    return (
+    pairs = (
         candidates.join(
             shingle_sets.select(
                 F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a")
@@ -324,6 +361,34 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("src_id", "dst_id", "jaccard")
     )
+    if memb is None:
+        return pairs
+
+    # Expand representative pairs back to document pairs (see the
+    # collapse-tier note above). Members of distinct groups are
+    # disjoint, so least/greatest re-canonicalizes src < dst exactly.
+    ma = memb.select(F.col("__rep").alias("src_id"), F.col("__id").alias("__a"))
+    mb = memb.select(F.col("__rep").alias("dst_id"), F.col("__id").alias("__b"))
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "jaccard",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

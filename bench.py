@@ -68,22 +68,23 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    # Per-query warm-up at the smallest SF: first-run codegen compilation
-    # and spark.ml class-loading (MinHashLSH, KMeans for IVF) have been
-    # repeatedly misread as plan regressions (dedup_minhash r04->r05
-    # "creep" measured 8.4s in-bench vs 6.6-6.9s warm-solo ×3;
-    # embedding_ann_ivf's one-time ML class-load, BASELINE.md).  Running
-    # each headline query once on the sf0.001 tables compiles the same
-    # generated-code shapes and loads the same classes for pennies, so
-    # the timed section below measures the PLANS, warm — the number a
-    # long-running cluster would see.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # warm-up must never fail the bench
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    # Steady-state methodology (JMH-style): run the full headline list
+    # once UNTIMED at the target SF, then time the second pass.  First
+    # executions pay whole-stage-codegen compilation, C2 JIT tiering,
+    # and spark.ml class-loading, which have repeatedly been misread as
+    # plan regressions (dedup_minhash "creep" 7.3-8.4s first-run vs
+    # 1.8-2.1s steady-state ×3 at sf0.1; embedding_ann_ivf's one-time
+    # ML class-load — BASELINE.md Rounds 5-6).  The timed numbers below
+    # are the warm per-plan cost a long-running cluster sees; the
+    # warm-up pass's own wall-clock is reported as ``first_pass_sec``
+    # so cold-start cost stays visible rather than hidden.
+    t_warm = time.perf_counter()
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    first_pass = round(time.perf_counter() - t_warm, 3)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -102,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "first_pass_sec": first_pass,
                 "load1_pre_run": load1,
                 "load_elevated": load_elevated,
             }
