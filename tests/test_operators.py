@@ -110,6 +110,33 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_minhash_collapse_tier_is_output_identical(spark, docs):
+    """The exact-collapse first tier (one LSH pass per DISTINCT
+    shingle-set + closed-form expansion) must be pair-for-pair identical
+    to the uncollapsed pipeline — including jaccard values — on a corpus
+    with real replicated clusters (the sf0.001 documents table) plus
+    planted exact duplicates that amplify the collapse path."""
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "source", "lang", "n_chars",
+    )
+    corpus = docs.unionByName(dup.select(*docs.columns), allowMissingColumns=True)
+
+    def pairs(collapse):
+        return {
+            (r["src_id"], r["dst_id"], r["jaccard"])
+            for r in minhash_near_dup_pairs(
+                corpus, shingle_n=1, threshold=0.8, collapse_exact=collapse
+            ).collect()
+        }
+
+    with_c, without_c = pairs(True), pairs(False)
+    assert with_c == without_c
+    # every planted exact dup must appear, with jaccard exactly 1.0
+    for s in [r["doc_id"] for r in docs.limit(5).collect()]:
+        assert (s, s + 1_000_000, 1.0) in with_c
+
+
 def test_ngram_jaccard_refuses_unbounded_blocks(spark, docs):
     """window=None without an explicit allow_quadratic=True must raise:
     O(block²) must never be the accidental production path."""
