@@ -73,6 +73,9 @@ ALLOW = {
     # initialization and each iteration's base-rank term — same
     # driver-collect-free global-count pattern as heavy_hitters_tokens
     "pagerank_parts": {"nested-loop join"},
+    # corpus-max-timestamp scalar (1-row broadcast) cross-joined as the
+    # decay anchor — same bounded global-scalar pattern
+    "time_decay_user_score": {"nested-loop join"},
     # corpus-total scalar (1-row broadcast) cross-joined into the
     # per-token probability — same pattern as heavy_hitters_tokens
     "unigram_logprob_score": {"nested-loop join"},
