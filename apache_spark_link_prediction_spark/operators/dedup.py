@@ -488,6 +488,7 @@ def signature_band_pairs(
     blocks: int,
     max_hamming: int,
     max_bucket_size: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Banded Hamming-ball self-join over ANY ``(__id, __sh)`` signature
     frame (simhash text signatures, image perceptual hashes, …): by
@@ -497,12 +498,28 @@ def signature_band_pairs(
     runs only inside buckets. Hot buckets are deterministically dropped
     at ``max_bucket_size`` (recall/cost cap, same contract as minhash).
 
+    ``collapse_exact``: identical signatures (replicated texts; same-
+    class perceptual hashes) are collapsed to one representative before
+    banding — the signature twin of minhash_near_dup_pairs' collapse
+    tier. Intra-group pairs are Hamming 0 by definition and emitted
+    closed-form; cross-group pairs inherit the representative distance
+    (identical signatures ⇒ identical xor). Output is pair-for-pair the
+    uncollapsed result, except the hot-bucket cap now counts distinct
+    SIGNATURES per bucket, so replication can't evict genuine
+    neighbours. The two side tables are 2 longs/row, cached.
+
     Emits (src_id, dst_id, hamming) with src_id < dst_id.
     """
     assert bits % blocks == 0
     assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
+
+    memb = None
+    if collapse_exact:
+        groups = sigs.groupBy("__sh").agg(F.min("__id").alias("__rep")).cache()
+        memb = sigs.join(groups, "__sh").select("__id", "__rep").cache()
+        sigs = groups.select(F.col("__rep").alias("__id"), "__sh")
 
     banded = sigs.select(
         "__id",
@@ -521,7 +538,7 @@ def signature_band_pairs(
     banded = _drop_hot_buckets(banded, ["__block", "__key"], max_bucket_size)
     a = banded.select("__block", "__key", F.col("__id").alias("src_id"), F.col("__sh").alias("__sh_a"))
     b = banded.select("__block", "__key", F.col("__id").alias("dst_id"), F.col("__sh").alias("__sh_b"))
-    return (
+    pairs = (
         a.join(b, on=["__block", "__key"], how="inner")
         .filter(F.col("src_id") < F.col("dst_id"))
         .select(
@@ -532,6 +549,33 @@ def signature_band_pairs(
         .dropDuplicates(["src_id", "dst_id"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if memb is None:
+        return pairs
+
+    # Expand representative pairs to member pairs (disjoint groups, so
+    # least/greatest re-canonicalizes src < dst exactly).
+    ma = memb.select(F.col("__rep").alias("src_id"), F.col("__id").alias("__a"))
+    mb = memb.select(F.col("__rep").alias("dst_id"), F.col("__id").alias("__b"))
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "hamming",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
