@@ -282,6 +282,7 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     round_to: int = 6,
     max_bucket_size: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH self-bucket-join,
     canonical (src_id < dst_id), exact cosine verification ≥ threshold.
@@ -291,8 +292,29 @@ def embedding_near_dup_pairs(
     boilerplate clusters) exactly as in the MinHash/SimHash dedup: a
     10× replication stress showed 21.8× wall-clock growth uncapped —
     the O(bucket²) self-join on near-identical embedding clusters is
-    the blow-up a 100 TB corpus hits on templated content."""
+    the blow-up a 100 TB corpus hits on templated content.
+
+    ``collapse_exact``: bitwise-identical vectors collapse to one
+    representative before hashing (grouped on the raw array — exact
+    value equality, no hash-collision class at all). Intra-group pairs
+    take the pipeline's own cosine(v, v) expression (NOT a literal 1.0
+    — an all-zero vector must keep its defined cosine and threshold
+    behavior), cross-group pairs inherit the representative cosine
+    (identical vectors ⇒ identical arithmetic). Same contract as the
+    minhash/simhash collapse tiers."""
     v = F.col(vec_col)
+    memb = None
+    if collapse_exact:
+        keyed = corpus.select(F.col(id_col).alias("__id"), v.alias("__gvec"))
+        groups = keyed.groupBy("__gvec").agg(F.min("__id").alias("__rep")).cache()
+        memb = keyed.join(groups, "__gvec").select("__id", "__rep").cache()
+        corpus = groups.select(
+            F.col("__rep").alias(id_col), F.col("__gvec").alias(vec_col)
+        )
+        intra_vals = groups.select(
+            "__rep",
+            F.round(cosine_similarity("__gvec", "__gvec"), round_to).alias("__c"),
+        ).filter(F.col("__c") >= threshold)
     # Ids-only through the band explode + bucket self-join + pair
     # dropDuplicates; vectors rejoin once per side at verification
     # (same pattern as dedup.minhash_near_dup_pairs).
@@ -309,7 +331,7 @@ def embedding_near_dup_pairs(
     a = banded.select("__table", "__key", F.col("__id").alias("src_id"))
     b = banded.select("__table", "__key", F.col("__id").alias("dst_id"))
     vecs = corpus.select(F.col(id_col).alias("__vid"), v.alias("__vec"))
-    return (
+    pairs = (
         a.join(b, on=["__table", "__key"], how="inner")
         .filter(F.col("src_id") < F.col("dst_id"))
         .select("src_id", "dst_id")
@@ -320,3 +342,31 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("src_id", "dst_id", "cosine")
     )
+    if memb is None:
+        return pairs
+
+    # Expand representative pairs to member pairs (disjoint groups, so
+    # least/greatest re-canonicalizes src < dst exactly).
+    ma = memb.select(F.col("__rep").alias("src_id"), F.col("__id").alias("__a"))
+    mb = memb.select(F.col("__rep").alias("dst_id"), F.col("__id").alias("__b"))
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "cosine",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .join(intra_vals, "__rep")
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.col("__c").alias("cosine"),
+        )
+    )
+    return cross.unionByName(intra)
