@@ -734,6 +734,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT token-Jaccard ≥ threshold self-join with NO blocking key
     and no id-window — prefix filtering (the PPJoin family's core
@@ -766,6 +767,35 @@ def jaccard_prefix_join(
         F.col(id_col).alias("__id"),
         F.array_distinct(tokenize(text_col)).alias("__toks"),
     )
+
+    # Exact-collapse first tier (the production sequence for replicated
+    # corpora, same contract as minhash_near_dup_pairs): identical token
+    # SETS collapse to one representative before the prefix machinery,
+    # grouped on the sorted array itself (exact equality, no collision
+    # class). Prefix-filter soundness holds under ANY consistent global
+    # token order, so computing document frequencies over
+    # representatives instead of raw documents changes candidates but
+    # not the verified output. Intra-group pairs are jaccard 1.0 — but
+    # ONLY for non-empty sets (two empty token sets have jaccard 0.0 by
+    # the union>0 rule and must stay excluded, as in the uncollapsed
+    # path); cross-group pairs inherit the representative jaccard.
+    memb = None
+    if collapse_exact:
+        keyed = base.select("__id", "__toks", F.array_sort("__toks").alias("__setk"))
+        groups = (
+            keyed.groupBy("__setk")
+            .agg(F.min("__id").alias("__rep"), F.first("__toks").alias("__toks"))
+            .cache()
+        )
+        memb = (
+            keyed.select("__id", "__setk")
+            .join(groups.select("__setk", "__rep"), "__setk")
+            .select("__id", "__rep")
+            .cache()
+        )
+        nonempty_reps = groups.filter(F.size("__setk") > 0).select("__rep")
+        base = groups.select(F.col("__rep").alias("__id"), "__toks")
+
     toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
@@ -789,7 +819,7 @@ def jaccard_prefix_join(
         .dropDuplicates(["src_id", "dst_id"])
     )
     sets = base.select(F.col("__id"), F.col("__toks"))
-    return (
+    pairs = (
         candidates.join(
             sets.select(F.col("__id").alias("src_id"), F.col("__toks").alias("__ta")),
             on="src_id",
@@ -802,6 +832,32 @@ def jaccard_prefix_join(
         .filter(F.col("jaccard") >= threshold)
         .select("src_id", "dst_id", "jaccard")
     )
+    if memb is None:
+        return pairs
+
+    ma = memb.select(F.col("__rep").alias("src_id"), F.col("__id").alias("__a"))
+    mb = memb.select(F.col("__rep").alias("dst_id"), F.col("__id").alias("__b"))
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "jaccard",
+        )
+    )
+    intra = (
+        memb.join(nonempty_reps, "__rep")
+        .alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def levenshtein_near_dup_pairs(
