@@ -1368,6 +1368,37 @@ def streaming_stateful_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_neardup_suppress")  # rows-only: greedy arrival-order
+# semantics (earliest-seen keeper wins) are inherently stateful-stream-
+# shaped; pinned against an independent Python greedy simulation in
+# tests/test_streaming.py.
+def streaming_neardup_suppress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup suppression (streaming.events.
+    streaming_neardup_suppress): SimHash map-side, pigeonhole-block
+    buckets, bounded per-bucket GroupState of cluster keepers; a doc is
+    suppressed iff any block matched an admitted signature within
+    Hamming 3. The doc stream is one sorted parquet file → one
+    micro-batch, so the greedy fold is deterministic. Emits per-doc
+    (doc_id, dup_of) — the online analogue of dedup_clusters' keeper
+    assignment, produced incrementally with O(buckets × cap) state."""
+    import tempfile
+
+    from .streaming.events import run_stream_to_memory, streaming_neardup_suppress
+
+    path = tempfile.mkdtemp(prefix="docs_stream_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(1).sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    flat = run_stream_to_memory(
+        streaming_neardup_suppress(stream),
+        name="q_streaming_neardup",
+        output_mode="append",
+    )
+    return flat.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+
+
 @register(
     "semi_anti_existence",
     """

@@ -485,6 +485,109 @@ def streaming_cdc_latest(
     )
 
 
+def streaming_neardup_suppress(
+    docs: DataFrame,
+    *,
+    bits: int = 32,
+    blocks: int = 4,
+    max_hamming: int = 3,
+    max_state_per_bucket: int = 256,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression — the stateful-stream twin
+    of batch ``signature_band_pairs``: each arriving document's SimHash
+    (computed map-side with the single-expression ``operators.dedup.
+    simhash`` — no extra shuffle) is exploded into its ``blocks``
+    pigeonhole blocks; per (block, key) bucket a bounded GroupState of
+    previously-admitted (signature, keeper) pairs flags the document if
+    its full signature is within ``max_hamming`` of any of them.
+
+    Emits one row per (document, block) — ``(doc_id, block, dup_of)``
+    with ``dup_of`` null when that block saw no match. A document is
+    suppressed iff ANY block flags it; that final any()-fold is a
+    batch-side ``groupBy(doc_id).min(dup_of)`` over the (tiny) flag
+    stream in the registry query — Structured Streaming does not
+    compose an aggregation after ``applyInPandasWithState`` in append
+    mode, and the fold is |docs|-sized, not state-sized.
+
+    Semantics (greedy, arrival-ordered, the online mirror of the batch
+    pigeonhole join): within a bucket, documents are folded in
+    (doc_id)-order per micro-batch; a match reports the EARLIEST
+    admitted keeper; a matched document is NOT admitted to state (its
+    keeper already represents the cluster — state holds one entry per
+    near-dup cluster, not per doc). Buckets are independent, so a doc
+    suppressed in one block may still be admitted (and later matched)
+    in another — ``dup_of`` pointers can chain exactly like the pair
+    graph feeding dedup_clusters; follow them transitively for cluster
+    roots. State per bucket is capped at
+    ``max_state_per_bucket`` signatures (16 bytes each) — past the cap
+    new signatures pass through unsuppressed, the same bounded-recall
+    contract as the batch hot-bucket cap. Production deployments add a
+    GroupState timeout so idle buckets expire; the bounded test harness
+    uses NoTimeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import simhash
+
+    assert bits % blocks == 0
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+
+    sig = docs.select(F.col("doc_id"), simhash("text", bits).alias("__sh"))
+    banded = sig.select(
+        "doc_id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * block_bits)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        sigs, keepers = (list(state.get) if state.exists else ([], []))
+        sigs, keepers = list(sigs), list(keepers)
+        out_ids, out_blocks, out_dup = [], [], []
+        block = int(key[0])
+        for pdf in pdfs:
+            for doc_id, sh in sorted(
+                zip(pdf["doc_id"], pdf["__sh"]), key=lambda t: int(t[0])
+            ):
+                doc_id, sh = int(doc_id), int(sh)
+                dup_of = None
+                for s, k in zip(sigs, keepers):
+                    if bin(sh ^ s).count("1") <= max_hamming:
+                        dup_of = k
+                        break
+                if dup_of is None and len(sigs) < max_state_per_bucket:
+                    sigs.append(sh)
+                    keepers.append(doc_id)
+                out_ids.append(doc_id)
+                out_blocks.append(block)
+                out_dup.append(dup_of)
+        state.update((sigs, keepers))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_ids, dtype="int64"),
+                "block": pd.array(out_blocks, dtype="int32"),
+                "dup_of": pd.array(out_dup, dtype="Int64"),
+            }
+        )
+
+    return banded.groupBy("__block", "__key").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, block int, dup_of long",
+        stateStructType="sigs array<long>, keepers array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kafka endpoints
 # ---------------------------------------------------------------------------

@@ -477,3 +477,49 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     run_once()  # same checkpoint + same sink: resume, don't replay
     got2 = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got2 == list(range(9))  # batch-1 rows exactly once, batch-2 added
+
+
+def test_streaming_neardup_suppress_matches_greedy_simulation(spark, sf_dir):
+    """The stateful near-dup suppressor must reproduce an INDEPENDENT
+    Python greedy simulation of its contract exactly: per (block, key)
+    bucket, docs fold in doc_id order; a doc matches if its full
+    signature is within Hamming 3 of an admitted one; matched docs are
+    not admitted; per doc the reported keeper is the min over blocks."""
+    from apache_spark_link_prediction_spark.operators.dedup import simhash
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    bits, blocks, max_hamming = 32, 4, 3
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in QUERIES["streaming_neardup_suppress"](spark, sf_dir).collect()
+    }
+
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", simhash("text", bits).alias("s"))
+        .collect()
+    }
+    per_doc_flags: dict[int, list] = {d: [] for d in sigs}
+    for b in range(blocks):
+        buckets: dict[int, list] = {}
+        for d in sorted(sigs):
+            sh = sigs[d]
+            key = (sh >> (b * block_bits)) & mask
+            state = buckets.setdefault(key, [])
+            dup = next(
+                (k for s, k in state if bin(sh ^ s).count("1") <= max_hamming),
+                None,
+            )
+            if dup is None and len(state) < 256:
+                state.append((sh, d))
+            if dup is not None:
+                per_doc_flags[d].append(dup)
+    expected = {
+        d: (min(flags) if flags else None) for d, flags in per_doc_flags.items()
+    }
+    assert got == expected
+    assert any(v is not None for v in expected.values())  # corpus has dups
