@@ -523,3 +523,57 @@ def test_streaming_neardup_suppress_matches_greedy_simulation(spark, sf_dir):
     }
     assert got == expected
     assert any(v is not None for v in expected.values())  # corpus has dups
+
+
+def test_streaming_neardup_state_survives_restart(spark, tmp_path):
+    """The near-dup suppressor's GroupState must survive a query restart
+    from the same checkpoint: a duplicate arriving in run 2 must be
+    flagged against the keeper admitted in run 1 — proving the
+    (sigs, keepers) state round-trips the state store, not just one
+    micro-batch's memory."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.streaming.events import (
+        streaming_neardup_suppress,
+    )
+
+    src = tmp_path / "docs_src"
+    sink = str(tmp_path / "flags_sink")
+    chk = str(tmp_path / "chk")
+    schema = "doc_id long, text string"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_neardup_suppress(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    text_a = "the quick brown fox jumps over the lazy dog by the river"
+    text_b = "completely different content about spark shuffles and joins"
+    spark.createDataFrame(
+        [(1, text_a), (2, text_b)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    # run 2: an exact dup of doc 1 and a brand-new text
+    spark.createDataFrame(
+        [(3, text_a), (4, "totally novel words appearing nowhere else at all")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    flags = spark.read.parquet(sink)
+    per_doc = {
+        r["doc_id"]: r["dup_of"]
+        for r in flags.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of")).collect()
+    }
+    assert per_doc[1] is None and per_doc[2] is None  # run-1 keepers
+    assert per_doc[3] == 1  # run-2 dup matched against run-1 state
+    assert per_doc[4] is None
