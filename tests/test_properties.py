@@ -225,3 +225,35 @@ def test_trigram_search_always_equals_scan(spark, docs, needle):
     got = sorted(r.doc_id for r in trigram_search(df, needle).collect())
     want = sorted(i for i, t in enumerate(docs) if needle.lower() in t.lower())
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            # exact 4dp half-ties — the case banker's rounding gets wrong
+            st.integers(min_value=-10**7, max_value=10**7).map(lambda n: n * 5e-5),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@BATCH
+def test_np_round_half_away_matches_duckdb_round(vals):
+    """_np_round_half_away must agree with DuckDB's round() (half away
+    from zero) — including exact .00005 ties where np.round's banker's
+    half-to-even convention splits (ADVICE r05)."""
+    import duckdb
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.queries import _np_round_half_away
+
+    got = _np_round_half_away(np.array(vals, dtype=np.float64), 4)
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT round(CAST(? AS DOUBLE), 4)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert np.allclose(got, want, rtol=0, atol=1e-12), list(zip(vals, got, want))
