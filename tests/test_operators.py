@@ -137,6 +137,31 @@ def test_minhash_collapse_tier_is_output_identical(spark, docs):
         assert (s, s + 1_000_000, 1.0) in with_c
 
 
+def test_minhash_collapse_emits_full_mega_cluster(spark):
+    """A cluster of identical docs larger than max_bucket_size used to
+    be dropped WHOLE by the hot-bucket cap (every copy landed in every
+    band bucket). With the collapse tier the cluster is ONE
+    representative, the cap counts distinct sets, and the full k·(k−1)/2
+    intra-cluster pair set is emitted closed-form — the exact answer,
+    not a silent recall hole."""
+    k = 300  # > max_bucket_size=200 below
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(k)]
+    rows += [(1000 + i, f"unique{i} filler{i} text{i} words{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=1, threshold=0.8, max_bucket_size=200, prefilter_sigma=None
+    )
+    cluster_pairs = pairs.filter("src_id < 1000 AND dst_id < 1000")
+    assert cluster_pairs.count() == k * (k - 1) // 2
+    assert cluster_pairs.filter("jaccard != 1.0").count() == 0
+    # the uncollapsed pipeline drops the over-cap cluster entirely
+    legacy = minhash_near_dup_pairs(
+        docs, shingle_n=1, threshold=0.8, max_bucket_size=200,
+        prefilter_sigma=None, collapse_exact=False,
+    )
+    assert legacy.filter("src_id < 1000 AND dst_id < 1000").count() == 0
+
+
 def test_ngram_jaccard_refuses_unbounded_blocks(spark, docs):
     """window=None without an explicit allow_quadratic=True must raise:
     O(block²) must never be the accidental production path."""
