@@ -257,3 +257,34 @@ def test_np_round_half_away_matches_duckdb_round(vals):
         for v in vals
     ]
     assert np.allclose(got, want, rtol=0, atol=1e-12), list(zip(vals, got, want))
+
+
+@given(
+    sigs=st.lists(
+        # small value domain so identical signatures (the collapse path)
+        # and near-misses (hamming <= 3) both occur often
+        st.integers(min_value=0, max_value=2**12 - 1),
+        min_size=1,
+        max_size=50,
+    )
+)
+@BATCH
+def test_signature_band_pairs_collapse_equivalence(spark, sigs):
+    """The signature-collapse tier must be pair-for-pair identical to
+    the uncollapsed banded Hamming join on arbitrary signature
+    multisets (duplicates, singletons, near-misses)."""
+    from apache_spark_link_prediction_spark.operators.dedup import signature_band_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "__id long, __sh long"
+    )
+
+    def run(collapse):
+        return {
+            (r["src_id"], r["dst_id"], r["hamming"])
+            for r in signature_band_pairs(
+                df, bits=32, blocks=4, max_hamming=3, collapse_exact=collapse
+            ).collect()
+        }
+
+    assert run(True) == run(False)
