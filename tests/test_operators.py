@@ -875,3 +875,40 @@ def test_count_min_sketch_is_fixed_size(spark):
     # every depth row conserves total mass
     per_row = cells.groupBy("j").agg(F.sum("c").alias("mass")).collect()
     assert sorted(r.mass for r in per_row) == [5000] * 4
+
+
+def test_embedding_collapse_tier_is_output_identical(spark, emb):
+    """The bitwise-identical-vector collapse must be pair-for-pair
+    identical to the uncollapsed sign-LSH pipeline on a corpus with
+    planted exact duplicates and near-duplicates (one perturbed
+    component), including inherited cosine values."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    near = base.limit(10).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x + F.lit(0.01).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dup).unionByName(near)
+
+    def run(collapse):
+        return {
+            (r["src_id"], r["dst_id"], r["cosine"])
+            for r in embedding_near_dup_pairs(
+                corpus, collapse_exact=collapse
+            ).collect()
+        }
+
+    with_c, without_c = run(True), run(False)
+    assert with_c == without_c
+    # every planted exact dup must be found at cosine 1.0
+    for s in [r["vec_id"] for r in base.limit(20).collect()]:
+        assert (s, s + 1_000_000, 1.0) in with_c
