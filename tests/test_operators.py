@@ -912,3 +912,27 @@ def test_embedding_collapse_tier_is_output_identical(spark, emb):
     # every planted exact dup must be found at cosine 1.0
     for s in [r["vec_id"] for r in base.limit(20).collect()]:
         assert (s, s + 1_000_000, 1.0) in with_c
+
+
+def test_jaccard_prefix_collapse_tier_is_output_identical(spark, docs):
+    """The exact-collapse tier in jaccard_prefix_join must be
+    pair-for-pair identical to the uncollapsed prefix join — including
+    on planted EMPTY documents, which must never pair (two empty token
+    sets have jaccard 0.0 by the union>0 rule, so intra-group expansion
+    must exclude the empty-set group)."""
+    from apache_spark_link_prediction_spark.operators.dedup import jaccard_prefix_join
+
+    extra = spark.createDataFrame(
+        [(9_000_001, ""), (9_000_002, "   ")], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+
+    def run(collapse):
+        return {
+            (r["src_id"], r["dst_id"], r["jaccard"])
+            for r in jaccard_prefix_join(corpus, collapse_exact=collapse).collect()
+        }
+
+    with_c = run(True)
+    assert with_c == run(False)
+    assert not any(9_000_001 in p[:2] or 9_000_002 in p[:2] for p in with_c)
