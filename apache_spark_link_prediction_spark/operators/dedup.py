@@ -223,7 +223,9 @@ def minhash_near_dup_pairs(
     # produces, except strictly better under the hot-bucket cap: the
     # cap now counts distinct SETS per bucket, so replication can no
     # longer evict genuine neighbours. Measured at sf0.1 (5000 docs →
-    # 3935 sets): 9.0s → 2.9s in-bench. The two tiny tables are
+    # 3935 sets): candidates 827k → 667k, in-bench 9.0s → 7.5-8.5s —
+    # modest here, decisive under replication (10× stress exponent
+    # 0.07 → 0.01; BASELINE.md Round 6). The two tiny tables are
     # cached — ``groups`` is one row per distinct set, ``memb`` two
     # longs per doc; at 100 TB use MEMORY_AND_DISK there.
     memb = None
