@@ -279,7 +279,10 @@ def minhash_near_dup_pairs(
         ).alias("__band", "__key"),
     )
 
-    # Cap degenerate buckets (e.g. empty/boilerplate docs all colliding).
+    # Cap degenerate buckets. Post-collapse this counts distinct
+    # shingle-SETS per bucket (replication can't trip it); what remains
+    # capped is genuine diversity collisions (e.g. many distinct
+    # boilerplate variants sharing a band).
     banded = _drop_hot_buckets(banded, ["__band", "__key"], max_bucket_size)
 
     # Size-ratio prefilter (LOSSLESS), applied inside the bucket join
