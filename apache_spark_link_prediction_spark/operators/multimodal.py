@@ -870,3 +870,115 @@ def audio_spectral_centroid(
             )
 
     return media.mapInPandas(op, schema=AUDIO_CENTROID_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming media ingestion — continuous binaryFile → decode → pHash →
+# near-dup flag against a static signature index
+# ---------------------------------------------------------------------------
+
+PHASH_BY_PATH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash_by_path(files: DataFrame) -> DataFrame:
+    """Perceptual hash per ``(path, content)`` row — the binaryFile-
+    source twin of :func:`image_phash` (works on batch AND streaming
+    frames; ``mapInPandas`` is streaming-composable). Undecodable
+    payloads quarantine to a null hash, exactly like the batch tier."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, hashes = [], []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                ph = None
+                try:
+                    meta = decode_png(bytes(payload))
+                    px = meta.get("pixels")
+                    if px is not None:
+                        arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                            meta["height"], meta["width"], meta["channels"]
+                        )
+                        ph = phash64_from_gray(arr.mean(axis=2))
+                except Exception:
+                    ph = None
+                paths.append(str(path))
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {"path": paths, "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return files.select("path", "content").mapInPandas(op, schema=PHASH_BY_PATH_SCHEMA)
+
+
+def phash_block_index(sigs: DataFrame, *, blocks: int = 8) -> DataFrame:
+    """Blocked pigeonhole index over a (media_id, phash) signature
+    table: one row per (block, key) per signature — the static side of
+    a stream-static near-dup join. |index| = blocks × |sigs|; at 100 TB
+    of media this is still 8 longs per asset, a dimension table."""
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    return sigs.filter(F.col("phash").isNotNull()).select(
+        "media_id",
+        F.col("phash").alias("__idx_ph"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * block_bits)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+
+
+def streaming_phash_match(
+    files: DataFrame,
+    index: DataFrame,
+    *,
+    blocks: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Continuous media near-dup flagging: a binaryFile STREAM of
+    ``(path, content)`` images is decoded + pHashed map-side, exploded
+    into pigeonhole blocks, and stream-static equi-joined (left outer)
+    against :func:`phash_block_index` — by pigeonhole, any asset within
+    Hamming ``max_hamming < blocks`` of an indexed one shares at least
+    one block key, so recall vs the index is exact. Emits one row per
+    (file, matching block) — ``(path, phash, media_id, hamming)`` with
+    nulls for no-match blocks; the per-file best-match fold is a tiny
+    batch groupBy downstream (the same composition contract as
+    streaming_neardup_suppress). The static side is a plain dimension
+    join AQE can broadcast — no streaming state at all, which is what
+    makes this the always-on ingest tier (the stateful suppressor
+    handles within-stream dups)."""
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    sigs = image_phash_by_path(files).filter(F.col("phash").isNotNull())
+    banded = sigs.select(
+        "path",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * block_bits)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+    joined = banded.join(index, on=["__block", "__key"], how="left")
+    hamming = F.bit_count(F.col("phash").bitwiseXOR(F.col("__idx_ph")))
+    return joined.select(
+        "path",
+        "phash",
+        F.when(hamming <= max_hamming, F.col("media_id")).alias("media_id"),
+        F.when(hamming <= max_hamming, hamming.cast("integer")).alias("hamming"),
+    )

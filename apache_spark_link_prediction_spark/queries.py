@@ -1399,6 +1399,81 @@ def streaming_neardup_suppress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
 
 
+@register("streaming_media_ingest")  # rows-only: stdlib PNG decode + DCT
+# perceptual hashing are not SQL-expressible; flag semantics pinned in
+# tests/test_multimodal.py against the block-index design contract.
+def streaming_media_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous media ingestion e2e (operators.multimodal.
+    streaming_phash_match): a binaryFile STREAM of freshly-written PNG
+    assets is decoded with the stdlib codec, perceptually hashed
+    map-side, and stream-static joined against the pigeonhole block
+    index of the existing corpus's signatures — the always-on "is this
+    upload a near-dup of something we already have" tier of a media
+    training-data pipeline. New assets are closed-form siblings of the
+    testbed's near-dup classes (one-byte perturbations), so expected
+    matches are deterministic. Emits per-asset (asset, matched_id,
+    hamming) with nulls for genuinely-new media."""
+    import os
+    import tempfile
+
+    from .operators.multimodal import (
+        encode_png,
+        image_phash,
+        phash_block_index,
+        png_near_dup_testbed,
+        streaming_phash_match,
+    )
+    from .streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = phash_block_index(image_phash(png_near_dup_testbed(docs, classes=100)))
+
+    # 30 incoming assets: the testbed's generator at fresh ids — same
+    # class structure (asset i → class i % 100), one-byte wiggle, so
+    # each should flag against its class's corpus members.
+    width = height = 32
+    n = width * height
+    d = tempfile.mkdtemp(prefix="media_ingest_")
+    for i in range(30):
+        cls = i % 100
+        base = bytearray(((2 * cls + 3) * j + (j * j) // 7) % 256 for j in range(n))
+        base[(100_000 + i) % n] ^= 3
+        with open(os.path.join(d, f"ingest{i:03d}.png"), "wb") as fh:
+            fh.write(encode_png(width, height, bytes(base), color_type=0))
+
+    import pyspark.sql.types as T
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.png")
+        .load(d)
+    )
+    flat = run_stream_to_memory(
+        streaming_phash_match(stream, index),
+        name="q_streaming_media_ingest",
+        output_mode="append",
+    )
+    return (
+        flat.groupBy("path")
+        .agg(F.min("media_id").alias("matched_id"), F.min("hamming").alias("hamming"))
+        .select(
+            F.regexp_extract("path", r"ingest(\d+)\.png", 1).cast("int").alias("asset"),
+            "matched_id",
+            "hamming",
+        )
+        .orderBy("asset")
+    )
+
+
 @register(
     "semi_anti_existence",
     """

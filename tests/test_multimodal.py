@@ -495,3 +495,75 @@ def test_spectral_centroid_pure_tone_and_quarantine(spark):
     assert 3 not in by_media  # quarantined
     assert all(abs(c - 1000.0) < 1.0 for c in by_media[1]), by_media[1]
     assert sum(by_media[2]) / len(by_media[2]) > 1500  # broadband reads brighter
+
+
+def test_streaming_media_ingest_flags_known_and_passes_novel(spark, tmp_path):
+    """The binaryFile-stream ingest tier must flag closed-form siblings
+    of indexed classes (pigeonhole recall is exact for hamming <
+    blocks) and pass a genuinely-novel asset through with a null match
+    — including a corrupt payload, which quarantines to a null hash and
+    never crashes the stream."""
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        encode_png,
+        image_phash,
+        phash_block_index,
+        png_near_dup_testbed,
+        streaming_phash_match,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+    from apache_spark_link_prediction_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    index = phash_block_index(image_phash(png_near_dup_testbed(docs, classes=50)))
+
+    n = 32 * 32
+    d = tmp_path / "ingest"
+    d.mkdir()
+    for i in range(5):  # siblings of classes 0..4
+        base = bytearray(((2 * i + 3) * j + (j * j) // 7) % 256 for j in range(n))
+        base[(7_777 + i) % n] ^= 3
+        (d / f"dup{i}.png").write_bytes(encode_png(32, 32, bytes(base), color_type=0))
+    rng = np.random.RandomState(11)
+    (d / "novel.png").write_bytes(
+        encode_png(32, 32, rng.randint(0, 256, n).astype(np.uint8).tobytes(), color_type=0)
+    )
+    (d / "corrupt.png").write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.png")
+        .load(str(d))
+    )
+    flat = run_stream_to_memory(
+        streaming_phash_match(stream, index),
+        name="t_streaming_media_ingest",
+        output_mode="append",
+    )
+    best = {
+        r["path"].rsplit("/", 1)[-1]: (r["matched_id"], r["hamming"])
+        for r in flat.groupBy("path")
+        .agg(F.min("media_id").alias("matched_id"), F.min("hamming").alias("hamming"))
+        .collect()
+    }
+    for i in range(5):
+        mid, ham = best[f"dup{i}.png"]
+        assert mid is not None and ham <= 7
+        assert mid % 50 == i  # matched its own near-dup class
+    assert best["novel.png"] == (None, None)
+    assert "corrupt.png" not in best  # null hash never reaches the join
