@@ -1474,6 +1474,51 @@ def streaming_media_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_text_curation")  # rows-only: streaming composition
+# (self-unioned tagged stream + batch fold); streaming-vs-batch
+# equivalence pinned in tests/test_streaming.py.
+def streaming_text_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-text curation e2e (streaming.events.
+    streaming_text_curation): train documents arrive as a file stream,
+    are quality-gated map-side, and 5-gram-decontaminated against the
+    static benchmark slice (doc_id % 100 < 5, the decontaminate_ngram
+    convention); survivors = quality-pass minus contaminated, folded
+    batch-side from the tagged flag stream. The streaming result must
+    equal the batch quality+decontamination plan exactly — pinned in
+    tests."""
+    import tempfile
+
+    from .streaming.events import run_stream_to_memory, streaming_text_curation
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 100 < 5)
+        .select(F.explode(word_shingles("text", 5)).alias("gram"))
+        .distinct()
+    )
+    path = tempfile.mkdtemp(prefix="docs_curation_")
+    train = docs.filter(F.col("doc_id") % 100 >= 5).select("doc_id", "text")
+    train.repartition(2).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    flags = run_stream_to_memory(
+        streaming_text_curation(stream, bench_grams),
+        name="q_streaming_text_curation",
+        output_mode="append",
+    )
+    # Single-pass fold: every contaminated doc also has its 'pass' row
+    # (contamination is only checked behind the gate), so survivors are
+    # the docs whose flag set contains no 'contaminated'.
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tag") == "contaminated", 1).otherwise(0)).alias("__c")
+        )
+        .filter(F.col("__c") == 0)
+        .select("doc_id")
+    )
+
+
 @register(
     "semi_anti_existence",
     """

@@ -588,6 +588,48 @@ def streaming_neardup_suppress(
     )
 
 
+def streaming_text_curation(
+    docs_stream: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    ngram: int = 5,
+) -> DataFrame:
+    """Always-on training-text curation over a document STREAM — the
+    text twin of the media ingest tier: quality gating map-side
+    (C4/Gopher-style codegen'd signals from functions.textstats) and
+    benchmark decontamination via a stream-static LEFT SEMI join at
+    word-``ngram`` level against a static benchmark-gram set.
+
+    Emits tagged rows from one self-unioned stream: ``('pass', doc_id)``
+    for documents clearing the quality gate, ``('contaminated',
+    doc_id)`` for gated documents sharing ANY n-gram with the benchmark
+    set (one row per matching gram — the per-doc distinct/anti fold is
+    a tiny batch groupBy downstream, the same composition contract as
+    streaming_neardup_suppress). Zero streaming state: the gate is a
+    filter, the decontamination a dimension join AQE can broadcast —
+    this tier runs forever at any rate; the stateful suppressor handles
+    within-stream duplicate text."""
+    from ..functions.textstats import quality_features
+    from ..operators.dedup import word_shingles
+
+    qf = quality_features("text")
+    gated = docs_stream.select(
+        "doc_id",
+        "text",
+        qf["n_tokens"].alias("__nt"),
+        qf["punct_ratio"].alias("__pr"),
+    ).filter((F.col("__nt") >= min_tokens) & (F.col("__pr") <= max_punct_ratio))
+    passed = gated.select(F.lit("pass").alias("tag"), "doc_id")
+    contaminated = (
+        gated.select("doc_id", F.explode(word_shingles("text", ngram)).alias("gram"))
+        .join(bench_grams, on="gram", how="left_semi")
+        .select(F.lit("contaminated").alias("tag"), "doc_id")
+    )
+    return passed.unionByName(contaminated)
+
+
 # ---------------------------------------------------------------------------
 # Kafka endpoints
 # ---------------------------------------------------------------------------

@@ -577,3 +577,41 @@ def test_streaming_neardup_state_survives_restart(spark, tmp_path):
     assert per_doc[1] is None and per_doc[2] is None  # run-1 keepers
     assert per_doc[3] == 1  # run-2 dup matched against run-1 state
     assert per_doc[4] is None
+
+
+def test_streaming_text_curation_equals_batch(spark, sf_dir):
+    """The streaming curation tier must equal the BATCH plan built from
+    the same expressions: quality gate (n_tokens >= 5, punct_ratio <=
+    0.3) then drop every doc sharing a 5-gram with the benchmark slice
+    — incremental execution must not change the answer."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.functions.textstats import (
+        quality_features,
+    )
+    from apache_spark_link_prediction_spark.operators.dedup import word_shingles
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    got = {r["doc_id"] for r in QUERIES["streaming_text_curation"](spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    gated = docs.filter(F.col("doc_id") % 100 >= 5).select(
+        "doc_id", "text", qf["n_tokens"].alias("nt"), qf["punct_ratio"].alias("pr")
+    ).filter((F.col("nt") >= 5) & (F.col("pr") <= 0.3))
+    bench = (
+        docs.filter(F.col("doc_id") % 100 < 5)
+        .select(F.explode(word_shingles("text", 5)).alias("gram"))
+        .distinct()
+    )
+    grams = gated.select("doc_id", F.explode(word_shingles("text", 5)).alias("gram"))
+    contaminated = grams.join(bench, "gram", "left_semi").select("doc_id").distinct()
+    want = {
+        r["doc_id"]
+        for r in gated.select("doc_id").join(contaminated, "doc_id", "left_anti").collect()
+    }
+    assert got == want
+    assert want  # gate keeps something
+    # and decontamination actually removed something (templated corpus
+    # shares 5-grams across the benchmark boundary)
+    assert len(want) < gated.count()
