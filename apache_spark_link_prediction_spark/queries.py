@@ -8487,6 +8487,20 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   plus funnel_view_click_purchase (carries the r04 row under its old
 #   name).  All are local-gate green every round (tools/check_oracle.py);
 #   the deferral picks the entries with the strongest pytest twins.
+# Round-7 window plan (precomputed at round-6 end): 28 never-graded
+#   (the deferral list above + funnel_view_click_purchase) fill the
+#   first 28 slots; the remaining 22 go to the OLDEST-graded residents,
+#   in order: sample_bernoulli (r02 row pre-dates its r05 hash-portable
+#   reformulation — re-grade first), doc_rolling_hash + set_except_all
+#   (r03, held out three rounds), then 19 of the r04-graded set
+#   (distinct_agg, rolling_range_window, tpch_q7_volume_shipping,
+#   dedup_clusters_exact, salted_skew_join, asof_join_events,
+#   unpivot_measures, scd2_history, cube_agg, event_anomaly_mad,
+#   set_except, set_intersect_all, crossvalidate_counts,
+#   dedup_keeper_quality, zorder_key_part, global_count,
+#   passage_dup_spans, embedding_topk_bruteforce,
+#   window_topk_per_group).  After round 7 every oracle-backed query
+#   has a driver row and the cycle becomes pure oldest-first rotation.
 # Ordering rule (pinned in tests/test_registry.py): while ANY oracle-
 #   backed query has no committed driver CORRECTNESS row, the window
 #   contains ONLY such never-graded queries — first-time evidence beats
