@@ -288,3 +288,37 @@ def test_signature_band_pairs_collapse_equivalence(spark, sigs):
         }
 
     assert run(True) == run(False)
+
+
+@given(texts_list=st.lists(texts, min_size=1, max_size=25))
+@BATCH
+def test_simhash_expression_and_aggregation_forms_agree(spark, texts_list):
+    """The single-expression simhash() (used by the streaming
+    suppressor, no shuffle) and the explode→vote-aggregate
+    simhash_cols() (used by batch dedup) are two implementations of the
+    same definition and must produce identical signatures for every
+    non-empty document. (Zero-token docs differ BY DESIGN: the
+    expression form gives them signature 0, the aggregation form
+    excludes them — pinned here too.)"""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        simhash,
+        simhash_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_list)], "doc_id long, text string"
+    )
+    expr = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash("text", 32).alias("s")).collect()
+    }
+    agg = {
+        r["__id"]: r["__sh"]
+        for r in simhash_cols(df, "doc_id", "text", 32).collect()
+    }
+    empty = {i for i, t in enumerate(texts_list) if not t.split()}
+    assert set(agg) == set(expr) - empty
+    for d, s in agg.items():
+        assert expr[d] == s, (texts_list[d], expr[d], s)
+    for d in empty:
+        assert expr[d] == 0
