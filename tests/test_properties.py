@@ -303,6 +303,7 @@ def test_simhash_expression_and_aggregation_forms_agree(spark, texts_list):
     from apache_spark_link_prediction_spark.operators.dedup import (
         simhash,
         simhash_cols,
+        tokenize,
     )
 
     df = spark.createDataFrame(
@@ -316,9 +317,52 @@ def test_simhash_expression_and_aggregation_forms_agree(spark, texts_list):
         r["__id"]: r["__sh"]
         for r in simhash_cols(df, "doc_id", "text", 32).collect()
     }
-    empty = {i for i, t in enumerate(texts_list) if not t.split()}
+    # "zero tokens" must be judged by the ENGINE's tokenizer: Java \s
+    # excludes unicode spaces (\u00a0, \u0085) that Python str.split()
+    # strips, so a Python-side emptiness check would flake on them.
+    empty = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", F.size(tokenize("text")).alias("n")
+        ).collect()
+        if r["n"] == 0
+    }
     assert set(agg) == set(expr) - empty
-    for d, s in agg.items():
-        assert expr[d] == s, (texts_list[d], expr[d], s)
+    for d, sig in agg.items():
+        assert expr[d] == sig, (texts_list[d], expr[d], sig)
     for d in empty:
         assert expr[d] == 0
+
+
+@given(texts_list=st.lists(texts, min_size=1, max_size=20))
+@BATCH
+def test_minhash_expression_and_aggregation_forms_agree(spark, texts_list):
+    """minhash_signature() (nested-HOF expression form) and
+    minhash_signature_cols() (explode→min-aggregate form) implement the
+    same definition over the hashed shingle sets and must agree hash
+    for hash. (word_shingles never yields an empty array — empty text
+    becomes the [""] shingle — so no exclusion case exists here.)"""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_cols,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_list)], "doc_id long, text string"
+    )
+    hashed = df.select(
+        "doc_id",
+        F.transform(word_shingles("text", 1), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    expr = {
+        r["doc_id"]: list(r["sig"])
+        for r in hashed.select(
+            "doc_id", minhash_signature(F.col("sh"), 8).alias("sig")
+        ).collect()
+    }
+    agg = {
+        r["__id"]: [r[f"__h{i}"] for i in range(8)]
+        for r in minhash_signature_cols(hashed, "doc_id", F.col("sh"), 8).collect()
+    }
+    assert agg == expr
