@@ -936,3 +936,31 @@ def test_jaccard_prefix_collapse_tier_is_output_identical(spark, docs):
     with_c = run(True)
     assert with_c == run(False)
     assert not any(9_000_001 in p[:2] or 9_000_002 in p[:2] for p in with_c)
+
+
+def test_signature_collapse_emits_full_over_cap_cluster(spark):
+    """Signature twin of the minhash mega-cluster guarantee: more
+    identical signatures than max_bucket_size used to be dropped whole
+    by the bucket cap; collapsed, they are one representative and the
+    full pair set emits at Hamming 0."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        signature_band_pairs,
+    )
+
+    k = 150  # > max_bucket_size=100 below
+    rows = [(i, 0x12345678) for i in range(k)] + [(1000 + i, i * 997) for i in range(20)]
+    sigs = spark.createDataFrame(rows, "__id long, __sh long")
+
+    def cluster_pairs(collapse):
+        return (
+            signature_band_pairs(
+                sigs, bits=32, blocks=4, max_hamming=3,
+                max_bucket_size=100, collapse_exact=collapse,
+            )
+            .filter("src_id < 1000 AND dst_id < 1000")
+        )
+
+    got = cluster_pairs(True)
+    assert got.count() == k * (k - 1) // 2
+    assert got.filter("hamming != 0").count() == 0
+    assert cluster_pairs(False).count() == 0  # old behavior: dropped whole
