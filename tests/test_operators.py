@@ -964,3 +964,32 @@ def test_signature_collapse_emits_full_over_cap_cluster(spark):
     assert got.count() == k * (k - 1) // 2
     assert got.filter("hamming != 0").count() == 0
     assert cluster_pairs(False).count() == 0  # old behavior: dropped whole
+
+
+def test_embedding_collapse_emits_full_over_cap_cluster(spark):
+    """Embedding twin of the over-cap cluster guarantee: a boilerplate
+    cluster of bitwise-identical vectors larger than max_bucket_size
+    collapses to one representative (caps can't evict it) and the full
+    pair set emits at cosine 1.0."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    k = 80  # > max_bucket_size=50 below
+    vec = [float((j * 7) % 13 - 6) for j in range(16)]
+    rows = [(i, vec) for i in range(k)]
+    rows += [(1000 + i, [float((j * 11 + i) % 17 - 8) for j in range(16)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def cluster_pairs(collapse):
+        return (
+            embedding_near_dup_pairs(
+                emb, threshold=0.95, max_bucket_size=50, collapse_exact=collapse
+            )
+            .filter("src_id < 1000 AND dst_id < 1000")
+        )
+
+    got = cluster_pairs(True)
+    assert got.count() == k * (k - 1) // 2
+    assert got.filter("cosine != 1.0").count() == 0
+    assert cluster_pairs(False).count() == 0
