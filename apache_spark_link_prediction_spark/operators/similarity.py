@@ -370,3 +370,72 @@ def embedding_near_dup_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding ingestion — continuous near-dup flagging of arriving
+# vectors against a static corpus index (the embedding twin of
+# multimodal.streaming_phash_match)
+# ---------------------------------------------------------------------------
+
+def embedding_bucket_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 4,
+) -> DataFrame:
+    """Sign-LSH bucket index over a (vec_id, embedding) corpus: one row
+    per (table, key) per vector — the static side of a stream-static
+    embedding near-dup join. 8 longs + one vector per asset; a
+    dimension table at any corpus scale (the vectors ride along so the
+    stream side can verify cosine exactly without a second lookup)."""
+    return corpus.select(
+        F.col(id_col).alias("__idx_id"),
+        F.col(vec_col).alias("__idx_vec"),
+        F.posexplode(
+            _bucket_keys(F.col(vec_col), tables=tables, planes=planes)
+        ).alias("__table", "__key"),
+    )
+
+
+def streaming_embedding_match(
+    stream: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 4,
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Continuous embedding near-dup flagging: arriving vectors get
+    their sign-LSH bucket keys map-side (pure Catalyst expressions, no
+    shuffle), stream-static equi-join :func:`embedding_bucket_index`,
+    and verify exact cosine in-stream. Emits one row per (vector,
+    colliding index entry) — ``(vec_id, matched_id, cosine)`` with
+    nulls below threshold; the per-vector best-match fold is a tiny
+    batch groupBy downstream (the ingest-tier composition contract).
+
+    Zero streaming state. Recall contract: BITWISE-identical vectors
+    collide in every table deterministically (the hyperplanes are
+    seed-derived functions of the components), so exact-dup recall is
+    1.0; near-dups follow the tables×planes collision curve A/B'd in
+    BASELINE.md (8×4: recall 0.725 at top-k grain). The ``tables`` and
+    ``planes`` here must match the index's."""
+    banded = stream.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__sv"),
+        F.posexplode(
+            _bucket_keys(F.col(vec_col), tables=tables, planes=planes)
+        ).alias("__table", "__key"),
+    )
+    joined = banded.join(index, on=["__table", "__key"], how="left")
+    cos = F.round(cosine_similarity("__sv", "__idx_vec"), round_to)
+    return joined.select(
+        F.col(id_col),
+        F.when(cos >= threshold, F.col("__idx_id")).alias("matched_id"),
+        F.when(cos >= threshold, cos).alias("cosine"),
+    )

@@ -1519,6 +1519,56 @@ def streaming_text_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_embedding_ingest")  # rows-only: sign-LSH bucket
+# collisions aren't SQL-portable; recall/pass-through contract pinned in
+# tests/test_streaming.py.
+def streaming_embedding_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous embedding near-dup flagging (operators.similarity.
+    streaming_embedding_match) — the vector member of the always-on
+    ingest tier next to the media and text tiers: arriving embeddings
+    get sign-LSH bucket keys map-side and stream-static join the static
+    corpus bucket index, verifying exact cosine in-stream (zero
+    streaming state). Incoming assets are 20 exact copies of corpus
+    vectors (deterministic recall 1.0 — identical vectors collide in
+    every seed-derived table) plus 10 engineered one-hot vectors that
+    must pass through unmatched. Emits per-asset (vec_id, matched_id,
+    cosine)."""
+    import tempfile
+
+    from .operators.similarity import (
+        embedding_bucket_index,
+        streaming_embedding_match,
+    )
+    from .streaming.events import run_stream_to_memory
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index = embedding_bucket_index(emb)
+
+    copies = emb.orderBy("vec_id").limit(20).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    novel = spark.range(10).select(
+        (F.col("id") + 6_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(j == (F.col("id") % 64), F.lit(100.0))
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    path = tempfile.mkdtemp(prefix="emb_ingest_")
+    copies.unionByName(novel).repartition(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(path)
+    flat = run_stream_to_memory(
+        streaming_embedding_match(stream, index),
+        name="q_streaming_embedding_ingest",
+        output_mode="append",
+    )
+    return flat.groupBy("vec_id").agg(
+        F.min("matched_id").alias("matched_id"), F.max("cosine").alias("cosine")
+    )
+
+
 @register(
     "semi_anti_existence",
     """

@@ -615,3 +615,21 @@ def test_streaming_text_curation_equals_batch(spark, sf_dir):
     # and decontamination actually removed something (templated corpus
     # shares 5-grams across the benchmark boundary)
     assert len(want) < gated.count()
+
+
+def test_streaming_embedding_ingest_recall_and_passthrough(spark, sf_dir):
+    """The embedding ingest tier must flag every bitwise copy of an
+    indexed vector against its original at cosine 1.0 (identical
+    vectors collide in every seed-derived LSH table — deterministic
+    recall), and pass engineered one-hot novel vectors through with a
+    null match."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    rows = QUERIES["streaming_embedding_ingest"](spark, sf_dir).collect()
+    copies = {r["vec_id"]: r for r in rows if 5_000_000 <= r["vec_id"] < 6_000_000}
+    novel = [r for r in rows if r["vec_id"] >= 6_000_000]
+    assert len(copies) == 20 and len(novel) == 10
+    for vid, r in copies.items():
+        assert r["matched_id"] == vid - 5_000_000  # min match IS the original
+        assert r["cosine"] == 1.0
+    assert all(r["matched_id"] is None and r["cosine"] is None for r in novel)

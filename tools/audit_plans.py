@@ -45,6 +45,7 @@ EXECUTES_ON_BUILD = {
     "streaming_neardup_suppress",  # run_stream_to_memory drives the stream
     "streaming_media_ingest",      # run_stream_to_memory drives the stream
     "streaming_text_curation",     # run_stream_to_memory drives the stream
+    "streaming_embedding_ingest",  # run_stream_to_memory drives the stream
     "compaction_small_files",   # writes + rereads a temp table
     "bucketed_join_exchange_free",  # writes bucketed tables
 }
