@@ -225,26 +225,39 @@ def minhash_near_dup_pairs(
     # longer evict genuine neighbours. Measured at sf0.1 (5000 docs →
     # 3935 sets): candidates 827k → 667k, in-bench 9.0s → 7.5-8.5s —
     # modest here, decisive under replication (10× stress exponent
-    # 0.07 → 0.01; BASELINE.md Round 6). The two tiny tables are
-    # cached — ``groups`` is one row per distinct set, ``memb`` two
-    # longs per doc; at 100 TB use MEMORY_AND_DISK there.
+    # 0.07 → 0.01; BASELINE.md Round 6). The two tiny side tables —
+    # ``groups`` is one row per distinct set, ``memb`` two longs per
+    # doc — are eagerly localCheckpoint'd rather than .cache()'d
+    # (ADVICE r06): cache-manager entries live until an explicit
+    # unpersist nobody can place (the function returns a lazy plan),
+    # so repeated invocations in a long-lived session accumulated
+    # storage memory; checkpointed RDDs are reclaimed by the
+    # ContextCleaner as soon as the returned plan is garbage-collected.
+    # (localCheckpoint trades away lineage-based recovery — fine for a
+    # bounded side table; on a cluster with preemptible executors use
+    # reliable checkpointing or persist+explicit-unpersist instead.)
     memb = None
     if collapse_exact:
+        # Group on the sorted shingle ARRAY itself — exact set
+        # equality, like the prefix-Jaccard and embedding collapse
+        # tiers — not on xxhash64(array): a 64-bit set-key collision
+        # would merge two distinct sets and fabricate jaccard-1.0
+        # pairs (ADVICE r06). The shuffle carries the array either
+        # way (it is the grouped payload), so exactness is free.
         keyed = base.select(
-            "__id", "__shingles", F.xxhash64(F.array_sort("__shingles")).alias("__setkey")
+            "__id", F.array_sort("__shingles").alias("__setarr")
         )
         groups = (
-            keyed.groupBy("__setkey")
-            .agg(F.min("__id").alias("__rep"), F.first("__shingles").alias("__shingles"))
-            .cache()
+            keyed.groupBy("__setarr")
+            .agg(F.min("__id").alias("__rep"))
+            .localCheckpoint()
         )
         memb = (
-            keyed.select("__id", "__setkey")
-            .join(groups.select("__setkey", "__rep"), "__setkey")
+            keyed.join(groups, "__setarr")
             .select("__id", "__rep")
-            .cache()
+            .localCheckpoint()
         )
-        base = groups.select(F.col("__rep").alias("__id"), "__shingles")
+        base = groups.select(F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles"))
 
     # Signatures as plain columns behind an aggregation barrier (see
     # minhash_signature_cols — avoids CollapseProject's nested-HOF
@@ -522,8 +535,13 @@ def signature_band_pairs(
 
     memb = None
     if collapse_exact:
-        groups = sigs.groupBy("__sh").agg(F.min("__id").alias("__rep")).cache()
-        memb = sigs.join(groups, "__sh").select("__id", "__rep").cache()
+        # localCheckpoint, not cache(): reclaimed by the ContextCleaner
+        # once the returned plan is dropped — cache-manager entries from
+        # repeated invocations accumulated storage memory (ADVICE r06).
+        groups = (
+            sigs.groupBy("__sh").agg(F.min("__id").alias("__rep")).localCheckpoint()
+        )
+        memb = sigs.join(groups, "__sh").select("__id", "__rep").localCheckpoint()
         sigs = groups.select(F.col("__rep").alias("__id"), "__sh")
 
     banded = sigs.select(
@@ -787,16 +805,18 @@ def jaccard_prefix_join(
     memb = None
     if collapse_exact:
         keyed = base.select("__id", "__toks", F.array_sort("__toks").alias("__setk"))
+        # localCheckpoint, not cache() — see the minhash collapse tier
+        # (ADVICE r06: unbounded cache-manager accumulation).
         groups = (
             keyed.groupBy("__setk")
             .agg(F.min("__id").alias("__rep"), F.first("__toks").alias("__toks"))
-            .cache()
+            .localCheckpoint()
         )
         memb = (
             keyed.select("__id", "__setk")
             .join(groups.select("__setk", "__rep"), "__setk")
             .select("__id", "__rep")
-            .cache()
+            .localCheckpoint()
         )
         nonempty_reps = groups.filter(F.size("__setk") > 0).select("__rep")
         base = groups.select(F.col("__rep").alias("__id"), "__toks")

@@ -161,8 +161,8 @@ def ivf_top_k(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
-    nprobe: int = 2,
+    num_cells: int | None = None,
+    nprobe: int | None = None,
     seed: int = 12345,
     round_to: int = 4,
     fit_sample_size: int = 50_000,
@@ -179,11 +179,32 @@ def ivf_top_k(
     floats) are driver-side model metadata, broadcast as a tiny
     DataFrame — never the data.
 
+    ``num_cells=None`` (the default) derives the cell count from the
+    corpus: ``clamp(round(sqrt(N)), 4, 4096)`` — the standard IVF √N
+    rule that balances quantizer-assignment cost (∝ num_cells per
+    vector) against per-cell scan cost (∝ N/num_cells per probe). A
+    FIXED default was a 100 TB hazard (VERDICT r06 item 6): cell id is
+    the join/shuffle key downstream, so 16 cells caps parallelism at 16
+    partitions and makes every cell a skew magnet once cells hold
+    millions of vectors. The derivation costs one ``corpus.count()``
+    job; pass an explicit ``num_cells`` to skip it (required for a
+    streaming corpus). ``nprobe=None`` scales with it:
+    ``clamp(num_cells // 8, 2, 64)`` keeps the probed corpus fraction
+    (~nprobe/num_cells ≈ 1/8) — and therefore recall — roughly
+    constant across corpus sizes (recall/wall A/B vs the fixed 16/2
+    default in BASELINE.md Round 7).
+
     Same output contract as :func:`brute_force_top_k`; approximate
     (recall depends on num_cells/nprobe).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if num_cells is None:
+        n = corpus.count()
+        num_cells = max(4, min(4096, int(round(n**0.5))))
+    if nprobe is None:
+        nprobe = max(2, min(64, num_cells // 8))
 
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -306,8 +327,12 @@ def embedding_near_dup_pairs(
     memb = None
     if collapse_exact:
         keyed = corpus.select(F.col(id_col).alias("__id"), v.alias("__gvec"))
-        groups = keyed.groupBy("__gvec").agg(F.min("__id").alias("__rep")).cache()
-        memb = keyed.join(groups, "__gvec").select("__id", "__rep").cache()
+        # localCheckpoint, not cache() — see the minhash collapse tier
+        # (ADVICE r06: unbounded cache-manager accumulation).
+        groups = (
+            keyed.groupBy("__gvec").agg(F.min("__id").alias("__rep")).localCheckpoint()
+        )
+        memb = keyed.join(groups, "__gvec").select("__id", "__rep").localCheckpoint()
         corpus = groups.select(
             F.col("__rep").alias(id_col), F.col("__gvec").alias(vec_col)
         )
@@ -415,9 +440,13 @@ def streaming_embedding_match(
     their sign-LSH bucket keys map-side (pure Catalyst expressions, no
     shuffle), stream-static equi-join :func:`embedding_bucket_index`,
     and verify exact cosine in-stream. Emits one row per (vector,
-    colliding index entry) — ``(vec_id, matched_id, cosine)`` with
-    nulls below threshold; the per-vector best-match fold is a tiny
-    batch groupBy downstream (the ingest-tier composition contract).
+    TABLE, colliding index entry) — the same entry surfaces once per
+    LSH table whose bucket it shares — as ``(vec_id, matched_id,
+    cosine)`` with nulls below threshold; the per-vector best-match
+    fold is a tiny batch groupBy downstream (the ingest-tier
+    composition contract), and it must keep (matched_id, cosine) from
+    ONE row — filter to the chosen match or struct-min, never fold the
+    two columns independently (ADVICE r06).
 
     Zero streaming state. Recall contract: BITWISE-identical vectors
     collide in every table deterministically (the hyperplanes are

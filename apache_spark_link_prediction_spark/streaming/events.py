@@ -554,22 +554,30 @@ def streaming_neardup_suppress(
         sigs, keepers = list(sigs), list(keepers)
         out_ids, out_blocks, out_dup = [], [], []
         block = int(key[0])
-        for pdf in pdfs:
-            for doc_id, sh in sorted(
-                zip(pdf["doc_id"], pdf["__sh"]), key=lambda t: int(t[0])
-            ):
-                doc_id, sh = int(doc_id), int(sh)
-                dup_of = None
-                for s, k in zip(sigs, keepers):
-                    if bin(sh ^ s).count("1") <= max_hamming:
-                        dup_of = k
-                        break
-                if dup_of is None and len(sigs) < max_state_per_bucket:
-                    sigs.append(sh)
-                    keepers.append(doc_id)
-                out_ids.append(doc_id)
-                out_blocks.append(block)
-                out_dup.append(dup_of)
+        # Drain the WHOLE iterator before sorting: ``pdfs`` yields one
+        # pandas chunk per Arrow batch, and a bucket whose micro-batch
+        # exceeds the Arrow batch size would otherwise be folded
+        # chunk-by-chunk — silently breaking the documented
+        # deterministic doc_id-order greedy semantics at exactly the
+        # batch sizes where it matters (ADVICE r06, medium). Per-group
+        # row volume is the only cost; state stays bounded regardless.
+        rows = [
+            (int(doc_id), int(sh))
+            for pdf in pdfs
+            for doc_id, sh in zip(pdf["doc_id"], pdf["__sh"])
+        ]
+        for doc_id, sh in sorted(rows):
+            dup_of = None
+            for s, k in zip(sigs, keepers):
+                if bin(sh ^ s).count("1") <= max_hamming:
+                    dup_of = k
+                    break
+            if dup_of is None and len(sigs) < max_state_per_bucket:
+                sigs.append(sh)
+                keepers.append(doc_id)
+            out_ids.append(doc_id)
+            out_blocks.append(block)
+            out_dup.append(dup_of)
         state.update((sigs, keepers))
         yield pd.DataFrame(
             {
@@ -610,17 +618,32 @@ def streaming_text_curation(
     streaming_neardup_suppress). Zero streaming state: the gate is a
     filter, the decontamination a dimension join AQE can broadcast —
     this tier runs forever at any rate; the stateful suppressor handles
-    within-stream duplicate text."""
-    from ..functions.textstats import quality_features
+    within-stream duplicate text.
+
+    The punct gate compares RAW counts — ``punct_count <= n_chars *
+    max_punct_ratio`` — not the 4dp-rounded ``quality_features``
+    ratio: integer counts times one IEEE multiply is bit-deterministic
+    in every engine, which is what lets this tier carry a full DuckDB
+    hash oracle (VERDICT r06 item 8) instead of a rows-only row; a
+    rounded-ratio gate would re-import the round(double, n)
+    version-divergence that made numeric_semantics_suite driver-red."""
+    from ..functions.pairwise import tokenize
+    from ..functions.textstats import punct_count
     from ..operators.dedup import word_shingles
 
-    qf = quality_features("text")
     gated = docs_stream.select(
         "doc_id",
         "text",
-        qf["n_tokens"].alias("__nt"),
-        qf["punct_ratio"].alias("__pr"),
-    ).filter((F.col("__nt") >= min_tokens) & (F.col("__pr") <= max_punct_ratio))
+        F.size(tokenize(F.col("text"))).alias("__nt"),
+        punct_count(F.col("text")).alias("__np"),
+        F.length(F.col("text")).alias("__nc"),
+    ).filter(
+        (F.col("__nt") >= min_tokens)
+        & (
+            F.col("__np").cast("double")
+            <= F.col("__nc").cast("double") * F.lit(max_punct_ratio)
+        )
+    )
     passed = gated.select(F.lit("pass").alias("tag"), "doc_id")
     contaminated = (
         gated.select("doc_id", F.explode(word_shingles("text", ngram)).alias("gram"))

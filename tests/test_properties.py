@@ -366,3 +366,85 @@ def test_minhash_expression_and_aggregation_forms_agree(spark, texts_list):
         for r in minhash_signature_cols(hashed, "doc_id", F.col("sh"), 8).collect()
     }
     assert agg == expr
+
+
+def test_spark_round_convention_pin(spark):
+    """Pin what Spark's rounding operators ACTUALLY do (VERDICT r06
+    item 1).  The numeric_round_halfaway_suite gate now compares a
+    shared IEEE closed form (sign*floor(abs(v)*p+0.5), scaled BIGINT)
+    on BOTH engines, because the library functions themselves diverge
+    across engines/versions; this test documents and pins the
+    divergence so it can never silently re-enter an oracle:
+
+    - F.round(double, n) and CAST(double AS DECIMAL) round half-up on
+      the SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf goes
+      through Double.toString): round(1.005, 2) == 1.01 even though
+      1.005 is really 1.00499...989.
+    - DuckDB 1.0.0 round(DOUBLE, n) is multiply-based:
+      round(1.005, 2) == 1.00.  Other DuckDB releases differ again —
+      the r06 driver-red cause.
+    Therefore round(double, n>0) MUST NOT appear in any oracle-gated
+    column; use the closed form on both sides (scaled integers).
+    Spark's version is pinned in-repo, so this pytest pin is
+    environment-stable where a DuckDB-side pin was not."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.0, 2.5, -2.5, 3.5, -3.5, 0.05, -0.05, 0.15, 0.25, -0.25,
+        2.675, -2.675, 0.285, -0.285, 1.005, -1.005, 490.015, -490.015,
+        123.455, -123.455, 0.125, -0.125, 244.995, 245.005, 1e-3, -1e-3,
+    ]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = df.select(
+        "v",
+        F.round(F.col("v")).cast("long").alias("r0"),
+        F.round(F.col("v"), 2).alias("r2"),
+        F.col("v").cast("decimal(18,3)").alias("dec3"),
+    ).collect()
+
+    def repr_half_up(v: float, q: str) -> Decimal:
+        return Decimal(repr(v)).quantize(Decimal(q), rounding=ROUND_HALF_UP)
+
+    for r in rows:
+        assert r["r0"] == int(repr_half_up(r["v"], "1")), r
+        assert Decimal(repr(r["r2"])) == repr_half_up(r["v"], "0.01"), r
+        assert r["dec3"] == repr_half_up(r["v"], "0.001"), r
+
+    # The concrete divergence that made CORRECTNESS_r06 red: Spark says
+    # 1.01, the IEEE closed form (and DuckDB 1.0.0) says 1.00.
+    demo = df.filter(F.col("v") == 1.005).select(
+        F.round(F.col("v"), 2).alias("spark_round"),
+        F.floor(F.abs(F.col("v")) * 100.0 + 0.5).alias("closed_form_centi"),
+    ).first()
+    assert float(demo["spark_round"]) == 1.01
+    assert demo["closed_form_centi"] == 100
+
+
+def test_halfaway_suite_closed_form_cross_engine(spark, sf_dir):
+    """The closed form itself is bit-deterministic across engines: run
+    numeric_round_halfaway_suite's Spark plan and its DuckDB oracle on
+    the same parquet and require exact per-row equality (the same
+    comparison the driver gate hashes, asserted value-by-value here so
+    a future regression names the row and column)."""
+    import duckdb
+
+    from apache_spark_link_prediction_spark.queries import ORACLE, QUERIES
+
+    got = {
+        r["event_id"]: r.asDict()
+        for r in QUERIES["numeric_round_halfaway_suite"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(ORACLE["numeric_round_halfaway_suite"])
+    cols = [d[0] for d in cur.description]
+    want = {row[0]: dict(zip(cols, row)) for row in cur.fetchall()}
+    assert set(got) == set(want) and len(got) > 0
+    for eid, g in got.items():
+        for c in ("r0_scaled", "rneg_deci", "r2_centi", "signed_centi", "dec3_milli"):
+            assert g[c] == want[eid][c], (eid, c, g[c], want[eid][c])

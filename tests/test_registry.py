@@ -72,3 +72,18 @@ def test_window_not_underfilled():
     first = list(QUERIES)[:DRIVER_WINDOW]
     expected = min(n_oracle, DRIVER_WINDOW)
     assert sum(n in ORACLE for n in first) == expected
+
+
+def test_queries_md_fresh():
+    # QUERIES.md is generated (VERDICT r06 item 4); a registry change
+    # without a regeneration would silently de-index new queries.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", REPO / "tools" / "gen_queries_md.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = mod.generate()
+    got = (REPO / "QUERIES.md").read_text()
+    assert got == want, "QUERIES.md stale — run: python tools/gen_queries_md.py"

@@ -633,3 +633,82 @@ def test_streaming_embedding_ingest_recall_and_passthrough(spark, sf_dir):
         assert r["matched_id"] == vid - 5_000_000  # min match IS the original
         assert r["cosine"] == 1.0
     assert all(r["matched_id"] is None and r["cosine"] is None for r in novel)
+
+
+def test_kafka_broker_smoke(spark, sf_dir):
+    """Opt-in integration smoke against a REAL Kafka broker (VERDICT
+    r06 item 7): write 50 events through write_kafka_stream, read them
+    back through read_kafka_events, assert exact roundtrip through the
+    broker. Requires BOTH the spark-sql-kafka connector jar on the
+    session classpath AND a reachable broker; set
+
+        SPARK_GRAFT_KAFKA_BOOTSTRAP=localhost:9092
+
+    to enable (see README "Kafka endpoints" for the one-line broker +
+    --packages recipe). Skips with a clear reason otherwise — the wire
+    encode/decode itself is covered unconditionally by
+    test_kafka_encode_decode_roundtrip."""
+    import os
+    import tempfile
+    import uuid
+
+    import pytest
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "SPARK_GRAFT_KAFKA_BOOTSTRAP not set (needs a broker + "
+            "spark-sql-kafka connector jar; see README Kafka recipe)"
+        )
+    # Connector jar presence — fail fast with a skip, not an opaque
+    # ClassNotFoundException from the JVM.
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip(
+            "spark-sql-kafka connector jar not on the classpath "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        )
+
+    from apache_spark_link_prediction_spark.sources import load_table
+    from apache_spark_link_prediction_spark.streaming.events import (
+        read_kafka_events,
+        write_kafka_stream,
+    )
+
+    topic = f"spark_graft_smoke_{uuid.uuid4().hex[:8]}"
+    events = load_table(spark, sf_dir, "events").limit(50)
+    src_dir = tempfile.mkdtemp(prefix="kafka_src_")
+    ckpt = tempfile.mkdtemp(prefix="kafka_ckpt_")
+    events.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    wq = write_kafka_stream(
+        stream, bootstrap, topic, checkpoint_location=ckpt
+    )
+    try:
+        wq.processAllAvailable()
+    finally:
+        wq.stop()
+
+    back_stream = read_kafka_events(
+        spark, bootstrap, topic, starting_offsets="earliest"
+    )
+    sink = tempfile.mkdtemp(prefix="kafka_sink_")
+    rq = (
+        back_stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kafka_rck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        rq.processAllAvailable()
+    finally:
+        rq.stop()
+    back = spark.read.parquet(sink)
+    assert back.count() == 50
+    a = {tuple(r) for r in events.collect()}
+    b = {tuple(r) for r in back.select(*events.columns).collect()}
+    assert a == b

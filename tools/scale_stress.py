@@ -80,14 +80,16 @@ def timed(df: DataFrame) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
+def build_events_replica(
+    spark: SparkSession, out_dir: str, copies: int, src_dir: str = SF_DIR
+) -> None:
     """Materialize a 10× replica DIRECTORY for the events-family
     registry queries (they take (spark, sf_dir), so the replica is a
     drop-in sf_dir): every key column is offset per copy, keeping
     per-key cardinality constant while rows grow 10× — the linear-
     growth regime these window+agg plans must track (their shuffles key
     on user/custkey, so time should scale with rows, not rows²)."""
-    ev = load_table(spark, SF_DIR, "events")
+    ev = load_table(spark, src_dir, "events")
     parts = [
         ev.select(
             (F.col("event_id") + F.lit(k * OFFSET)).alias("event_id"),
@@ -103,7 +105,7 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
-    o = load_table(spark, SF_DIR, "orders")
+    o = load_table(spark, src_dir, "orders")
     parts = [
         o.withColumns(
             {
@@ -117,7 +119,7 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
-    c = load_table(spark, SF_DIR, "customer")
+    c = load_table(spark, src_dir, "customer")
     parts = [
         c.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * OFFSET))
         for k in range(copies)
@@ -126,7 +128,7 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
-    li = load_table(spark, SF_DIR, "lineitem")
+    li = load_table(spark, src_dir, "lineitem")
     parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * OFFSET))
         for k in range(copies)
@@ -138,13 +140,15 @@ def build_events_replica(spark: SparkSession, out_dir: str, copies: int) -> None
     # dimensions pass through unreplicated (they are the broadcast side;
     # growing facts 10x against FIXED dims is the realistic scale-up)
     for dim in ("part", "supplier", "nation", "region"):
-        load_table(spark, SF_DIR, dim).write.mode("overwrite").parquet(
+        load_table(spark, src_dir, dim).write.mode("overwrite").parquet(
             f"{out_dir}/{dim}.parquet"
         )
 
 
-def build_emb_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
-    emb = load_table(spark, SF_DIR, "embeddings")
+def build_emb_replica(
+    spark: SparkSession, out_dir: str, copies: int, src_dir: str = SF_DIR
+) -> None:
+    emb = load_table(spark, src_dir, "embeddings")
     parts = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * OFFSET))
         for k in range(copies)
@@ -155,12 +159,14 @@ def build_emb_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-def build_docs_replica(spark: SparkSession, out_dir: str, copies: int) -> None:
+def build_docs_replica(
+    spark: SparkSession, out_dir: str, copies: int, src_dir: str = SF_DIR
+) -> None:
     """documents.parquet replica directory for docs-family registry
     queries: same replication scheme as replicate_docs (offset doc_id,
     per-copy token appended) plus the lang/n_chars columns the
     registry queries read."""
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = load_table(spark, src_dir, "documents")
     parts = [
         docs.select(
             (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
