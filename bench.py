@@ -65,26 +65,26 @@ HEADLINE = [
 # exceeds 2× its recorded value; an empty ``regressions_vs_recorded``
 # in the JSON line is the per-round pass signal.
 SF1_RECORDED: dict[str, float] = {
-    "pair_features_flagship": 2.28,
-    "tpch_q1_agg": 0.87,
-    "tpch_q3_topk": 0.68,
-    "window_running_sum": 2.99,
-    "sessionize_events": 3.34,
-    "graph_common_neighbors": 5.33,
-    "dedup_exact": 1.63,
-    "dedup_token_jaccard": 7.71,
-    "dedup_minhash": 13.72,
-    "dedup_simhash": 5.86,
-    "embedding_topk_bruteforce": 1.15,
-    "embedding_ann_lsh": 3.28,
-    "lang_id": 2.28,
-    "text_quality": 2.43,
-    "token_counts": 1.47,
-    "p2_lsh_similarity": 6.41,
-    "embedding_ann_ivf": 4.33,
-    "json_props_extract_agg": 2.05,
-    "semi_anti_existence": 0.84,
-    "salted_skew_join": 1.72,
+    "pair_features_flagship": 0.98,
+    "tpch_q1_agg": 0.81,
+    "tpch_q3_topk": 2.04,
+    "window_running_sum": 0.78,
+    "sessionize_events": 1.04,
+    "graph_common_neighbors": 7.13,
+    "dedup_exact": 0.87,
+    "dedup_token_jaccard": 1.33,
+    "dedup_minhash": 32.18,
+    "dedup_simhash": 5.13,
+    "embedding_topk_bruteforce": 1.39,
+    "embedding_ann_lsh": 4.72,
+    "lang_id": 0.49,
+    "text_quality": 0.38,
+    "token_counts": 0.59,
+    "p2_lsh_similarity": 25.33,
+    "embedding_ann_ivf": 6.17,
+    "json_props_extract_agg": 0.65,
+    "semi_anti_existence": 0.94,
+    "salted_skew_join": 2.08,
 }
 
 REPLICA_COPIES = 10

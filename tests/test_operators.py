@@ -271,6 +271,22 @@ def test_ivf_ann_recall_vs_brute_force(spark, emb):
         assert abs(exact_all[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_derived_defaults_recall(spark, emb):
+    """The sqrt(N)-derived num_cells/nprobe defaults (VERDICT r06 item
+    6 — a fixed 16-cell default is a parallelism ceiling and skew
+    magnet at scale) must stay above the approximate-recall floor with
+    no explicit tuning; the fixed-config floor above is unchanged."""
+    from apache_spark_link_prediction_spark.operators.similarity import ivf_top_k
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_top_k(emb, queries, k=5)
+    approx = ivf_top_k(emb, queries, k=5)  # derived defaults
+    t = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.4, f"IVF derived-default recall {recall:.2f}"
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salted join must be row-for-row equivalent to the plain equi join
     (salting changes placement, never the result multiset)."""

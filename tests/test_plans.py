@@ -141,6 +141,111 @@ def test_p1_hard_overlap_floor(spark):
     assert res.best_f1 >= 0.8, f"F1 {res.best_f1:.3f}"
 
 
+def test_p1_citation_shaped_band(spark):
+    """p1 on a CITATION-SHAPED corpus (VERDICT r05 item 7 / r06 item 5):
+    the reference's task is link prediction on the Cit-HepTh citation
+    network (27,770 papers, years 1993-2003, published F1 ≈ 0.86 —
+    README.md:11-12, BASELINE.md). This fixture reproduces that shape
+    at test scale, deterministically (md5-derived draws, zero RNG):
+
+    - 300 papers over years 1993-2003, 6 latent topics with overlapping
+      token pools (each abstract: 4-of-40 shared words, 9-of-12 topic
+      words, 1 cross-topic noise word); journal correlates with topic
+      half the time (metadata helps but can't solve it);
+    - citations go BACKWARD in time only, 95% same-topic, hub-biased
+      (~20% of papers absorb most in-links: top-5 in-degree share ~15%
+      vs 1.7% uniform — the skewed-degree regime of real citation
+      graphs);
+    - train/test = alternate edges + per-src random non-edges, the
+      reference's training_set/testing_set construction.
+
+    Assert a BAND around the published number, not just a floor:
+    0.80 <= F1 <= 0.92. The lower bound keeps the quality claim honest;
+    the upper bound keeps the fixture honest (a corpus this model aces
+    at 0.99 would not be citation-shaped). Measured 0.832."""
+    import hashlib
+
+    def h(*parts):
+        return int(hashlib.md5("|".join(map(str, parts)).encode()).hexdigest()[:8], 16)
+
+    N, TOPICS, POOL, CITES = 300, 6, 12, 4
+    years = {i: 1993 + (i * 11) // N for i in range(N)}
+
+    def topic(i):
+        return h("t", i) % TOPICS
+
+    def text_for(i):
+        t = topic(i)
+        shared = [f"common{h('s', i, j) % 40}" for j in range(4)]
+        own = [f"t{t}w{h('o', i, j) % POOL}" for j in range(9)]
+        noise = [
+            f"t{(t + 1 + h('x', i, j) % (TOPICS - 1)) % TOPICS}w{h('n', i, j) % POOL}"
+            for j in range(1)
+        ]
+        return " ".join(shared + own + noise)
+
+    hubs = {i for i in range(N) if h("hub", i) % 5 == 0}
+
+    def pick(pool, i, salt):
+        if not pool:
+            return None
+        hub_pool = [j for j in pool if j in hubs]
+        use = hub_pool if (hub_pool and h("pa", i, salt) % 3 != 0) else pool
+        return use[h("c", i, salt) % len(use)]
+
+    def cite_targets(i):
+        if i < 10:
+            return []
+        t = topic(i)
+        same = [j for j in range(i) if topic(j) == t]
+        cross = [j for j in range(i) if topic(j) != t]
+        out = set()
+        for c in range(CITES):
+            j = pick(same if h("st", i, c) % 100 < 95 else cross, i, c)
+            if j is not None:
+                out.add(j)
+        return sorted(out)
+
+    edges = [(i, j) for i in range(N) for j in cite_targets(i)]
+    edge_set = set(edges)
+
+    def non_edge(i, salt):
+        tries = 0
+        while True:
+            tries += 1
+            j = h("ne", i, salt, tries) % N
+            if j != i and (i, j) not in edge_set:
+                return (i, j)
+
+    train_pos = [e for k, e in enumerate(edges) if k % 2 == 0]
+    test_pos = [e for k, e in enumerate(edges) if k % 2 == 1]
+    train_neg = [non_edge(i, "tr") for i, _ in train_pos]
+    test_neg = [non_edge(i, "te") for i, _ in test_pos]
+
+    info = spark.createDataFrame(
+        [
+            (str(i), str(years[i]), text_for(i)[:40], f"auth{h('a', i) % 60}",
+             f"j{topic(i) if h('jj', i) % 2 else h('j', i) % 8}", text_for(i))
+            for i in range(N)
+        ],
+        "srcId string, year string, title string, authors string, journal string, abstract string",
+    )
+    train = spark.createDataFrame(
+        [(str(a), str(b), 1) for a, b in train_pos]
+        + [(str(a), str(b), 0) for a, b in train_neg],
+        "srcId string, dstId string, label int",
+    )
+    test_pairs = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in test_pos + test_neg],
+        "srcId string, dstId string",
+    )
+    truth = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in test_pos], "srcId string, dstId string"
+    )
+    res = run_p1(spark, info, train, test_pairs, truth)
+    assert 0.80 <= res.best_f1 <= 0.92, f"F1 {res.best_f1:.3f} outside citation band"
+
+
 # Fixture note: doc "4" exists so no term appears in ALL docs — IDF
 # assigns idf=0 to df==N terms, and MinHashLSH only sees non-zero
 # vector entries, so corpus-universal tokens vanish from the hashed
