@@ -225,17 +225,17 @@ def minhash_near_dup_pairs(
     # longer evict genuine neighbours. Measured at sf0.1 (5000 docs →
     # 3935 sets): candidates 827k → 667k, in-bench 9.0s → 7.5-8.5s —
     # modest here, decisive under replication (10× stress exponent
-    # 0.07 → 0.01; BASELINE.md Round 6). The two tiny side tables —
-    # ``groups`` is one row per distinct set, ``memb`` two longs per
-    # doc — are eagerly localCheckpoint'd rather than .cache()'d
-    # (ADVICE r06): cache-manager entries live until an explicit
-    # unpersist nobody can place (the function returns a lazy plan),
-    # so repeated invocations in a long-lived session accumulated
-    # storage memory; checkpointed RDDs are reclaimed by the
-    # ContextCleaner as soon as the returned plan is garbage-collected.
-    # (localCheckpoint trades away lineage-based recovery — fine for a
-    # bounded side table; on a cluster with preemptible executors use
-    # reliable checkpointing or persist+explicit-unpersist instead.)
+    # 0.07 → 0.01; BASELINE.md Round 6). One grouped side table —
+    # one row per distinct set, carrying rep + member ids — is eagerly
+    # localCheckpoint'd rather than .cache()'d (ADVICE r06):
+    # cache-manager entries live until an explicit unpersist nobody can
+    # place (the function returns a lazy plan), so repeated invocations
+    # in a long-lived session accumulated storage memory; checkpointed
+    # RDDs are reclaimed by the ContextCleaner as soon as the returned
+    # plan is garbage-collected. (localCheckpoint trades away
+    # lineage-based recovery — fine for a bounded side table; on a
+    # cluster with preemptible executors use reliable checkpointing or
+    # persist+explicit-unpersist instead.)
     memb = None
     if collapse_exact:
         # Group on the sorted shingle ARRAY itself — exact set
@@ -244,20 +244,19 @@ def minhash_near_dup_pairs(
         # would merge two distinct sets and fabricate jaccard-1.0
         # pairs (ADVICE r06). The shuffle carries the array either
         # way (it is the grouped payload), so exactness is free.
-        keyed = base.select(
-            "__id", F.array_sort("__shingles").alias("__setarr")
-        )
-        groups = (
-            keyed.groupBy("__setarr")
-            .agg(F.min("__id").alias("__rep"))
+        # Membership comes out of the SAME aggregation (collect_list →
+        # explode), not a second array-keyed join: one wide-key shuffle
+        # instead of two plus a join — per-group id lists are bounded
+        # by the duplicate-cluster size, orders of magnitude below a
+        # hot LSH bucket.
+        g = (
+            base.select("__id", F.array_sort("__shingles").alias("__setarr"))
+            .groupBy("__setarr")
+            .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
             .localCheckpoint()
         )
-        memb = (
-            keyed.join(groups, "__setarr")
-            .select("__id", "__rep")
-            .localCheckpoint()
-        )
-        base = groups.select(F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles"))
+        memb = g.select(F.explode("__ids").alias("__id"), "__rep")
+        base = g.select(F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles"))
 
     # Signatures as plain columns behind an aggregation barrier (see
     # minhash_signature_cols — avoids CollapseProject's nested-HOF
@@ -538,11 +537,15 @@ def signature_band_pairs(
         # localCheckpoint, not cache(): reclaimed by the ContextCleaner
         # once the returned plan is dropped — cache-manager entries from
         # repeated invocations accumulated storage memory (ADVICE r06).
-        groups = (
-            sigs.groupBy("__sh").agg(F.min("__id").alias("__rep")).localCheckpoint()
+        # Membership via collect_list→explode in the same aggregation —
+        # one shuffle, no second join (see the minhash collapse tier).
+        g = (
+            sigs.groupBy("__sh")
+            .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
+            .localCheckpoint()
         )
-        memb = sigs.join(groups, "__sh").select("__id", "__rep").localCheckpoint()
-        sigs = groups.select(F.col("__rep").alias("__id"), "__sh")
+        memb = g.select(F.explode("__ids").alias("__id"), "__rep")
+        sigs = g.select(F.col("__rep").alias("__id"), "__sh")
 
     banded = sigs.select(
         "__id",
@@ -804,22 +807,23 @@ def jaccard_prefix_join(
     # path); cross-group pairs inherit the representative jaccard.
     memb = None
     if collapse_exact:
-        keyed = base.select("__id", "__toks", F.array_sort("__toks").alias("__setk"))
         # localCheckpoint, not cache() — see the minhash collapse tier
         # (ADVICE r06: unbounded cache-manager accumulation).
-        groups = (
-            keyed.groupBy("__setk")
-            .agg(F.min("__id").alias("__rep"), F.first("__toks").alias("__toks"))
+        # Membership via collect_list→explode in the same aggregation —
+        # one shuffle, no second array-keyed join.
+        g = (
+            base.select("__id", "__toks", F.array_sort("__toks").alias("__setk"))
+            .groupBy("__setk")
+            .agg(
+                F.min("__id").alias("__rep"),
+                F.first("__toks").alias("__toks"),
+                F.collect_list("__id").alias("__ids"),
+            )
             .localCheckpoint()
         )
-        memb = (
-            keyed.select("__id", "__setk")
-            .join(groups.select("__setk", "__rep"), "__setk")
-            .select("__id", "__rep")
-            .localCheckpoint()
-        )
-        nonempty_reps = groups.filter(F.size("__setk") > 0).select("__rep")
-        base = groups.select(F.col("__rep").alias("__id"), "__toks")
+        memb = g.select(F.explode("__ids").alias("__id"), "__rep")
+        nonempty_reps = g.filter(F.size("__setk") > 0).select("__rep")
+        base = g.select(F.col("__rep").alias("__id"), "__toks")
 
     toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))

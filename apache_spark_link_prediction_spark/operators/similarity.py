@@ -326,17 +326,21 @@ def embedding_near_dup_pairs(
     v = F.col(vec_col)
     memb = None
     if collapse_exact:
-        keyed = corpus.select(F.col(id_col).alias("__id"), v.alias("__gvec"))
         # localCheckpoint, not cache() — see the minhash collapse tier
         # (ADVICE r06: unbounded cache-manager accumulation).
-        groups = (
-            keyed.groupBy("__gvec").agg(F.min("__id").alias("__rep")).localCheckpoint()
+        # Membership via collect_list→explode in the same aggregation —
+        # one wide-key shuffle, no second array-keyed join.
+        g = (
+            corpus.select(F.col(id_col).alias("__id"), v.alias("__gvec"))
+            .groupBy("__gvec")
+            .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
+            .localCheckpoint()
         )
-        memb = keyed.join(groups, "__gvec").select("__id", "__rep").localCheckpoint()
-        corpus = groups.select(
+        memb = g.select(F.explode("__ids").alias("__id"), "__rep")
+        corpus = g.select(
             F.col("__rep").alias(id_col), F.col("__gvec").alias(vec_col)
         )
-        intra_vals = groups.select(
+        intra_vals = g.select(
             "__rep",
             F.round(cosine_similarity("__gvec", "__gvec"), round_to).alias("__c"),
         ).filter(F.col("__c") >= threshold)
