@@ -408,6 +408,161 @@ def minhash_near_dup_pairs(
     return cross.unionByName(intra)
 
 
+def minhash_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable near-dup index: one row per document —
+    ``(doc_id, nsh, shingles: sorted array<long>, band_keys:
+    array<long> of size bands)``.
+
+    This is the state a 100 TB corpus keeps BETWEEN ingest batches:
+    write it as parquet partitioned however the corpus is, and each
+    daily/hourly increment runs :func:`minhash_incremental_pairs`
+    against it — no re-shingling, re-hashing, or re-banding of the
+    accumulated corpus, whose text never has to be read again. Band
+    keys and shingle hashes use the same seeds/expressions as
+    :func:`minhash_near_dup_pairs`, so index rows built at different
+    times (or by the full pipeline) are mutually compatible as long as
+    (shingle_n, num_hashes, bands) match.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(
+            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
+    sig = minhash_signature_cols(base, "doc_id", F.col("shingles"), num_hashes)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"__h{i}")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        base.join(
+            sig.select(
+                F.col("__id").alias("doc_id"),
+                F.col("__nsh").alias("nsh"),
+                band_keys.alias("band_keys"),
+            ),
+            "doc_id",
+        )
+    )
+
+
+def minhash_incremental_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new ingest batch, against a persisted
+    :func:`minhash_index` — new-vs-index and new-vs-new, without
+    recomputing anything for indexed documents.
+
+    Returns ``(src_id, dst_id, jaccard)`` with ``src_id < dst_id`` and
+    ``jaccard ≥ threshold``, exactly the subset of
+    ``minhash_near_dup_pairs(old ∪ new)`` whose pairs include at least
+    one new id (pinned pair-for-pair by
+    tests/test_operators.py::test_minhash_incremental_matches_full;
+    requires index ids and new ids disjoint, same index parameters).
+    The hot-bucket cap counts documents per bucket over old ∪ new —
+    the same population the full run caps — so the incremental path
+    can't admit a candidate the full run would have dropped.
+
+    Scale shape: the index side never touches text — it contributes
+    ``bands`` (id, key) longs per indexed doc to the bucket join and
+    one sorted long array per VERIFIED candidate (the wide payload
+    joins in by id only for pairs that survive banding + the lossless
+    size-ratio prefilter). The incremental batch pays the full
+    shingle/signature cost only for its own rows. Caller appends
+    ``minhash_index(new_docs)`` to the stored index afterwards.
+    """
+    new_idx = minhash_index(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    all_idx = index.select("doc_id", "nsh", "shingles", "band_keys").unionByName(
+        new_idx.select("doc_id", "nsh", "shingles", "band_keys")
+    )
+    # Tag rows instead of joining an id list back in: the union is
+    # lazy, so a literal flag per branch costs nothing and keeps the
+    # banded explode ids-only (id, nsh, flag, band, key).
+    banded = (
+        index.select("doc_id", "nsh", "band_keys", F.lit(False).alias("__new"))
+        .unionByName(
+            new_idx.select("doc_id", "nsh", "band_keys", F.lit(True).alias("__new"))
+        )
+        .select(
+            "doc_id",
+            "nsh",
+            "__new",
+            F.posexplode("band_keys").alias("__band", "__key"),
+        )
+    )
+    banded = _drop_hot_buckets(banded, ["__band", "__key"], max_bucket_size)
+
+    a = banded.filter("__new").select(
+        "__band", "__key",
+        F.col("doc_id").alias("__ida"), F.col("nsh").alias("__na"),
+    )
+    b = banded.select(
+        "__band", "__key",
+        F.col("doc_id").alias("__idb"), F.col("nsh").alias("__nb"),
+    )
+    size_ok = F.least(F.col("__na"), F.col("__nb")) >= (
+        F.lit(threshold - 1e-6) * F.greatest(F.col("__na"), F.col("__nb"))
+    )
+    candidates = (
+        a.join(b, on=["__band", "__key"], how="inner")
+        .filter((F.col("__ida") != F.col("__idb")) & size_ok)
+        .select(
+            F.least("__ida", "__idb").alias("src_id"),
+            F.greatest("__ida", "__idb").alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+
+    sets = all_idx.select("doc_id", "shingles")
+    return (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("src_id"), F.col("shingles").alias("__sa")),
+            "src_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("dst_id"), F.col("shingles").alias("__sb")),
+            "dst_id",
+        )
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__sa"), F.col("__sb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src_id", "dst_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

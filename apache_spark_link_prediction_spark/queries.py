@@ -39,6 +39,8 @@ from .functions.vectors import cosine_similarity
 from .operators.dedup import (
     dedup_exact,
     jaccard_prefix_join,
+    minhash_incremental_pairs,
+    minhash_index,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -727,6 +729,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles / lower thresholds, where set sizes are less informative.
     return minhash_near_dup_pairs(
         docs, shingle_n=1, num_hashes=32, bands=8, threshold=0.8, prefilter_sigma=None
+    )
+
+
+@register("dedup_minhash_incremental")  # rows-only: xxhash64 not portable to SQL
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest — the shape a 100 TB corpus actually
+    runs: documents with doc_id % 5 == 0 play the new batch, the rest
+    the persisted corpus index (operators.dedup.minhash_index: doc_id +
+    shingle hashes + band keys, text never re-read); emits pairs
+    touching the new batch (new-vs-index and new-vs-new) without
+    recomputing any index signatures. Pinned pair-for-pair against the
+    full run restricted to touching-new pairs by
+    tests/test_operators.py::test_minhash_incremental_matches_full."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_index(docs.filter(F.col("doc_id") % 5 != 0), shingle_n=1)
+    return minhash_incremental_pairs(
+        idx, docs.filter(F.col("doc_id") % 5 == 0), shingle_n=1, threshold=0.8
     )
 
 

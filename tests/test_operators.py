@@ -171,6 +171,40 @@ def test_ngram_jaccard_refuses_unbounded_blocks(spark, docs):
         ngram_jaccard_pairs(docs, block_col="source", ngram=1, threshold=0.8)
 
 
+def test_minhash_incremental_matches_full(spark, docs):
+    """Incremental near-dup against a persisted minhash_index must be
+    pair-for-pair (including jaccard values) the full-run output over
+    old ∪ new restricted to pairs touching the new batch — the
+    contract that lets a 100 TB corpus ingest increments without
+    re-reading indexed text. σ-prefilter off on the full run (the
+    incremental path has none); same banding/cap params both sides."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(old, shingle_n=1)
+    inc = {
+        (r["src_id"], r["dst_id"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            idx, new, shingle_n=1, threshold=0.6
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["src_id"], r["dst_id"], r["jaccard"])
+        for r in minhash_near_dup_pairs(
+            docs, shingle_n=1, threshold=0.6,
+            collapse_exact=False, prefilter_sigma=None,
+        ).collect()
+        if r["src_id"] in new_ids or r["dst_id"] in new_ids
+    }
+    assert inc == full
+    assert inc, "fixture produced no pairs touching the new batch"
+
+
 def test_minhash_recall_vs_exact(spark, docs):
     """MinHash (n=1 shingles, t=0.8) must recover ≥80% of the exact
     token-jaccard ≥0.8 pairs and report only verified-true jaccards."""
