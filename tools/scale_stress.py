@@ -184,6 +184,7 @@ def build_docs_replica(
 
 
 DOCS_QUERIES = (
+    "dedup_minhash_incremental",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
