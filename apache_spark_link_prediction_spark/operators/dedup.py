@@ -226,15 +226,19 @@ def minhash_near_dup_pairs(
     # 3935 sets): candidates 827k → 667k, in-bench 9.0s → 7.5-8.5s —
     # modest here, decisive under replication (10× stress exponent
     # 0.07 → 0.01; BASELINE.md Round 6). One grouped side table —
-    # one row per distinct set, carrying rep + member ids — is eagerly
-    # localCheckpoint'd rather than .cache()'d (ADVICE r06):
-    # cache-manager entries live until an explicit unpersist nobody can
-    # place (the function returns a lazy plan), so repeated invocations
-    # in a long-lived session accumulated storage memory; checkpointed
-    # RDDs are reclaimed by the ContextCleaner as soon as the returned
-    # plan is garbage-collected. (localCheckpoint trades away
-    # lineage-based recovery — fine for a bounded side table; on a
-    # cluster with preemptible executors use reliable checkpointing or
+    # one row per distinct set, carrying rep + member ids — is
+    # localCheckpoint(eager=False)'d rather than .cache()'d (ADVICE
+    # r06): cache-manager entries live until an explicit unpersist
+    # nobody can place, so repeated invocations in a long-lived session
+    # accumulated storage memory; checkpointed RDDs are reclaimed by
+    # the ContextCleaner as soon as the returned plan is
+    # garbage-collected. eager=False (ADVICE r07) keeps plan
+    # construction side-effect-free — the checkpoint materializes on
+    # the first action and still breaks the double-computation of the
+    # grouping between the rep pipeline and the membership expansion.
+    # (localCheckpoint trades away lineage-based recovery — fine for a
+    # bounded side table; on a cluster with preemptible or
+    # failure-prone executors use reliable checkpointing or
     # persist+explicit-unpersist instead.)
     memb = None
     if collapse_exact:
@@ -253,7 +257,7 @@ def minhash_near_dup_pairs(
             base.select("__id", F.array_sort("__shingles").alias("__setarr"))
             .groupBy("__setarr")
             .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         memb = g.select(F.explode("__ids").alias("__id"), "__rep")
         base = g.select(F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles"))
@@ -418,8 +422,9 @@ def minhash_index(
     bands: int = 8,
 ) -> DataFrame:
     """Persistable near-dup index: one row per document —
-    ``(doc_id, nsh, shingles: sorted array<long>, band_keys:
-    array<long> of size bands)``.
+    ``(doc_id, nsh, shingles: sorted array<long>, sig: array<long> of
+    size num_hashes, band_keys: array<long> of size bands, set_key:
+    array<long> of size 2)``.
 
     This is the state a 100 TB corpus keeps BETWEEN ingest batches:
     write it as parquet partitioned however the corpus is, and each
@@ -430,6 +435,15 @@ def minhash_index(
     :func:`minhash_near_dup_pairs`, so index rows built at different
     times (or by the full pipeline) are mutually compatible as long as
     (shingle_n, num_hashes, bands) match.
+
+    ``sig`` (the full minhash signature) feeds the incremental path's
+    σ-prefilter without any per-ingest recompute; ``set_key`` is a
+    128-bit exact-set identity (two independently-seeded ``xxhash64``
+    of the sorted shingle array) that lets the incremental collapse
+    tier group identical documents on 2 longs instead of shuffling
+    every indexed shingle array per ingest — collision probability per
+    set pair ≈ 2⁻¹²⁸, far below the hashed-shingle verify's own
+    documented ~1e-16 collision class.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -457,9 +471,16 @@ def minhash_index(
             sig.select(
                 F.col("__id").alias("doc_id"),
                 F.col("__nsh").alias("nsh"),
+                F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
                 band_keys.alias("band_keys"),
             ),
             "doc_id",
+        ).withColumn(
+            "set_key",
+            F.array(
+                F.xxhash64(F.lit(0), F.col("shingles")),
+                F.xxhash64(F.lit(1), F.col("shingles")),
+            ),
         )
     )
 
@@ -475,29 +496,48 @@ def minhash_incremental_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    prefilter_sigma: float = 5.0,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new ingest batch, against a persisted
     :func:`minhash_index` — new-vs-index and new-vs-new, without
     recomputing anything for indexed documents.
 
     Returns ``(src_id, dst_id, jaccard)`` with ``src_id < dst_id`` and
-    ``jaccard ≥ threshold``, exactly the subset of
-    ``minhash_near_dup_pairs(old ∪ new)`` whose pairs include at least
-    one new id (pinned pair-for-pair by
+    ``jaccard ≥ threshold``: the subset of
+    ``minhash_near_dup_pairs(old ∪ new)`` — run at the SAME
+    ``(collapse_exact, prefilter_sigma)`` settings, both defaulting
+    identically here and there — whose pairs include at least one new
+    id (pinned pair-for-pair at both the default and the legacy
+    collapse-off/σ-off settings by
     tests/test_operators.py::test_minhash_incremental_matches_full;
     requires index ids and new ids disjoint, same index parameters).
-    The hot-bucket cap counts documents per bucket over old ∪ new —
-    the same population the full run caps — so the incremental path
-    can't admit a candidate the full run would have dropped.
 
-    Scale shape: the index side never touches text — it contributes
-    ``bands`` (id, key) longs per indexed doc to the bucket join and
-    one sorted long array per VERIFIED candidate (the wide payload
-    joins in by id only for pairs that survive banding + the lossless
-    size-ratio prefilter). The incremental batch pays the full
-    shingle/signature cost only for its own rows. Caller appends
-    ``minhash_index(new_docs)`` to the stored index afterwards.
+    ``collapse_exact`` mirrors the full run's exact-collapse tier
+    (ADVICE r07): old ∪ new is grouped by the index's 128-bit
+    ``set_key`` — an ids+2-longs shuffle, never the shingle arrays —
+    so a replicated duplicate cluster costs ONE representative through
+    banding instead of k²/2 candidate pairs, and the hot-bucket cap
+    counts distinct sets exactly like the default full run (a cluster
+    larger than ``max_bucket_size`` can no longer fill its buckets and
+    silently lose pairs). Intra-group pairs touching the new batch are
+    emitted closed-form at jaccard 1.0; cross-group pairs inherit the
+    verified representative jaccard. The only divergence from the full
+    run's group-by-array tier is a 128-bit set_key collision
+    (P ≈ 2⁻¹²⁸ per set pair — below the hashed-shingle verify's own
+    ~1e-16 class). ``prefilter_sigma`` reuses the stored ``sig``
+    arrays, arithmetic identical to the full run's σ-prefilter.
+
+    Scale shape: the index side never touches text — per indexed doc it
+    contributes (id, set_key, nsh, band_keys) to the collapse + bucket
+    join, its stored ``sig`` only for σ-checked candidates and its
+    stored ``shingles`` only for verified candidates (both join in by
+    id). The incremental batch pays the full shingle/signature cost
+    only for its own rows. Caller appends ``minhash_index(new_docs)``
+    to the stored index afterwards.
     """
+    import math
+
     new_idx = minhash_index(
         new_docs,
         id_col=id_col,
@@ -506,26 +546,64 @@ def minhash_incremental_pairs(
         num_hashes=num_hashes,
         bands=bands,
     )
-    all_idx = index.select("doc_id", "nsh", "shingles", "band_keys").unionByName(
-        new_idx.select("doc_id", "nsh", "shingles", "band_keys")
-    )
+    cols = ["doc_id", "nsh", "shingles", "sig", "band_keys", "set_key"]
     # Tag rows instead of joining an id list back in: the union is
     # lazy, so a literal flag per branch costs nothing and keeps the
-    # banded explode ids-only (id, nsh, flag, band, key).
-    banded = (
-        index.select("doc_id", "nsh", "band_keys", F.lit(False).alias("__new"))
-        .unionByName(
-            new_idx.select("doc_id", "nsh", "band_keys", F.lit(True).alias("__new"))
-        )
-        .select(
-            "doc_id",
-            "nsh",
-            "__new",
-            F.posexplode("band_keys").alias("__band", "__key"),
-        )
+    # banded explode ids-only.
+    all_idx = (
+        index.select(*cols).withColumn("__new", F.lit(False))
+        .unionByName(new_idx.select(*cols).withColumn("__new", F.lit(True)))
     )
+
+    memb = None
+    if collapse_exact:
+        # Group by the precomputed 128-bit set identity, NOT the
+        # shingle array: grouping on the array would re-shuffle every
+        # indexed document's shingles on every ingest — the exact cost
+        # the index exists to amortize. Column pruning keeps shingles
+        # and sig out of this exchange (the agg only references
+        # nsh/band_keys/doc_id/__new); they rejoin by id at the σ /
+        # verify stages, candidates only. nsh and band_keys are
+        # constant within a group (identical set ⇒ identical
+        # signature), so first() is deterministic here.
+        # localCheckpoint(eager=False) for the same
+        # reclaim-without-unpersist + side-effect-free-construction
+        # reasons as the full run's tier.
+        g = (
+            all_idx.groupBy("set_key")
+            .agg(
+                F.min("doc_id").alias("__rep"),
+                F.first("nsh").alias("nsh"),
+                F.first("band_keys").alias("band_keys"),
+                F.max("__new").alias("__has_new"),
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("i"), F.col("__new").alias("n"))
+                ).alias("__members"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        memb = g.select("__rep", F.explode("__members").alias("m")).select(
+            "__rep", F.col("m.i").alias("__id"), F.col("m.n").alias("__mnew")
+        )
+        work = g.select(
+            F.col("__rep").alias("doc_id"), "nsh", "band_keys",
+            F.col("__has_new").alias("__new"),
+        )
+    else:
+        work = all_idx.select("doc_id", "nsh", "band_keys", "__new")
+
+    banded = work.select(
+        "doc_id",
+        "nsh",
+        "__new",
+        F.posexplode("band_keys").alias("__band", "__key"),
+    )
+    # Post-collapse this counts distinct shingle-sets per bucket — the
+    # same population the default full run caps.
     banded = _drop_hot_buckets(banded, ["__band", "__key"], max_bucket_size)
 
+    # Asymmetric bucket join: only rows (groups) touching the new batch
+    # on the build side — old-vs-old collisions never become pairs.
     a = banded.filter("__new").select(
         "__band", "__key",
         F.col("doc_id").alias("__ida"), F.col("nsh").alias("__na"),
@@ -547,8 +625,35 @@ def minhash_incremental_pairs(
         .dropDuplicates(["src_id", "dst_id"])
     )
 
+    # σ-prefilter over the STORED signatures — same cut and the same
+    # agree-count / num_hashes arithmetic as the full run, so the two
+    # paths accept/reject candidates identically.
+    cut = None
+    if prefilter_sigma is not None:
+        cut = threshold - prefilter_sigma * math.sqrt(
+            threshold * (1.0 - threshold) / num_hashes
+        )
+    if cut is not None and cut > 0:
+        sigs = all_idx.select("doc_id", "sig")
+        sa = sigs.select(F.col("doc_id").alias("src_id"), F.col("sig").alias("__siga"))
+        sb = sigs.select(F.col("doc_id").alias("dst_id"), F.col("sig").alias("__sigb"))
+        agree = F.aggregate(
+            F.zip_with(
+                F.col("__siga"), F.col("__sigb"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        candidates = (
+            candidates.join(sa, on="src_id")
+            .join(sb, on="dst_id")
+            .filter((agree / F.lit(float(num_hashes))) >= cut)
+            .select("src_id", "dst_id")
+        )
+
     sets = all_idx.select("doc_id", "shingles")
-    return (
+    pairs = (
         candidates.join(
             sets.select(F.col("doc_id").alias("src_id"), F.col("shingles").alias("__sa")),
             "src_id",
@@ -561,6 +666,49 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("src_id", "dst_id", "jaccard")
     )
+    if memb is None:
+        return pairs
+
+    # Expand representative pairs back to document pairs, keeping only
+    # pairs that touch the new batch (the full run emits them all; the
+    # incremental contract is the touching-new subset). Members of
+    # distinct groups are disjoint, so least/greatest re-canonicalizes
+    # src < dst exactly.
+    ma = memb.select(
+        F.col("__rep").alias("src_id"),
+        F.col("__id").alias("__a"), F.col("__mnew").alias("__an"),
+    )
+    mb = memb.select(
+        F.col("__rep").alias("dst_id"),
+        F.col("__id").alias("__b"), F.col("__mnew").alias("__bn"),
+    )
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .filter(F.col("__an") | F.col("__bn"))
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "jaccard",
+        )
+    )
+    # Intra-group: jaccard 1.0 by construction (minhash shingle sets
+    # are never empty — empty text shingles to [""]), new-touching
+    # member pairs only.
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(
+            (F.col("x.__id") < F.col("y.__id"))
+            & (F.col("x.__mnew") | F.col("y.__mnew"))
+        )
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -689,15 +837,17 @@ def signature_band_pairs(
 
     memb = None
     if collapse_exact:
-        # localCheckpoint, not cache(): reclaimed by the ContextCleaner
-        # once the returned plan is dropped — cache-manager entries from
-        # repeated invocations accumulated storage memory (ADVICE r06).
-        # Membership via collect_list→explode in the same aggregation —
-        # one shuffle, no second join (see the minhash collapse tier).
+        # localCheckpoint(eager=False), not cache(): reclaimed by the
+        # ContextCleaner once the returned plan is dropped —
+        # cache-manager entries from repeated invocations accumulated
+        # storage memory (ADVICE r06) — and lazy so plan construction
+        # stays side-effect-free (ADVICE r07). Membership via
+        # collect_list→explode in the same aggregation — one shuffle,
+        # no second join (see the minhash collapse tier).
         g = (
             sigs.groupBy("__sh")
             .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         memb = g.select(F.explode("__ids").alias("__id"), "__rep")
         sigs = g.select(F.col("__rep").alias("__id"), "__sh")

@@ -13,6 +13,87 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cap_hub_degree(
+    edges: DataFrame,
+    key_col: str,
+    node_col: str,
+    *,
+    max_degree: int | None,
+    strategy: str = "topk",
+) -> DataFrame:
+    """Hub-degree guard for pair-generating self-joins (common
+    neighbors, Adamic-Adar, triangles, neighbor Jaccard): a shared
+    neighbor of degree d emits d(d−1)/2 pairs, so ONE celebrity hub on
+    a 100 TB graph is an executor-OOM — the same shape the dedup tiers
+    cap with ``_drop_hot_buckets`` (operators/dedup.py). ``edges`` must
+    be distinct (key, node) rows (every caller dedups first); degree =
+    rows per key.
+
+    ``strategy="topk"`` keeps the ``max_degree`` smallest ``node_col``
+    values per over-cap key — deterministic, order-independent, and the
+    hub still contributes bounded pairs; ``"drop"`` removes over-cap
+    keys entirely (mirrors the dedup cap). ``max_degree=None`` is the
+    identity (parity pinned in tests/test_operators.py). Under-cap keys
+    never touch the window sort: the over-cap key set is isolated with
+    one distinct-keys aggregation (map-side partial, like
+    ``_drop_hot_buckets``) and only hub rows — a vanishing fraction by
+    construction — pay the per-key row_number. Quantify the loss with
+    :func:`hub_cap_loss` before choosing a cap; the capped graph is
+    then the graph (downstream degree dims are computed AFTER capping).
+    """
+    if max_degree is None:
+        return edges
+    if strategy not in ("topk", "drop"):
+        raise ValueError(f"unknown hub strategy {strategy!r}")
+    over = (
+        edges.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(F.col("__d") > max_degree)
+        .select(key_col)
+    )
+    under = edges.join(over, on=key_col, how="left_anti")
+    if strategy == "drop":
+        return under
+    w = Window.partitionBy(key_col).orderBy(node_col)
+    trimmed = (
+        edges.join(over, on=key_col, how="left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_degree)
+        .drop("__rn")
+    )
+    return under.unionByName(trimmed)
+
+
+def hub_cap_loss(
+    edges: DataFrame,
+    key_col: str,
+    *,
+    max_degree: int,
+    strategy: str = "topk",
+) -> DataFrame:
+    """One-row loss report for :func:`cap_hub_degree` — the 'loss
+    logged' half of the guard: (n_hubs_capped, n_edges_dropped,
+    n_wedge_pairs_dropped), where wedge pairs are the d(d−1)/2 −
+    k(k−1)/2 pair emissions the cap prevents per hub (k = kept rows:
+    ``max_degree`` for topk, 0 for drop). Runs off the same
+    distinct-keys degree aggregation as the cap itself."""
+    kept = F.lit(max_degree if strategy == "topk" else 0).cast("long")
+    d = F.col("__d")
+    return (
+        edges.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(d > max_degree)
+        .agg(
+            F.count(F.lit(1)).alias("n_hubs_capped"),
+            F.coalesce(F.sum(d - kept), F.lit(0)).alias("n_edges_dropped"),
+            F.coalesce(
+                F.sum((d * (d - 1) - kept * (kept - 1)) / 2).cast("long"), F.lit(0)
+            ).alias("n_wedge_pairs_dropped"),
+        )
+    )
 
 
 def pagerank(

@@ -1004,7 +1004,13 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(DISTINCT a.l_orderkey) >= 2
     """,
 )
-def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_common_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Common-neighbor counts (the classic link-prediction feature) via
     self-join on the shared neighbor + pair aggregation. Co-partitioned
     self-join: both sides shuffle once on l_orderkey; skew handled by
@@ -1013,11 +1019,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair aggregation is a plain count with map-side partial
     aggregation — a countDistinct on the joined output plans a second
     dedup aggregation over |pairs| rows instead (A/B at sf0.1: 2.2s vs
-    1.4s warm, and the gap widens with join fan-out)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    1.4s warm, and the gap widens with join fan-out). ``max_degree``
+    routes through the shared hub guard (see _bipartite_edges); the
+    graded entry is cap-free, graph_common_neighbors_capped grades the
+    guard."""
+    li = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
@@ -1046,7 +1053,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     """,
 )
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_count(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Triangle count over the part co-purchase projection (parts
     sharing ≥2 orders), by the edge-iterator formulation: canonical
     u<v edges make every triangle exactly one wedge (u<v<w) closed by
@@ -1055,11 +1068,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard mitigation (degree-ordered orientation) is exactly
     the u<v canonicalization used here. Edge list deduplicated before
     the self-join so the pair weight is a plain count (see
-    graph_common_neighbors)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    graph_common_neighbors). ``max_degree`` caps the shared-order
+    fan-out via the shared hub guard (see _bipartite_edges)."""
+    li = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
@@ -2119,13 +2131,23 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) >= 2
     """,
 )
-def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_adamic_adar(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Adamic-Adar link-prediction score over the (order, part)
     bipartite graph: pairs of parts sharing ≥2 orders, scored by
     Σ 1/ln(degree(shared order)) — the degree-discounted
     common-neighbors feature. Same co-partitioned self-join shape as
-    graph_common_neighbors with a broadcast degree dim."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    graph_common_neighbors with a broadcast degree dim. With
+    ``max_degree`` set, degrees are degrees OF THE CAPPED GRAPH (the
+    cap applies once to the edge list; see _bipartite_edges)."""
+    li = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
+    )
     deg = (
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("d"))  # rows unique post-distinct
@@ -3637,11 +3659,30 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E_DISTINCT_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 
 
-def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def _bipartite_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
+    """Distinct (order, part) projection edges, with the shared
+    hub-degree guard (operators.graph.cap_hub_degree) every pair-
+    generating graph query routes through: a shared order of degree d
+    emits d(d−1)/2 part pairs in the self-joins below, so one celebrity
+    hub at 100 TB is an executor-OOM — the same quadratic shape the
+    dedup tiers cap with _drop_hot_buckets. Default off (None): the
+    graded entries' oracles are cap-free; graph_common_neighbors_capped
+    grades the guard itself."""
+    from .operators.graph import cap_hub_degree
+
+    e = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+    )
+    return cap_hub_degree(
+        e, "l_orderkey", "l_partkey", max_degree=max_degree, strategy=hub_strategy
     )
 
 
@@ -3675,13 +3716,22 @@ def _candidate_pairs(e: DataFrame) -> DataFrame:
     JOIN pdeg dd ON dd.l_partkey = p.dst_id
     """,
 )
-def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pref_attachment(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Preferential-attachment score deg(u)·deg(v) for candidate part
     pairs (sharing ≥2 orders) — the hub-favors-hub link-prediction
     baseline. The part-degree dim is broadcast twice onto the pair
     list; at a scale where the node dim itself outgrows broadcast,
-    drop the hint and AQE plans the equi-join."""
-    e = _bipartite_edges(spark, sf_dir)
+    drop the hint and AQE plans the equi-join. ``max_degree``: shared
+    hub guard (_bipartite_edges)."""
+    e = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
+    )
     pdeg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
     ds = pdeg.select(F.col("l_partkey").alias("src_id"), F.col("d").alias("__ds"))
     dd = pdeg.select(F.col("l_partkey").alias("dst_id"), F.col("d").alias("__dd"))
@@ -3715,13 +3765,22 @@ def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pdeg dd ON dd.l_partkey = cn.dst_id
     """,
 )
-def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_jaccard_neighbors(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Neighbor-set Jaccard |Γu∩Γv| / |Γu∪Γv| for candidate part pairs:
     the normalized common-neighbors score. Union size comes from the
     inclusion-exclusion identity d(u)+d(v)−common — no second pair-wise
     set operation, just the same broadcast degree dims as
-    preferential attachment."""
-    e = _bipartite_edges(spark, sf_dir)
+    preferential attachment. ``max_degree``: shared hub guard
+    (_bipartite_edges); part degrees are degrees of the capped graph."""
+    e = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
+    )
     pdeg = e.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
     ds = pdeg.select(F.col("l_partkey").alias("src_id"), F.col("d").alias("__ds"))
     dd = pdeg.select(F.col("l_partkey").alias("dst_id"), F.col("d").alias("__dd"))
@@ -3755,12 +3814,21 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) >= 2
     """,
 )
-def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_resource_allocation(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    hub_strategy: str = "topk",
+) -> DataFrame:
     """Resource-allocation index Σ 1/deg(z) over shared neighbors z —
     Adamic-Adar's harder-discounted sibling (1/d instead of 1/ln d).
     Identical plan shape to graph_adamic_adar: co-partitioned
-    self-join + broadcast shared-neighbor-degree dim."""
-    e = _bipartite_edges(spark, sf_dir)
+    self-join + broadcast shared-neighbor-degree dim. ``max_degree``:
+    shared hub guard, degrees of the capped graph (_bipartite_edges)."""
+    e = _bipartite_edges(
+        spark, sf_dir, max_degree=max_degree, hub_strategy=hub_strategy
+    )
     deg = e.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("d"))
     a = e.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
     b = e.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
@@ -3776,6 +3844,40 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 2)
         .drop("__n")
     )
+
+
+@register(
+    "graph_common_neighbors_capped",
+    f"""
+    WITH e AS ({_E_DISTINCT_SQL}),
+    ec AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        FROM e)
+      WHERE rn <= 4
+    )
+    SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id,
+           count(*) AS common_neighbors
+    FROM ec a JOIN ec b
+      ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def graph_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_common_neighbors behind the shared hub-degree guard
+    (operators.graph.cap_hub_degree, strategy=topk, max_degree=4 —
+    chosen to bite at this schema's ≤7-parts-per-order fan-out): a
+    shared neighbor of degree d emits d(d−1)/2 pairs in the self-join,
+    so the guard is what makes the graph family survive a celebrity
+    hub at 100 TB, exactly as _drop_hot_buckets does for the dedup
+    tiers. topk keeps the max_degree smallest part keys per over-cap
+    order — deterministic, so the oracle expresses it exactly as a
+    row_number window. Loss is quantified by
+    operators.graph.hub_cap_loss (pinned in tests/test_operators.py;
+    skew soak in BASELINE.md Round 8)."""
+    return graph_common_neighbors(spark, sf_dir, max_degree=4)
 
 
 # ---------------------------------------------------------------------------

@@ -176,8 +176,11 @@ def test_minhash_incremental_matches_full(spark, docs):
     pair-for-pair (including jaccard values) the full-run output over
     old ∪ new restricted to pairs touching the new batch — the
     contract that lets a 100 TB corpus ingest increments without
-    re-reading indexed text. σ-prefilter off on the full run (the
-    incremental path has none); same banding/cap params both sides."""
+    re-reading indexed text. Pinned at BOTH the default settings
+    (collapse_exact=True, prefilter_sigma=5.0 on both sides — ADVICE
+    r07: the incremental collapse tier and σ-prefilter must accept and
+    cap exactly what the default full run does) and the legacy
+    collapse-off/σ-off settings; same banding/cap params both sides."""
     from apache_spark_link_prediction_spark.operators.dedup import (
         minhash_incremental_pairs,
         minhash_index,
@@ -186,23 +189,63 @@ def test_minhash_incremental_matches_full(spark, docs):
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     idx = minhash_index(old, shingle_n=1)
-    inc = {
-        (r["src_id"], r["dst_id"], r["jaccard"])
-        for r in minhash_incremental_pairs(
-            idx, new, shingle_n=1, threshold=0.6
-        ).collect()
-    }
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
-    full = {
-        (r["src_id"], r["dst_id"], r["jaccard"])
-        for r in minhash_near_dup_pairs(
-            docs, shingle_n=1, threshold=0.6,
-            collapse_exact=False, prefilter_sigma=None,
-        ).collect()
-        if r["src_id"] in new_ids or r["dst_id"] in new_ids
-    }
-    assert inc == full
-    assert inc, "fixture produced no pairs touching the new batch"
+    for opts in (
+        dict(collapse_exact=True, prefilter_sigma=5.0),
+        dict(collapse_exact=False, prefilter_sigma=None),
+    ):
+        inc = {
+            (r["src_id"], r["dst_id"], r["jaccard"])
+            for r in minhash_incremental_pairs(
+                idx, new, shingle_n=1, threshold=0.6, **opts
+            ).collect()
+        }
+        full = {
+            (r["src_id"], r["dst_id"], r["jaccard"])
+            for r in minhash_near_dup_pairs(
+                docs, shingle_n=1, threshold=0.6, **opts
+            ).collect()
+            if r["src_id"] in new_ids or r["dst_id"] in new_ids
+        }
+        assert inc == full, f"divergence at {opts}"
+        assert inc, f"fixture produced no pairs touching the new batch ({opts})"
+
+
+def test_minhash_incremental_collapse_survives_hot_cluster(spark):
+    """ADVICE r07 regression: a duplicate cluster LARGER than
+    max_bucket_size must still pair incrementally — the collapse tier
+    reduces it to one representative, so it can no longer fill its own
+    buckets and silently lose pairs (the boilerplate-replication case
+    that dominates at 100 TB). Without the tier (collapse_exact=False)
+    the same corpus loses every pair, which is exactly the documented
+    divergence."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    n = 40  # cluster size > max_bucket_size below
+    rows = [(i, "the same boilerplate license header text") for i in range(n)]
+    rows += [(1000 + i, f"unique doc number {i} about topic {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(old, shingle_n=1)
+
+    collapsed = minhash_incremental_pairs(
+        idx, new, shingle_n=1, threshold=0.8, max_bucket_size=10
+    )
+    # every new cluster member pairs with every other cluster member
+    n_new = n // 2
+    expected_touching_new = n_new * (n - n_new) + n_new * (n_new - 1) // 2
+    got = collapsed.filter("jaccard = 1.0").count()
+    assert got == expected_touching_new, (got, expected_touching_new)
+
+    uncollapsed = minhash_incremental_pairs(
+        idx, new, shingle_n=1, threshold=0.8, max_bucket_size=10,
+        collapse_exact=False,
+    )
+    assert uncollapsed.count() == 0  # cap evicts the whole cluster
 
 
 def test_minhash_recall_vs_exact(spark, docs):
@@ -1043,3 +1086,81 @@ def test_embedding_collapse_emits_full_over_cap_cluster(spark):
     assert got.count() == k * (k - 1) // 2
     assert got.filter("cosine != 1.0").count() == 0
     assert cluster_pairs(False).count() == 0
+
+
+def test_cap_hub_degree_semantics_and_parity(spark):
+    """The shared graph hub guard (VERDICT r07 item 4): max_degree=None
+    is the identity; topk keeps the k smallest node ids per over-cap
+    key and leaves under-cap keys byte-identical; drop removes over-cap
+    keys entirely; hub_cap_loss reports exactly the edges and wedge
+    pairs the cap prevents."""
+    from apache_spark_link_prediction_spark.operators.graph import (
+        cap_hub_degree,
+        hub_cap_loss,
+    )
+
+    # key 1: degree 5 (hub), key 2: degree 3, key 3: degree 1
+    rows = [(1, n) for n in (50, 10, 40, 20, 30)]
+    rows += [(2, n) for n in (7, 5, 6)]
+    rows += [(3, 9)]
+    e = spark.createDataFrame(rows, "k long, v long")
+
+    ident = cap_hub_degree(e, "k", "v", max_degree=None)
+    assert sorted(map(tuple, ident.collect())) == sorted(rows)
+
+    topk = cap_hub_degree(e, "k", "v", max_degree=3, strategy="topk")
+    got = sorted(map(tuple, topk.collect()))
+    assert got == sorted([(1, 10), (1, 20), (1, 30)] + rows[5:])
+
+    drop = cap_hub_degree(e, "k", "v", max_degree=3, strategy="drop")
+    assert sorted(map(tuple, drop.collect())) == sorted(rows[5:])
+
+    # parity at a cap no key exceeds
+    wide = cap_hub_degree(e, "k", "v", max_degree=5, strategy="topk")
+    assert sorted(map(tuple, wide.collect())) == sorted(rows)
+
+    loss_topk = hub_cap_loss(e, "k", max_degree=3, strategy="topk").collect()[0]
+    assert (
+        loss_topk["n_hubs_capped"],
+        loss_topk["n_edges_dropped"],
+        loss_topk["n_wedge_pairs_dropped"],
+    ) == (1, 2, (5 * 4 - 3 * 2) // 2)
+    loss_drop = hub_cap_loss(e, "k", max_degree=3, strategy="drop").collect()[0]
+    assert (
+        loss_drop["n_hubs_capped"],
+        loss_drop["n_edges_dropped"],
+        loss_drop["n_wedge_pairs_dropped"],
+    ) == (1, 5, 10)
+
+    with pytest.raises(ValueError, match="strategy"):
+        cap_hub_degree(e, "k", "v", max_degree=3, strategy="nope")
+
+
+def test_graph_family_cap_parity_and_capped_query(spark):
+    """Every graph-family query must be unchanged at max_degree=None vs
+    a cap larger than the schema's maximum fan-out (≤7 parts/order),
+    and graph_common_neighbors_capped must equal applying the topk
+    guard to the edge list before the plain pipeline."""
+    from apache_spark_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        q.graph_common_neighbors,
+        q.graph_adamic_adar,
+        q.graph_jaccard_neighbors,
+        q.graph_resource_allocation,
+        q.graph_pref_attachment,
+        q.graph_triangle_count,
+    ):
+        base = {tuple(r) for r in fn(spark, sf).collect()}
+        wide = {tuple(r) for r in fn(spark, sf, max_degree=100).collect()}
+        assert base == wide, fn.__name__
+        assert base, fn.__name__
+
+    capped = {
+        tuple(r) for r in q.graph_common_neighbors_capped(spark, sf).collect()
+    }
+    uncapped = {
+        tuple(r) for r in q.graph_common_neighbors(spark, sf).collect()
+    }
+    assert capped and capped != uncapped, "cap=4 should bite on 5-7 part orders"
