@@ -909,6 +909,143 @@ def signature_band_pairs(
     return cross.unionByName(intra)
 
 
+def signature_incremental_pairs(
+    index: DataFrame,
+    new_sigs: DataFrame,
+    *,
+    bits: int,
+    blocks: int,
+    max_hamming: int,
+    max_bucket_size: int = 1000,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new ingest batch, against a persisted
+    signature index — the :func:`signature_band_pairs` twin of
+    :func:`minhash_incremental_pairs`, covering the whole signature
+    family (SimHash text, pHash images, any ``(__id, __sh)`` frame).
+
+    The persisted state is simply the signature frame itself — one
+    (id, long) row per document, the cheapest index in the repo; write
+    ``simhash_cols(...)`` / pHash output as parquet and each ingest
+    batch bands only its own rows against it. Returns
+    ``(src_id, dst_id, hamming)`` with ``src_id < dst_id`` and
+    ``hamming ≤ max_hamming``: exactly the subset of
+    ``signature_band_pairs(old ∪ new)`` — same ``collapse_exact``
+    setting both sides — whose pairs include at least one new id
+    (pinned pair-for-pair by tests/test_operators.py::
+    test_signature_incremental_matches_full; requires index ids and new
+    ids disjoint, same bits/blocks). ``collapse_exact`` groups
+    old ∪ new by the signature long itself (2 longs/row through the
+    shuffle — no set_key indirection needed), so the hot-bucket cap
+    counts distinct SIGNATURES exactly like the full run and an
+    over-cap duplicate cluster still pairs via its one representative.
+    """
+    assert bits % blocks == 0
+    assert max_hamming < blocks, "pigeonhole completeness needs max_hamming < blocks"
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+
+    all_sigs = (
+        index.select("__id", "__sh").withColumn("__new", F.lit(False))
+        .unionByName(new_sigs.select("__id", "__sh").withColumn("__new", F.lit(True)))
+    )
+
+    memb = None
+    if collapse_exact:
+        g = (
+            all_sigs.groupBy("__sh")
+            .agg(
+                F.min("__id").alias("__rep"),
+                F.max("__new").alias("__has_new"),
+                F.collect_list(
+                    F.struct(F.col("__id").alias("i"), F.col("__new").alias("n"))
+                ).alias("__members"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        memb = g.select("__rep", F.explode("__members").alias("m")).select(
+            "__rep", F.col("m.i").alias("__id"), F.col("m.n").alias("__mnew")
+        )
+        work = g.select(
+            F.col("__rep").alias("__id"), "__sh", F.col("__has_new").alias("__new")
+        )
+    else:
+        work = all_sigs
+
+    banded = work.select(
+        "__id",
+        "__sh",
+        "__new",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * block_bits).bitwiseAND(
+                        F.lit(mask).cast("long")
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+    banded = _drop_hot_buckets(banded, ["__block", "__key"], max_bucket_size)
+
+    a = banded.filter("__new").select(
+        "__block", "__key",
+        F.col("__id").alias("__ida"), F.col("__sh").alias("__sh_a"),
+    )
+    b = banded.select(
+        "__block", "__key",
+        F.col("__id").alias("__idb"), F.col("__sh").alias("__sh_b"),
+    )
+    pairs = (
+        a.join(b, on=["__block", "__key"], how="inner")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("src_id"),
+            F.greatest("__ida", "__idb").alias("dst_id"),
+            # xor is symmetric, so canonicalizing ids leaves it intact
+            F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).alias("hamming"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    if memb is None:
+        return pairs
+
+    ma = memb.select(
+        F.col("__rep").alias("src_id"),
+        F.col("__id").alias("__a"), F.col("__mnew").alias("__an"),
+    )
+    mb = memb.select(
+        F.col("__rep").alias("dst_id"),
+        F.col("__id").alias("__b"), F.col("__mnew").alias("__bn"),
+    )
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .filter(F.col("__an") | F.col("__bn"))
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "hamming",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(
+            (F.col("x.__id") < F.col("y.__id"))
+            & (F.col("x.__mnew") | F.col("y.__mnew"))
+        )
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with blocking
 # ---------------------------------------------------------------------------

@@ -326,15 +326,17 @@ def embedding_near_dup_pairs(
     v = F.col(vec_col)
     memb = None
     if collapse_exact:
-        # localCheckpoint, not cache() — see the minhash collapse tier
-        # (ADVICE r06: unbounded cache-manager accumulation).
-        # Membership via collect_list→explode in the same aggregation —
-        # one wide-key shuffle, no second array-keyed join.
+        # localCheckpoint(eager=False), not cache() — see the minhash
+        # collapse tier (ADVICE r06: unbounded cache-manager
+        # accumulation; ADVICE r07: lazy keeps plan construction
+        # side-effect-free). Membership via collect_list→explode in the
+        # same aggregation — one wide-key shuffle, no second
+        # array-keyed join.
         g = (
             corpus.select(F.col(id_col).alias("__id"), v.alias("__gvec"))
             .groupBy("__gvec")
             .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         memb = g.select(F.explode("__ids").alias("__id"), "__rep")
         corpus = g.select(
@@ -391,6 +393,184 @@ def embedding_near_dup_pairs(
         memb.alias("x")
         .join(memb.alias("y"), "__rep")
         .filter(F.col("x.__id") < F.col("y.__id"))
+        .join(intra_vals, "__rep")
+        .select(
+            F.col("x.__id").alias("src_id"),
+            F.col("y.__id").alias("dst_id"),
+            F.col("__c").alias("cosine"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def embedding_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes: int = 8,
+) -> DataFrame:
+    """Persistable embedding near-dup index: one row per vector —
+    ``(vec_id, embedding, bucket_keys: array<long> of size tables,
+    vec_key: array<long> of size 2)``. The batch-ingest twin of
+    :func:`embedding_bucket_index` (which stores the same keys exploded
+    for the stream-static join): compact on disk (keys once per vector,
+    not tables× replicated), and each ingest batch runs
+    :func:`embedding_incremental_pairs` against it without re-hashing
+    any indexed vector. ``vec_key`` is the 128-bit exact-vector
+    identity (two seeded ``xxhash64`` of the raw array) the incremental
+    collapse tier groups on — ids+2 longs through the per-ingest
+    shuffle instead of every indexed vector (same design and ≈2⁻¹²⁸
+    collision class as ``minhash_index.set_key``)."""
+    v = F.col(vec_col)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("embedding"),
+        _bucket_keys(v, tables=tables, planes=planes).alias("bucket_keys"),
+        F.array(F.xxhash64(F.lit(0), v), F.xxhash64(F.lit(1), v)).alias("vec_key"),
+    )
+
+
+def embedding_incremental_pairs(
+    index: DataFrame,
+    new_corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    tables: int = 4,
+    planes: int = 8,
+    round_to: int = 6,
+    max_bucket_size: int = 1000,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs TOUCHING a new ingest batch,
+    against a persisted :func:`embedding_index` — the embedding twin of
+    ``dedup.minhash_incremental_pairs``. Returns ``(src_id, dst_id,
+    cosine)`` with ``src_id < dst_id`` and ``cosine ≥ threshold``:
+    exactly the subset of ``embedding_near_dup_pairs(old ∪ new)`` —
+    same ``collapse_exact`` both sides — whose pairs include at least
+    one new id (pinned pair-for-pair by tests/test_operators.py::
+    test_embedding_incremental_matches_full; index/new ids disjoint,
+    same tables/planes), modulo only a 128-bit ``vec_key`` collision
+    (the full run groups on the raw array; ≈2⁻¹²⁸ per vector pair).
+
+    Collapse semantics follow the embedding tier's zero-vector rule:
+    intra-group pairs take the pipeline's own cosine(v, v) expression
+    (never a literal 1.0), evaluated on the representative's stored
+    vector. The index side contributes (id, vec_key, bucket_keys) to
+    the collapse + bucket join; stored vectors join in by id for
+    VERIFIED candidates only. Caller appends
+    ``embedding_index(new_corpus)`` to the stored index afterwards."""
+    new_idx = embedding_index(
+        new_corpus, id_col=id_col, vec_col=vec_col, tables=tables, planes=planes
+    )
+    cols = ["vec_id", "embedding", "bucket_keys", "vec_key"]
+    all_idx = (
+        index.select(*cols).withColumn("__new", F.lit(False))
+        .unionByName(new_idx.select(*cols).withColumn("__new", F.lit(True)))
+    )
+
+    memb = None
+    intra_vals = None
+    if collapse_exact:
+        # Group on vec_key (ids + 2 longs through the shuffle — column
+        # pruning keeps embedding/bucket_keys out of the exchange
+        # except first(bucket_keys), tables longs); the rep's vector
+        # joins back by id for the intra cosine(v, v) values.
+        g = (
+            all_idx.groupBy("vec_key")
+            .agg(
+                F.min("vec_id").alias("__rep"),
+                F.first("bucket_keys").alias("bucket_keys"),
+                F.max("__new").alias("__has_new"),
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("i"), F.col("__new").alias("n"))
+                ).alias("__members"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        memb = g.select("__rep", F.explode("__members").alias("m")).select(
+            "__rep", F.col("m.i").alias("__id"), F.col("m.n").alias("__mnew")
+        )
+        work = g.select(
+            F.col("__rep").alias("vec_id"), "bucket_keys",
+            F.col("__has_new").alias("__new"),
+        )
+        intra_vals = (
+            g.select("__rep")
+            .join(
+                all_idx.select(F.col("vec_id").alias("__rep"), "embedding"), "__rep"
+            )
+            .select(
+                "__rep",
+                F.round(
+                    cosine_similarity("embedding", "embedding"), round_to
+                ).alias("__c"),
+            )
+            .filter(F.col("__c") >= threshold)
+        )
+    else:
+        work = all_idx.select("vec_id", "bucket_keys", "__new")
+
+    banded = work.select(
+        "vec_id",
+        "__new",
+        F.posexplode("bucket_keys").alias("__table", "__key"),
+    )
+    if max_bucket_size is not None:
+        from .dedup import _drop_hot_buckets
+
+        banded = _drop_hot_buckets(banded, ["__table", "__key"], max_bucket_size)
+
+    a = banded.filter("__new").select(
+        "__table", "__key", F.col("vec_id").alias("__ida")
+    )
+    b = banded.select("__table", "__key", F.col("vec_id").alias("__idb"))
+    vecs = all_idx.select(F.col("vec_id").alias("__vid"), F.col("embedding").alias("__vec"))
+    pairs = (
+        a.join(b, on=["__table", "__key"], how="inner")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("src_id"),
+            F.greatest("__ida", "__idb").alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+        .join(vecs.select(F.col("__vid").alias("src_id"), F.col("__vec").alias("__va")), on="src_id")
+        .join(vecs.select(F.col("__vid").alias("dst_id"), F.col("__vec").alias("__vb")), on="dst_id")
+        .withColumn("cosine", F.round(cosine_similarity("__va", "__vb"), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("src_id", "dst_id", "cosine")
+    )
+    if memb is None:
+        return pairs
+
+    ma = memb.select(
+        F.col("__rep").alias("src_id"),
+        F.col("__id").alias("__a"), F.col("__mnew").alias("__an"),
+    )
+    mb = memb.select(
+        F.col("__rep").alias("dst_id"),
+        F.col("__id").alias("__b"), F.col("__mnew").alias("__bn"),
+    )
+    cross = (
+        pairs.join(ma, "src_id")
+        .join(mb, "dst_id")
+        .filter(F.col("__an") | F.col("__bn"))
+        .select(
+            F.least("__a", "__b").alias("src_id"),
+            F.greatest("__a", "__b").alias("dst_id"),
+            "cosine",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(memb.alias("y"), "__rep")
+        .filter(
+            (F.col("x.__id") < F.col("y.__id"))
+            & (F.col("x.__mnew") | F.col("y.__mnew"))
+        )
         .join(intra_vals, "__rep")
         .select(
             F.col("x.__id").alias("src_id"),

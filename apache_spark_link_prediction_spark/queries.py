@@ -757,6 +757,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_simhash_incremental")  # rows-only: xxhash64 not portable to SQL
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental signature-family ingest (VERDICT r07 item 5):
+    documents with doc_id % 5 == 0 play the new batch against a
+    persisted one-long-per-doc simhash index (the cheapest index in
+    the repo — signature_incremental_pairs works over ANY (__id, __sh)
+    frame, so the same path serves pHash image ingest). Same
+    bits/blocks/cap as dedup_simhash; pinned pair-for-pair against the
+    full run restricted to touching-new pairs by
+    tests/test_operators.py::test_signature_incremental_matches_full."""
+    from .operators.dedup import signature_incremental_pairs, simhash_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = simhash_cols(docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", 32)
+    new = simhash_cols(docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", 32)
+    return signature_incremental_pairs(
+        old, new, bits=32, blocks=4, max_hamming=3, max_bucket_size=256
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -847,6 +867,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero output through the same plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4, tables=8, planes=4)
+
+
+@register("embedding_neardup_incremental")  # approx — rows-only
+def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-cosine ingest (VERDICT r07 item 5):
+    vectors with vec_id % 5 == 0 play the new batch against a persisted
+    operators.similarity.embedding_index (vector + sign-LSH bucket keys
+    + 128-bit vec_key, one row per vector — no indexed vector is ever
+    re-hashed). Same threshold/tables/planes as embedding_near_dup;
+    pinned pair-for-pair against the full run restricted to
+    touching-new pairs by
+    tests/test_operators.py::test_embedding_incremental_matches_full."""
+    from .operators.similarity import embedding_incremental_pairs, embedding_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = embedding_index(emb.filter(F.col("vec_id") % 5 != 0), tables=8, planes=4)
+    return embedding_incremental_pairs(
+        idx, emb.filter(F.col("vec_id") % 5 == 0),
+        threshold=0.4, tables=8, planes=4,
+    )
 
 
 # ---------------------------------------------------------------------------

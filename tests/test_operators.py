@@ -1164,3 +1164,112 @@ def test_graph_family_cap_parity_and_capped_query(spark):
         tuple(r) for r in q.graph_common_neighbors(spark, sf).collect()
     }
     assert capped and capped != uncapped, "cap=4 should bite on 5-7 part orders"
+
+
+def test_signature_incremental_matches_full(spark, docs):
+    """signature_incremental_pairs against a persisted (__id, __sh)
+    index must be pair-for-pair (including hamming) the full
+    signature_band_pairs output over old ∪ new restricted to pairs
+    touching the new batch — at both collapse settings."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        signature_band_pairs,
+        signature_incremental_pairs,
+        simhash_cols,
+    )
+
+    sigs = simhash_cols(docs, "doc_id", "text", 32).cache()
+    old = sigs.filter(F.col("__id") % 5 != 0)
+    new = sigs.filter(F.col("__id") % 5 == 0)
+    new_ids = {r["__id"] for r in new.select("__id").collect()}
+    for collapse in (True, False):
+        inc = {
+            (r["src_id"], r["dst_id"], r["hamming"])
+            for r in signature_incremental_pairs(
+                old, new, bits=32, blocks=4, max_hamming=3,
+                collapse_exact=collapse,
+            ).collect()
+        }
+        full = {
+            (r["src_id"], r["dst_id"], r["hamming"])
+            for r in signature_band_pairs(
+                sigs, bits=32, blocks=4, max_hamming=3,
+                collapse_exact=collapse,
+            ).collect()
+            if r["src_id"] in new_ids or r["dst_id"] in new_ids
+        }
+        assert inc == full, f"divergence at collapse_exact={collapse}"
+        assert inc, f"fixture produced no touching-new pairs ({collapse})"
+
+
+def test_signature_incremental_collapse_survives_hot_cluster(spark):
+    """Over-cap identical-signature cluster must still pair
+    incrementally via the collapse tier (and lose everything without
+    it) — the same ADVICE r07 regression shape as minhash."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        signature_incremental_pairs,
+    )
+
+    n = 40
+    rows = [(i, 12345) for i in range(n)]
+    rows += [(1000 + i, 99999 + (i << 8)) for i in range(5)]
+    sigs = spark.createDataFrame(rows, "__id long, __sh long")
+    old = sigs.filter(F.col("__id") % 2 == 0)
+    new = sigs.filter(F.col("__id") % 2 == 1)
+    got = (
+        signature_incremental_pairs(
+            old, new, bits=32, blocks=4, max_hamming=3, max_bucket_size=10
+        )
+        .filter("hamming = 0 AND src_id < 1000 AND dst_id < 1000")
+        .count()
+    )
+    n_new = n // 2
+    assert got == n_new * (n - n_new) + n_new * (n_new - 1) // 2
+    assert (
+        signature_incremental_pairs(
+            old, new, bits=32, blocks=4, max_hamming=3, max_bucket_size=10,
+            collapse_exact=False,
+        )
+        .filter("src_id < 1000 AND dst_id < 1000")
+        .count()
+        == 0
+    )
+
+
+def test_embedding_incremental_matches_full(spark, emb):
+    """embedding_incremental_pairs against a persisted embedding_index
+    must be pair-for-pair (including cosine) the full
+    embedding_near_dup_pairs output over old ∪ new restricted to pairs
+    touching the new batch — at both collapse settings, with planted
+    exact-duplicate vectors crossing the old/new boundary so the
+    collapse tier's closed-form intra expansion is exercised."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        embedding_index,
+    )
+
+    dup = emb.limit(4).select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup).cache()
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    new = corpus.filter(F.col("vec_id") % 5 == 0)
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    idx = embedding_index(old, tables=8, planes=4)
+    for collapse in (True, False):
+        inc = {
+            (r["src_id"], r["dst_id"], r["cosine"])
+            for r in embedding_incremental_pairs(
+                idx, new, threshold=0.4, tables=8, planes=4,
+                collapse_exact=collapse,
+            ).collect()
+        }
+        full = {
+            (r["src_id"], r["dst_id"], r["cosine"])
+            for r in embedding_near_dup_pairs(
+                corpus, threshold=0.4, tables=8, planes=4,
+                collapse_exact=collapse,
+            ).collect()
+            if r["src_id"] in new_ids or r["dst_id"] in new_ids
+        }
+        assert inc == full, f"divergence at collapse_exact={collapse}"
+        assert inc, f"fixture produced no touching-new pairs ({collapse})"

@@ -185,6 +185,7 @@ def build_docs_replica(
 
 DOCS_QUERIES = (
     "dedup_minhash_incremental",
+    "dedup_simhash_incremental",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
@@ -243,6 +244,7 @@ EMB_QUERIES = (
     "embedding_scalar_quantization",
     "hard_negative_mining",
     "confusion_matrix_macro_f1",
+    "embedding_neardup_incremental",
 )
 
 
