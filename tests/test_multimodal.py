@@ -567,3 +567,52 @@ def test_streaming_media_ingest_flags_known_and_passes_novel(spark, tmp_path):
         assert mid % 50 == i  # matched its own near-dup class
     assert best["novel.png"] == (None, None)
     assert "corrupt.png" not in best  # null hash never reaches the join
+
+
+def test_media_ingest_gate_determinism_claims(spark):
+    """Underwrites the streaming_media_ingest hash gate (VERDICT r07
+    item 6): the gate's SQL oracle asserts that an exact byte copy of
+    an indexed member folds to (hamming 0, that member). That is
+    provable iff (a) the 100 per-class member pHashes are pairwise
+    DISTINCT — hamming 0 then has a unique owner, so the struct-min is
+    (0, member) — and (b) every engineered novel image is more than
+    max_hamming=7 bits from every index signature, so it folds to
+    null. Both are properties of the deterministic testbed images;
+    this test measures them so the gate never silently rests on an
+    assumption the generator has drifted away from."""
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        image_phash,
+        phash64_from_gray,
+        png_near_dup_testbed,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    members = (
+        docs.groupBy((F.col("doc_id") % 100).alias("cls"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sigs = [
+        r["phash"]
+        for r in image_phash(
+            png_near_dup_testbed(members.select("doc_id"), classes=100)
+        ).collect()
+    ]
+    assert all(s is not None for s in sigs)
+    assert len(set(sigs)) == len(sigs), "member pHashes must be pairwise distinct"
+
+    import numpy as np
+
+    n = 32 * 32
+    for i in range(5):
+        base = bytes((255 - (5 * j + 11 * i * i) % 251) % 256 for j in range(n))
+        meta = decode_png(encode_png(32, 32, base, color_type=0))
+        gray = np.frombuffer(meta["pixels"], dtype=np.uint8).reshape(
+            meta["height"], meta["width"], meta["channels"]
+        ).mean(axis=2)
+        ph = phash64_from_gray(gray)
+        dmin = min(bin(ph ^ s).count("1") for s in sigs)
+        assert dmin > 7, f"novel image {i} within hamming {dmin} of the index"
