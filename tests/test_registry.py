@@ -1,9 +1,12 @@
 """Registry-shape invariants.
 
-The driver's CORRECTNESS gate grades the first 50 ``queries()`` entries in
-registration order; these tests pin the ordering policy (oracle-backed
-first, demoted twins next, rows-only last) so a refactor can't silently
-push verifiable queries out of the grading window.
+The driver's CORRECTNESS gate grades the first 50 ``queries()`` entries
+in registration order (hash vs DuckDB for oracle-backed entries, a
+weaker rows-only check otherwise); these tests pin the rotation policy
+(never-graded first — oracle-backed before rows-only — then
+oldest-green; outside the window, oracle-backed before rows-only) so a
+refactor can't silently push verifiable queries out of the grading
+window or re-grade while first-time evidence is still owed.
 """
 
 import glob
@@ -16,21 +19,44 @@ DRIVER_WINDOW = 50
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def _driver_graded() -> set:
+    """Names with any committed driver CORRECTNESS row. For rows-only
+    entries the weak (err='no_oracle', spark_rows=N) record IS their
+    best possible driver evidence, so key presence counts. The r04
+    funnel_conversion row also graded the since-renamed
+    funnel_view_click_purchase (VERDICT r05 defect #1) — re-attributed
+    additively (funnel_conversion has its own genuine r06 row)."""
+    graded: set = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
+        graded |= set(json.load(open(f)).keys())
+    if "funnel_conversion" in graded:
+        graded.add("funnel_view_click_purchase")
+    return graded
+
+
 def test_every_oracle_key_is_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def test_driver_window_is_fully_oracle_backed():
-    first = list(QUERIES)[:DRIVER_WINDOW]
-    missing = [n for n in first if n not in ORACLE]
-    assert not missing, f"rows-only queries inside the driver window: {missing}"
+def test_rows_only_window_entries_are_never_graded():
+    # A rows-only query may take a grading slot ONLY for its first-ever
+    # driver row (the weak rows-only check adds nothing on repeat);
+    # hash-oracle entries own every re-grade slot.
+    graded = _driver_graded()
+    offenders = [
+        n for n in list(QUERIES)[:DRIVER_WINDOW]
+        if n not in ORACLE and n in graded
+    ]
+    assert not offenders, f"rows-only re-grades inside the window: {offenders}"
 
 
-def test_rows_only_entries_trail_the_registry():
-    names = list(QUERIES)
-    first_rows_only = next(i for i, n in enumerate(names) if n not in ORACLE)
+def test_rows_only_entries_trail_outside_the_window():
+    names = list(QUERIES)[DRIVER_WINDOW:]
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in ORACLE), len(names)
+    )
     assert all(n not in ORACLE for n in names[first_rows_only:]), (
-        "oracle-backed query registered after a rows-only one"
+        "oracle-backed query registered after a rows-only one outside the window"
     )
 
 
@@ -43,35 +69,31 @@ def test_window_list_matches_registry_head():
 
 
 def test_never_graded_before_regraded():
-    # Pinned rotation policy (VERDICT r05 item 1): while any oracle-backed
-    # query has no row in ANY committed driver CORRECTNESS artifact, every
-    # window slot must go to such a never-graded query — first-time
-    # evidence beats re-validating a query the driver already hash-matched.
-    # funnel_conversion's r04 row graded the since-renamed
-    # funnel_view_click_purchase variant (duplicate-registration shadow),
-    # so that row is re-attributed to the new name here.
-    graded: set[str] = set()
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0[1-9].json"))):
-        graded |= set(json.load(open(f)).keys())
-    if "funnel_conversion" in graded:
-        graded.discard("funnel_conversion")
-        graded.add("funnel_view_click_purchase")
-    never = {n for n in ORACLE if n not in graded}
+    # Pinned rotation policy (VERDICT r05 item 1, generalized r08):
+    # while ANY registry entry has no row in ANY committed driver
+    # CORRECTNESS artifact, every window slot must go to a never-graded
+    # entry before any re-grade — first-time evidence beats
+    # re-validation.
+    graded = _driver_graded()
+    never = {n for n in QUERIES if n not in graded}
     if len(never) >= DRIVER_WINDOW:
         offenders = [n for n in _WINDOW_THIS_ROUND if n in graded]
         assert not offenders, (
-            f"window re-grades {offenders} while {len(never)} oracle-backed "
-            "queries have no driver row at all"
+            f"window re-grades {offenders} while {len(never)} queries "
+            "have no driver row at all"
+        )
+    else:
+        # partial backlog: every never-graded entry must be IN the window
+        left_out = [n for n in never if n not in _WINDOW_THIS_ROUND]
+        assert not left_out, (
+            f"never-graded entries left out of the window: {left_out}"
         )
 
 
 def test_window_not_underfilled():
-    # If the registry has >= 50 oracle-backed queries, the window must be
-    # exactly full — an underfilled window wastes grading slots.
-    n_oracle = len(ORACLE)
-    first = list(QUERIES)[:DRIVER_WINDOW]
-    expected = min(n_oracle, DRIVER_WINDOW)
-    assert sum(n in ORACLE for n in first) == expected
+    # The window must be exactly full whenever the registry can fill it —
+    # an underfilled window wastes grading slots.
+    assert len(_WINDOW_THIS_ROUND) == min(len(QUERIES), DRIVER_WINDOW)
 
 
 def test_queries_md_fresh():
@@ -94,3 +116,48 @@ def test_queries_md_fresh():
     m = re.search(r"artifacts included: through r(\d+)", got)
     want = mod.generate(through=int(m.group(1))) if m else mod.generate()
     assert got == want, "QUERIES.md stale — run: python tools/gen_queries_md.py"
+
+
+def test_local_gate_covers_every_registry_entry():
+    # Gate/registry invariant (VERDICT r07 item 2: the round-7 gate was
+    # regenerated BEFORE the round's last query registration, so the
+    # newest operator shipped with zero committed gate evidence): the
+    # NEWEST committed CORRECTNESS_local_r*.json pair must contain a row
+    # for every registry entry, and every row must be green. Registering
+    # a query without regenerating both local gates turns this red —
+    # the regeneration must be the round's last commit.
+    import re
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from gatelib import green
+
+    latest: dict[str, pathlib.Path] = {}
+    for f in REPO.glob("CORRECTNESS_local_r[0-9][0-9]*.json"):
+        m = re.match(r"CORRECTNESS_local_r(\d+)(_sf0001)?\.json", f.name)
+        if not m:
+            continue
+        key = m.group(2) or "_sf001"
+        rnd = int(m.group(1))
+        if key not in latest or rnd > int(
+            re.match(r"CORRECTNESS_local_r(\d+)", latest[key].name).group(1)
+        ):
+            latest[key] = f
+    assert len(latest) == 2, f"expected sf0.01 + sf0.001 local gates, got {latest}"
+    for key, f in latest.items():
+        rows = json.load(open(f))
+        missing = [n for n in QUERIES if n not in rows]
+        assert not missing, f"{f.name} missing registry entries: {missing}"
+        stale = [n for n in rows if n not in QUERIES]
+        assert not stale, f"{f.name} has rows for unregistered queries: {stale}"
+        red = [
+            n
+            for n, r in rows.items()
+            if not green(r)
+            and not (
+                r.get("rows_only")
+                and r.get("err") is None
+                and r.get("spark_rows") is not None
+            )
+        ]
+        assert not red, f"{f.name} non-green rows: {red}"

@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import pathlib
 import re
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gatelib import green  # shared with gen_window.py (ADVICE r07)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
@@ -68,10 +72,9 @@ def graded_rounds(through: int) -> dict[str, list[int]]:
             continue
         rows = json.load(open(f))
         for name, row in rows.items():
-            ok = bool(row.get("rows_match")) and bool(row.get("schema_match")) and (
-                row.get("hash_match") is not False
-            )
-            if ok:
+            # shared predicate (ADVICE r07): includes the err check, so
+            # this index and tools/gen_window.py can never disagree
+            if green(row):
                 out.setdefault(name, []).append(rnd)
     # The r04 `funnel_conversion` row graded the since-renamed
     # funnel_view_click_purchase variant (VERDICT r05 defect #1).

@@ -7,12 +7,18 @@ queries.py pins that head; this tool prints the list the NEXT round
 should pin, applying the documented rotation policy
 (queries.py "Registry ordering" note, tests/test_registry.py):
 
-1. never-graded first — every oracle-backed query with no fully-green
-   driver row in any committed CORRECTNESS_r*.json, in registry order;
-2. then oldest-graded — remaining oracle-backed queries ascending by
+1. never-graded oracle-backed first — no fully-green driver row in any
+   committed CORRECTNESS_r*.json, in registry order (hash evidence
+   beats everything);
+2. then never-graded rows-only — entries without a SQL oracle whose
+   driver check is rows+schema only; once every oracle-backed query
+   has a row, these take window slots ahead of any RE-grade (VERDICT
+   r07 item 3: first-time evidence, even weak, beats re-validation);
+3. then oldest-graded — remaining oracle-backed queries ascending by
    the latest round whose row was fully green (rows+schema+hash), ties
-   in registry order;
-3. truncate to 50.
+   in registry order (rows-only entries are not re-graded: a repeat
+   rows-only row adds nothing);
+4. truncate to 50.
 
 Usage:  python tools/gen_window.py [repo_root]
 
@@ -32,15 +38,10 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def green(row: dict) -> bool:
-    return bool(
-        row.get("rows_match")
-        and row.get("schema_match")
-        and row.get("hash_match") is not False
-        and not row.get("err")
-    )
+from gatelib import green  # shared with gen_queries_md.py (ADVICE r07)
 
 
 def main() -> None:
@@ -50,6 +51,7 @@ def main() -> None:
     from apache_spark_link_prediction_spark.queries import ORACLE, QUERIES
 
     latest_green: dict[str, int] = {}
+    has_any_row: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r[0-9]*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -58,26 +60,41 @@ def main() -> None:
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if name in QUERIES and green(row):
+            if name not in QUERIES:
+                continue
+            has_any_row.add(name)
+            if green(row):
                 latest_green[name] = max(latest_green.get(name, 0), rnd)
 
     oracle_backed = [n for n in QUERIES if n in ORACLE]
     never = [n for n in oracle_backed if n not in latest_green]
+    # A rows-only entry's driver row is the weak (err='no_oracle',
+    # spark_rows=N) record — that IS its best possible driver evidence,
+    # so ANY row counts as graded for these.
+    never_rows_only = [
+        n for n in QUERIES if n not in ORACLE and n not in has_any_row
+    ]
     graded = sorted(
         (n for n in oracle_backed if n in latest_green),
         key=lambda n: (latest_green[n], oracle_backed.index(n)),
     )
-    window = (never + graded)[:50]
+    window = (never + never_rows_only + graded)[:50]
 
     print(
         f"# {len(oracle_backed)} oracle-backed, {len(never)} never-graded, "
+        f"{len(never_rows_only)} never-graded rows-only, "
         f"{len(graded)} graded (oldest green: "
         f"r{min((latest_green[n] for n in graded), default=0):02d})",
         file=sys.stderr,
     )
     print("_WINDOW_THIS_ROUND = [")
     for n in window:
-        tag = "never graded" if n in never else f"last green r{latest_green[n]:02d}"
+        if n in never:
+            tag = "never graded"
+        elif n in never_rows_only:
+            tag = "never graded (rows-only)"
+        else:
+            tag = f"last green r{latest_green[n]:02d}"
         print(f'    "{n}",  # {tag}')
     print("]")
 
