@@ -1196,6 +1196,80 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_incremental(
+    assignment: DataFrame,
+    new_ids: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "src_id",
+    dst: str = "dst_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Incremental keeper maintenance — the step a daily ingest runs
+    AFTER :func:`minhash_incremental_pairs` (or the signature/embedding
+    twins): update a persisted ``(doc_id, keeper_id)`` assignment with
+    the pairs touching a new batch, without recomputing connected
+    components over the accumulated corpus.
+
+    Exactness by cluster contraction: the persisted assignment's
+    clusters are the components of the old pair set, so mapping each
+    old endpoint of a new pair to its keeper (new endpoints map to
+    themselves) yields a contracted graph whose components are exactly
+    the merged old∪new components; and because every old keeper is the
+    MIN id of its old cluster, the contracted component's min node id
+    IS the min id of the merged cluster. Hence
+    ``dedup_clusters_incremental(assign(old), new, inc_pairs)`` equals
+    ``dedup_clusters(old ∪ new, old_pairs ∪ inc_pairs)`` row-for-row
+    (pinned by tests/test_operators.py::
+    test_dedup_clusters_incremental_matches_full; requires
+    ``assignment`` = the full clustering of the old corpus and
+    ``new_pairs`` ⊇ every pair with ≥1 new id — exactly the
+    ``*_incremental_pairs`` contract).
+
+    Scale shape: the iterative CC runs on the CONTRACTED batch graph —
+    O(|new_pairs|) nodes, not the corpus — and the corpus-sized work is
+    two broadcast-able equi-joins (pair endpoints → keepers, then
+    touched keepers → new components). Returns the full updated
+    ``(doc_id, keeper_id)`` over old ∪ new; at 100 TB, write it back
+    as the next ingest's ``assignment``.
+    """
+    keeper = assignment.select(
+        F.col(id_col).alias("__n"), F.col("keeper_id").alias("__k")
+    )
+    p = new_pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    contracted = (
+        p.join(keeper.withColumnRenamed("__n", "__s").withColumnRenamed("__k", "__ks"),
+               on="__s", how="left")
+        .join(keeper.withColumnRenamed("__n", "__d").withColumnRenamed("__k", "__kd"),
+              on="__d", how="left")
+        .select(
+            F.coalesce(F.col("__ks"), F.col("__s")).alias(src),
+            F.coalesce(F.col("__kd"), F.col("__d")).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))  # intra-cluster pairs are no-ops
+    )
+    comp = connected_components(
+        contracted, src=src, dst=dst, max_iterations=max_iterations
+    )
+    old_updated = (
+        assignment.join(comp, assignment["keeper_id"] == comp["node_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col("keeper_id")).alias("keeper_id"),
+        )
+    )
+    new_assign = (
+        new_ids.select(F.col(id_col))
+        .join(comp, new_ids[id_col] == comp["node_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_id"),
+        )
+    )
+    return old_updated.unionByName(new_assign)
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     *,

@@ -1806,6 +1806,33 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+@register("dedup_clusters_incremental")  # rows-only: iterative CC not SQL-expressible
+def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keeper maintenance — the step a daily ingest runs
+    after minhash_incremental_pairs: the persisted (doc_id, keeper_id)
+    assignment of the old corpus (docs with doc_id % 5 != 0) is updated
+    with only the pairs touching the new batch, via cluster contraction
+    (operators.dedup.dedup_clusters_incremental — CC runs on the
+    contracted batch graph, never the corpus). Row-for-row equal to
+    re-clustering old ∪ new from scratch, pinned by
+    tests/test_operators.py::test_dedup_clusters_incremental_matches_full."""
+    from .operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    assignment = dedup_clusters(
+        old, minhash_near_dup_pairs(old, shingle_n=1, threshold=0.9)
+    )
+    idx = minhash_index(old, shingle_n=1)
+    inc = minhash_incremental_pairs(idx, new, shingle_n=1, threshold=0.9)
+    return dedup_clusters_incremental(assignment, new.select("doc_id"), inc)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: chunking, packing, decontamination, repetition
 # ---------------------------------------------------------------------------
@@ -8886,23 +8913,24 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-8 accounting (208 entries: 187 oracle-backed, 21 rows-only; 50
+# Round-8 accounting (209 entries: 187 oracle-backed, 22 rows-only; 50
 #   slots) — executes tools/gen_window.py's plan at round-8 start
 #   (VERDICT r07 item 3: drain the never-graded backlog to zero):
 #   - 2 never-graded oracle-backed head the window:
 #     streaming_media_ingest (PROMOTED rows-only → hash gate this round
 #     via the exact-copy deterministic sub-contract) and
 #     graph_common_neighbors_capped (new: the shared graph hub guard).
-#   - all 12 never-graded rows-only entries follow — every rows-only
+#   - all 13 never-graded rows-only entries follow — every rows-only
 #     query that has never received a driver row (even the weak
 #     err='no_oracle' + spark_rows record), i.e. the judge's 10-entry
 #     r07 backlog minus streaming_media_ingest (now hash-gated) plus
 #     the three new incremental-ingest entries (dedup_minhash_
 #     incremental gains its VERDICT-r07-item-1 row, dedup_simhash_
-#     incremental and embedding_neardup_incremental are new this
-#     round).  After this round EVERY registry entry has ≥1 driver row
-#     and the rotation becomes pure oldest-first.
-#   - the remaining 36 slots go to the oldest-graded (r04) oracle-backed
+#     incremental, embedding_neardup_incremental and
+#     dedup_clusters_incremental are new this round).  After this round
+#     EVERY registry entry has ≥1 driver row and the rotation becomes
+#     pure oldest-first.
+#   - the remaining 35 slots go to the oldest-graded (r04) oracle-backed
 #     entries in gen_window order.
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
@@ -8925,6 +8953,7 @@ _WINDOW_THIS_ROUND = [
     "embedding_pipeline_e2e",  # never graded (rows-only)
     "neardup_pipeline_e2e",  # never graded (rows-only)
     "multimodal_audio_centroid",  # never graded (rows-only)
+    "dedup_clusters_incremental",  # never graded (rows-only)
     "s1_scan_project_filter",  # last green r04
     "pair_features_flagship",  # last green r04
     "pair_multiset_common_tokens",  # last green r04
@@ -8960,7 +8989,6 @@ _WINDOW_THIS_ROUND = [
     "passage_dup_spans",  # last green r04
     "tpch_q18_large_orders",  # last green r04
     "cohort_retention",  # last green r04
-    "sliding_window_agg",  # last green r04
 ]
 
 

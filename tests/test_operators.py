@@ -1325,3 +1325,58 @@ def test_bpe_batched_matches_sequential(spark, docs):
         for bs in (4, 8):
             got = train_bpe(rand_docs, num_merges=24, batch_size=bs)
             assert got == s, (trial, bs, got, s)
+
+
+def test_dedup_clusters_incremental_matches_full(spark, docs):
+    """Incremental keeper maintenance must equal re-clustering from
+    scratch: contract old clusters to their keepers, CC only the
+    batch-touching pairs, expand. Uses the real minhash incremental
+    pair contract (new = doc_id % 5 == 0) so the parity covers the full
+    daily-ingest composition, plus a crafted case where a new doc
+    BRIDGES two old clusters (the merge path a bad contraction would
+    miss)."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+        minhash_incremental_pairs,
+        minhash_index,
+        minhash_near_dup_pairs,
+    )
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    assignment = dedup_clusters(
+        old, minhash_near_dup_pairs(old, shingle_n=1, threshold=0.9)
+    )
+    inc = minhash_incremental_pairs(
+        minhash_index(old, shingle_n=1), new, shingle_n=1, threshold=0.9
+    )
+    got = {
+        (r["doc_id"], r["keeper_id"])
+        for r in dedup_clusters_incremental(
+            assignment, new.select("doc_id"), inc
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["keeper_id"])
+        for r in dedup_clusters(
+            docs, minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
+        ).collect()
+    }
+    assert got == want
+    assert got, "fixture produced no assignments"
+
+    # bridge case: old clusters {1,2} and {7,8}; new doc 5 pairs with
+    # both --> one merged cluster keeping min id 1; new singleton 10.
+    a = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7), (3, 3)], "doc_id long, keeper_id long"
+    )
+    new_ids = spark.createDataFrame([(5,), (10,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 8)], "src_id long, dst_id long"
+    )
+    out = {
+        (r["doc_id"], r["keeper_id"])
+        for r in dedup_clusters_incremental(a, new_ids, pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (7, 1), (8, 1), (3, 3), (5, 1), (10, 10)}

@@ -186,6 +186,7 @@ def build_docs_replica(
 DOCS_QUERIES = (
     "dedup_minhash_incremental",
     "dedup_simhash_incremental",
+    "dedup_clusters_incremental",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
