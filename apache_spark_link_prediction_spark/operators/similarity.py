@@ -154,6 +154,62 @@ def lsh_bucketed_top_k(
     )
 
 
+def _fit_coarse_quantizer(
+    df,
+    *,
+    num_cells: int,
+    seed: int,
+    max_iter: int,
+    sample_size: int,
+    id_col: str,
+    features_col: str = "__features",
+    prediction_col: str = "__cell",
+):
+    """Fit a k-means coarse quantizer on a bounded UNBIASED sample,
+    never the full corpus: k-means recall is insensitive to quantizer
+    sample size, and a full-corpus iterative fit is unviable at 100 TB.
+    Shared by :func:`ivf_top_k` and :func:`semdedup`.
+
+    Sampling is hash-order top-N: order by xxhash64(id, seed) and take
+    ``sample_size`` — Spark executes orderBy+limit as TakeOrdered
+    (per-partition top-N heaps, no full sort shuffle), the hash order
+    is a uniform permutation of the WHOLE corpus (a plain limit() was
+    the first N rows in scan order — on a corpus clustered by source
+    that fits the quantizer to one file's worth of vectors and skews
+    every cell), and it is deterministic with no RNG state. The
+    repartition spreads the sample across cores for the iterative fit;
+    the cache stops each k-means iteration from re-reading the scan.
+    The full corpus is then scanned exactly once, by model.transform.
+
+    A coarse quantizer does not need convergence — cells just need to
+    partition the space roughly evenly, and downstream quality is
+    governed by nprobe / eps, not centroid polish. Iterations are whole
+    Spark jobs (measured ~0.25s each at sf0.1; the default 20 spent
+    6.3s where 8 spend 1.6s), and at 100 TB each extra iteration is a
+    full pass over the fit sample.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    fit_set = (
+        df.select(features_col, F.xxhash64(id_col, F.lit(seed)).alias("__ord"))
+        .orderBy("__ord")
+        .limit(sample_size)
+        .select(features_col)
+        .repartition(16)
+        .cache()
+    )
+    km = KMeans(
+        k=num_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol=features_col,
+        predictionCol=prediction_col,
+    )
+    model = km.fit(fit_set)
+    fit_set.unpersist()
+    return model
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,8 +253,7 @@ def ivf_top_k(
     Same output contract as :func:`brute_force_top_k`; approximate
     (recall depends on num_cells/nprobe).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     if num_cells is None:
         n = corpus.count()
@@ -211,42 +266,14 @@ def ivf_top_k(
         F.col(vec_col).alias("__cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
     )
-    # Fit the coarse quantizer on a bounded UNBIASED sample, never the
-    # full corpus: k-means recall is insensitive to quantizer sample
-    # size, and a full-corpus iterative fit is unviable at 100 TB.
-    # Sampling is hash-order top-N: order by xxhash64(id, seed) and take
-    # ``fit_sample_size`` — Spark executes orderBy+limit as TakeOrdered
-    # (per-partition top-N heaps, no full sort shuffle), the hash order
-    # is a uniform permutation of the WHOLE corpus (a plain limit() was
-    # the first N rows in scan order — on a corpus clustered by source
-    # that fits the quantizer to one file's worth of vectors and skews
-    # every cell), and it is deterministic with no RNG state. The
-    # repartition spreads the sample across cores for the iterative fit;
-    # the cache stops each k-means iteration from re-reading the scan.
-    # The full corpus is then scanned exactly once, by model.transform.
-    fit_set = (
-        c_vec.select("__features", F.xxhash64("neighbor_id", F.lit(seed)).alias("__ord"))
-        .orderBy("__ord")
-        .limit(fit_sample_size)
-        .select("__features")
-        .repartition(16)
-        .cache()
-    )
-    # A coarse quantizer does not need convergence — cells just need to
-    # partition the space roughly evenly, and recall is governed by
-    # nprobe, not centroid polish. Iterations are whole Spark jobs
-    # (measured ~0.25s each at sf0.1; the default 20 spent 6.3s where
-    # 8 spend 1.6s), and at 100 TB each extra iteration is a full pass
-    # over the fit sample.
-    km = KMeans(
-        k=num_cells,
+    model = _fit_coarse_quantizer(
+        c_vec,
+        num_cells=num_cells,
         seed=seed,
-        maxIter=fit_max_iter,
-        featuresCol="__features",
-        predictionCol="__cell",
+        max_iter=fit_max_iter,
+        sample_size=fit_sample_size,
+        id_col="neighbor_id",
     )
-    model = km.fit(fit_set)
-    fit_set.unpersist()
     bucketed = model.transform(c_vec).select("neighbor_id", "__cv", "__cell")
 
     # Centroid table (num_cells rows) for multi-probe assignment —
@@ -401,6 +428,193 @@ def embedding_near_dup_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    num_clusters: int | None = None,
+    seed: int = 12345,
+    fit_sample_size: int = 50_000,
+    fit_max_iter: int = 8,
+    max_cluster_block: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space into
+    ``num_clusters`` cells, find within-cluster pairs with cosine ≥
+    ``1 - eps``, connect them into semantic-duplicate groups, and keep
+    ONE exemplar per group — per the paper, the member FARTHEST from
+    its cluster centroid (lowest centroid cosine; min id tie-break).
+    Emits ``(id, cluster_id, keep)`` for every input row.
+
+    This is the published method the LSH tiers approximate: candidate
+    scoping comes from the learned quantizer (cluster-restricted exact
+    all-pairs), not random hyperplanes, so near-duplicate *paraphrases*
+    that sign-LSH splits across buckets stay comparable. Cost model:
+    with k ≈ √N cells the expected within-cell pair work is Σc² ≈ N·c̄
+    — tractable exactly because the quantizer balances cells;
+    ``max_cluster_block`` caps the degenerate case (a mega-cluster of
+    boilerplate) counting DISTINCT vectors, after bitwise-identical
+    vectors collapse to one representative. An over-cap cluster loses
+    only its *cross-group* pruning; identical-vector groups still
+    collapse to their keeper (the same over-cap guarantee as the
+    minhash/simhash/embedding tiers).
+
+    Scale shape: quantizer fits on a bounded hash-ordered sample
+    (:func:`_fit_coarse_quantizer`); the corpus is scanned once by
+    ``model.transform``; the collapse groupBy is the only wide-key
+    (vector) shuffle; the within-cell self-join carries PRE-NORMALIZED
+    vectors so pair similarity is a plain dot product (cosine =
+    dot(n_a, n_b) exactly, incl. the zero-vector → 0.0 contract, since
+    zero vectors skip normalization); keeper election is a
+    row_number window over components (component-sized partitions).
+    Unlike the banded tiers there is no ids-only candidate pass: each
+    rep has exactly ONE key (its cell), so candidate and verify are
+    the same join — rejoining vectors by id afterwards would shuffle
+    the O(c²) pair set twice more to save a single O(N) vector
+    shuffle.
+
+    Zero vectors: cosine ≡ 0 by the repo-wide contract
+    (functions.vectors.cosine_similarity), so they are never semantic
+    duplicates of anything — identical zero vectors are all kept.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    if num_clusters is None:
+        n = corpus.count()
+        num_clusters = max(4, min(4096, int(round(n**0.5))))
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = corpus.select(F.col(id_col).alias("__id"), vec.alias("__vec"))
+    if num_clusters == 1:
+        # MLlib KMeans requires k >= 2; with one cell the centroid is
+        # exactly the element-wise corpus mean (posexplode + groupBy
+        # gets map-side partial aggregation; the collect is d floats).
+        assigned = base.withColumn("__cell", F.lit(0))
+        mean = (
+            base.select(F.posexplode("__vec").alias("__pos", "__x"))
+            .groupBy("__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .orderBy("__pos")
+            .collect()
+        )
+        centroid_rows = [(0, [float(r["__m"]) for r in mean])]
+    else:
+        feat = base.withColumn("__features", array_to_vector("__vec"))
+        model = _fit_coarse_quantizer(
+            feat,
+            num_cells=num_clusters,
+            seed=seed,
+            max_iter=fit_max_iter,
+            sample_size=fit_sample_size,
+            id_col="__id",
+        )
+        assigned = model.transform(feat).select("__id", "__vec", "__cell")
+        centroid_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+
+    # Exact-collapse: bitwise-identical vectors → one representative
+    # (min id). model.transform is deterministic, so a group has one
+    # cell; grouping on (__cell, __vec) keeps the shuffle key honest.
+    groups = (
+        assigned.groupBy("__cell", "__vec")
+        .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
+        .localCheckpoint(eager=False)
+    )
+    norm = F.sqrt(F.aggregate("__vec", F.lit(0.0), lambda a, x: a + x * x))
+    reps = groups.select(
+        "__cell",
+        "__rep",
+        F.when(
+            norm > 0, F.transform("__vec", lambda x: x / norm)
+        ).otherwise(F.col("__vec")).alias("__nvec"),
+        (F.size("__ids") > 1).alias("__multi"),
+        (
+            F.round(cosine_similarity("__vec", "__vec"), round_to) >= 1.0 - eps
+        ).alias("__self_dup"),
+        F.col("__vec"),
+    )
+    if max_cluster_block is not None:
+        from .dedup import _drop_hot_buckets
+
+        paired_reps = _drop_hot_buckets(reps, ["__cell"], max_cluster_block)
+    else:
+        paired_reps = reps
+
+    a = paired_reps.select(
+        "__cell", F.col("__rep").alias("src_id"), F.col("__nvec").alias("__na")
+    )
+    b = paired_reps.select(
+        "__cell", F.col("__rep").alias("dst_id"), F.col("__nvec").alias("__nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("__na", "__nb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, on="__cell")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("__sim", F.round(dot, round_to))
+        .filter(F.col("__sim") >= 1.0 - eps)
+        .select("src_id", "dst_id")
+    )
+
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            centroid_rows, schema="__cell int, __centroid array<double>"
+        )
+    )
+    # Keeper election per component: the rep farthest from its cluster
+    # centroid (paper §3: "keep the example with the LOWEST cosine
+    # similarity to the centroid"), min rep id on ties. Reps in no
+    # component (and over-cap clusters' reps) are their own keepers.
+    rep_comp = (
+        reps.join(comp, reps["__rep"] == comp["node_id"], "left")
+        .join(centroids, on="__cell")
+        .select(
+            "__cell",
+            "__rep",
+            "__multi",
+            "__self_dup",
+            F.coalesce("component", "__rep").alias("__comp"),
+            F.when(
+                F.col("component").isNotNull(),
+                F.round(cosine_similarity("__vec", "__centroid"), round_to),
+            ).alias("__csim"),
+        )
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col("__csim").asc_nulls_last(), F.col("__rep").asc()
+    )
+    rep_keep = rep_comp.withColumn(
+        "__rkeep", F.row_number().over(w) == 1
+    ).select("__cell", "__rep", "__multi", "__self_dup", "__rkeep")
+
+    # Member expansion: the group keeper is its rep (rep = min id), so
+    # member m survives iff its rep won its component AND m is the rep
+    # — except identical-vector groups whose self-cosine is below the
+    # threshold (zero vectors): those members are not dups at all.
+    memb = groups.select("__rep", F.explode("__ids").alias("__id"))
+    return (
+        memb.join(rep_keep, on="__rep")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("int").alias("cluster_id"),
+            F.when(~F.col("__self_dup") & F.col("__multi"), F.lit(True))
+            .otherwise(F.col("__rkeep") & (F.col("__id") == F.col("__rep")))
+            .alias("keep"),
+        )
+    )
 
 
 def embedding_index(

@@ -889,6 +889,87 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("semantic_dedup_semdedup")  # rows-only (seeded k-means not SQL-portable)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings
+    corpus: √N k-means cells → within-cell exact cosine pairs →
+    connected duplicate groups → keep the member FARTHEST from its
+    centroid (operators.similarity.semdedup). eps=0.6 (threshold 0.4)
+    for the same reason as embedding_near_dup: the synthetic embeddings
+    are near-orthogonal, and a production 0.95 cutoff would leave the
+    grouping/keeper path unexercised by the driver. Properties pinned
+    by tests/test_operators.py::test_semdedup_* (kept-set maximality,
+    farthest-from-centroid keeper at k=1, over-cap identical-cluster
+    guarantee, zero-vector contract)."""
+    from .operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, eps=0.6, fit_max_iter=8)
+
+
+_DOMAIN_TEMPERATURE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(regexp_replace(trim(lower('mix:' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')) = 0 THEN 0
+              ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(regexp_replace(trim(lower('mix:' || CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g'), ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                     (acc, code) -> (acc * 131 + code) % 2147483647)
+         END AS h
+  FROM documents
+),
+c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS min_cnt FROM c)
+SELECT doc_id, lang FROM h JOIN c USING (lang) CROSS JOIN m
+WHERE (h % 1000) * (h % 1000) * cnt < 1000000 * min_cnt
+"""
+
+
+@register("domain_temperature_sample", _DOMAIN_TEMPERATURE_ORACLE)
+def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the mixture step of every
+    multilingual LLM pretraining pipeline — α=0.5, i.e. sampled domain
+    mass ∝ count^0.5): each language is downsampled at rate
+    sqrt(min_cnt / cnt) so the lowest-resource language is kept whole
+    and high-resource ones are tempered toward the square-root
+    distribution (lang is the skewed column in the corpus: en ≈ 44%
+    vs fr ≈ 13% at sf0.01 — `source` is uniform, which would make the
+    keep-rule vacuous).
+
+    The keep decision is the hash-portable key-hash form of
+    sample_bernoulli taken EXACT-INTEGER: ``h % 1000 < 1000·sqrt(min/
+    cnt)`` is evaluated as ``(h%1000)² · cnt < 1000² · min_cnt`` — all
+    BIGINT, no floating pow/sqrt in a hash-gated predicate (libm last-
+    ulp differences across engines could flip a floor at the boundary),
+    partition-independent, re-runnable. Headroom: (h%1000)² < 10⁶, so
+    cnt up to ~9·10¹² stays inside int64 — a 100 TB corpus fits.
+
+    Plan shape: one map-side-combined groupBy(source) over a
+    (doc_id, source)-pruned scan for the counts, a 1-row global min,
+    then a broadcast join of the per-language rate table back onto
+    the corpus — the corpus itself never shuffles."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnts = docs.groupBy("lang").agg(F.count("*").alias("__cnt"))
+    # Global min via an unpartitioned window — over the ALREADY
+    # AGGREGATED per-language frame (|langs| rows, not the corpus), so
+    # the single-partition window is a non-issue and the plan stays
+    # NLJ-free (a 1-row-agg crossJoin compiles to a
+    # BroadcastNestedLoopJoin the plan auditor rightly flags).
+    stats = cnts.withColumn(
+        "__min_cnt", F.min("__cnt").over(Window.partitionBy(F.lit(1)))
+    )
+    h = doc_rolling_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(stats), on="lang")
+        .withColumn("__h", h % 1000)
+        .filter(F.col("__h") * F.col("__h") * F.col("__cnt") < 1000000 * F.col("__min_cnt"))
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -8913,24 +8994,26 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-8 accounting (209 entries: 187 oracle-backed, 22 rows-only; 50
+# Round-8 accounting (211 entries: 188 oracle-backed, 23 rows-only; 50
 #   slots) — executes tools/gen_window.py's plan at round-8 start
 #   (VERDICT r07 item 3: drain the never-graded backlog to zero):
-#   - 2 never-graded oracle-backed head the window:
+#   - 3 never-graded oracle-backed head the window:
 #     streaming_media_ingest (PROMOTED rows-only → hash gate this round
-#     via the exact-copy deterministic sub-contract) and
-#     graph_common_neighbors_capped (new: the shared graph hub guard).
-#   - all 13 never-graded rows-only entries follow — every rows-only
+#     via the exact-copy deterministic sub-contract),
+#     graph_common_neighbors_capped (new: the shared graph hub guard),
+#     and domain_temperature_sample (new: α=0.5 mixture rebalancing
+#     with an exact-integer keep rule).
+#   - all 14 never-graded rows-only entries follow — every rows-only
 #     query that has never received a driver row (even the weak
 #     err='no_oracle' + spark_rows record), i.e. the judge's 10-entry
 #     r07 backlog minus streaming_media_ingest (now hash-gated) plus
-#     the three new incremental-ingest entries (dedup_minhash_
-#     incremental gains its VERDICT-r07-item-1 row, dedup_simhash_
-#     incremental, embedding_neardup_incremental and
-#     dedup_clusters_incremental are new this round).  After this round
-#     EVERY registry entry has ≥1 driver row and the rotation becomes
-#     pure oldest-first.
-#   - the remaining 35 slots go to the oldest-graded (r04) oracle-backed
+#     the five new entries of this round (dedup_minhash_incremental
+#     gains its VERDICT-r07-item-1 row; dedup_simhash_incremental,
+#     embedding_neardup_incremental, dedup_clusters_incremental and
+#     semantic_dedup_semdedup are new).  After this round EVERY
+#     registry entry has ≥1 driver row and the rotation becomes pure
+#     oldest-first.
+#   - the remaining 33 slots go to the oldest-graded (r04) oracle-backed
 #     entries in gen_window order.
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
@@ -8941,6 +9024,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_THIS_ROUND = [
     "streaming_media_ingest",  # never graded
     "graph_common_neighbors_capped",  # never graded
+    "domain_temperature_sample",  # never graded (oracle-backed, new)
     "dedup_minhash_incremental",  # never graded (rows-only)
     "dedup_simhash_incremental",  # never graded (rows-only)
     "embedding_neardup_incremental",  # never graded (rows-only)
@@ -8954,6 +9038,7 @@ _WINDOW_THIS_ROUND = [
     "neardup_pipeline_e2e",  # never graded (rows-only)
     "multimodal_audio_centroid",  # never graded (rows-only)
     "dedup_clusters_incremental",  # never graded (rows-only)
+    "semantic_dedup_semdedup",  # never graded (rows-only)
     "s1_scan_project_filter",  # last green r04
     "pair_features_flagship",  # last green r04
     "pair_multiset_common_tokens",  # last green r04
@@ -8987,8 +9072,6 @@ _WINDOW_THIS_ROUND = [
     "tpch_q17_avg_qty",  # last green r04
     "gopher_quality_filter",  # last green r04
     "passage_dup_spans",  # last green r04
-    "tpch_q18_large_orders",  # last green r04
-    "cohort_retention",  # last green r04
 ]
 
 

@@ -1380,3 +1380,141 @@ def test_dedup_clusters_incremental_matches_full(spark, docs):
         for r in dedup_clusters_incremental(a, new_ids, pairs).collect()
     }
     assert out == {(1, 1), (2, 1), (7, 1), (8, 1), (3, 3), (5, 1), (10, 10)}
+
+
+def test_semdedup_kept_set_is_maximal_independent(spark, emb):
+    """SemDeDup invariants on the real corpus (cap off so cluster
+    pairing is exhaustive): one output row per input id, and no two
+    KEPT vectors in the same cluster with cosine >= 1 - eps (any such
+    pair lands in the same component, which elects exactly one keeper);
+    every PRUNED vector reaches its cluster's kept exemplar through the
+    within-cluster threshold graph (recomputed in numpy)."""
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.operators.similarity import semdedup
+
+    eps = 0.6
+    out = semdedup(emb, eps=eps, max_cluster_block=None, fit_max_iter=8).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert sorted(r["vec_id"] for r in out) == sorted(vecs)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(a @ b / (na * nb)), 6)
+
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append((r["vec_id"], r["keep"]))
+    pruned_total = 0
+    for cid, members in by_cluster.items():
+        kept = [i for i, k in members if k]
+        pruned = [i for i, k in members if not k]
+        pruned_total += len(pruned)
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                assert cos(vecs[kept[i]], vecs[kept[j]]) < 1 - eps, (
+                    cid, kept[i], kept[j]
+                )
+        # union-find over the cluster's threshold graph: each component
+        # must hold exactly one kept member, and every pruned vector
+        # must share a component with a kept one.
+        ids = [i for i, _ in members]
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos(vecs[ids[i]], vecs[ids[j]]) >= 1 - eps:
+                    parent[find(ids[i])] = find(ids[j])
+        comp_kept: dict = {}
+        for i, k in members:
+            comp_kept.setdefault(find(i), []).append(k)
+        for root, flags in comp_kept.items():
+            assert sum(flags) == 1, (cid, root, flags)
+    assert pruned_total > 0, "fixture exercised no pruning"
+
+
+def test_semdedup_keeper_is_farthest_from_centroid(spark):
+    """k=1 makes the centroid the exact corpus mean, so the keeper rule
+    is checkable without the model: A and B are near-dups (cos > 1-eps)
+    with B farther from the mean; C is unrelated. Keeper must be B."""
+    from apache_spark_link_prediction_spark.operators.similarity import semdedup
+
+    # mean m = (A+B+C)/3 = (.64, .0667, .2233); cos(A,m) ≈ .940,
+    # cos(B,m) ≈ .778 (B's -z component points away from C's mass),
+    # cos(A,B) ≈ .922 >= 1-eps = .88; C is orthogonal-ish to both.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),      # A: dup group, closer to the mean
+        (2, [0.92, 0.2, -0.33]),   # B: dup group, farther from mean
+        (3, [0.0, 0.0, 1.0]),      # C: unrelated singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"]
+           for r in semdedup(df, eps=0.12, num_clusters=1, fit_max_iter=20).collect()}
+    assert out == {1: False, 2: True, 3: True}
+
+
+def test_semdedup_over_cap_identical_cluster_keeps_one(spark):
+    """The over-cap guarantee shared by every dedup tier: a replicated
+    identical vector collapses BEFORE the cluster cap, so even
+    max_cluster_block=1 keeps exactly one member of the identical
+    group; identical ZERO vectors are never semantic dups (cosine
+    contract) and are all kept."""
+    from apache_spark_link_prediction_spark.operators.similarity import semdedup
+
+    rows = [(i, [0.6, 0.8, 0.0]) for i in range(50)]
+    rows += [(100, [0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"]
+           for r in semdedup(df, eps=0.05, num_clusters=2,
+                             max_cluster_block=1).collect()}
+    assert [i for i in range(50) if out[i]] == [0]
+    assert out[100] and out[101]
+
+
+def test_domain_temperature_sample_matches_python_reference(spark, sf_dir):
+    """The alpha=0.5 keep rule replicated exactly in pure python (same
+    rolling hash, same integer inequality) must select the identical
+    doc set; the induced per-language kept mass must follow the
+    square-root law with the lowest-resource language kept whole."""
+    from collections import Counter
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    rows = [(r["doc_id"], r["lang"])
+            for r in QUERIES["domain_temperature_sample"](spark, sf_dir).collect()]
+
+    import duckdb
+
+    base = duckdb.sql(
+        f"select doc_id, lang from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cnt = Counter(lang for _, lang in base)
+    min_cnt = min(cnt.values())
+
+    def rolling(s: str) -> int:
+        h = 0
+        for ch in " ".join(s.strip().lower().split()):
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    want = sorted(
+        (d, lang) for d, lang in base
+        if (rolling(f"mix:{d}") % 1000) ** 2 * cnt[lang] < 1_000_000 * min_cnt
+    )
+    assert sorted(rows) == want
+    kept = Counter(lang for _, lang in rows)
+    assert kept[min(cnt, key=cnt.get)] == min_cnt  # smallest domain whole
+    for lang, c in cnt.items():
+        expect = c * (min_cnt / c) ** 0.5
+        assert abs(kept[lang] - expect) <= 3 * (expect ** 0.5) + 3, (
+            lang, kept[lang], expect
+        )

@@ -199,6 +199,7 @@ DOCS_QUERIES = (
     "token_entropy",
     "bigram_pmi",
     "image_phash_neardup",
+    "domain_temperature_sample",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -246,6 +247,7 @@ EMB_QUERIES = (
     "hard_negative_mining",
     "confusion_matrix_macro_f1",
     "embedding_neardup_incremental",
+    "semantic_dedup_semdedup",
 )
 
 
