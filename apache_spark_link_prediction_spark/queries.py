@@ -5496,6 +5496,93 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_DEPTH = 100
+
+
+def _rrf_oracle() -> str:
+    # Defined as a function so it can splice the committed bm25_scoring
+    # oracle verbatim — the lexical leg of the fusion IS that query.
+    return f"""
+    WITH lex_scores AS ({ORACLE["bm25_scoring"]}),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS lex_rank
+        FROM lex_scores)
+      WHERE lex_rank <= {_RRF_DEPTH}),
+    sem_scores AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+      FROM embeddings e,
+           (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id != 0),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS sem_rank
+        FROM sem_scores)
+      WHERE sem_rank <= {_RRF_DEPTH})
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+           CAST(floor((COALESCE(1.0 / ({_RRF_K} + lex_rank), 0)
+                       + COALESCE(1.0 / ({_RRF_K} + sem_rank), 0))
+                      * 1000000000 + 0.5) AS BIGINT) AS rrf_scaled
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    """
+
+
+@register("hybrid_rank_fusion_rrf", _rrf_oracle())
+def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, k=60): fuse the BM25 lexical top-100 (bm25_scoring — same
+    query terms, same scores) with the embedding-cosine semantic
+    top-100 (brute_force_top_k against the vec_id=0 query vector; the
+    testbed convention doc_id ≡ vec_id, as in embedding_pipeline_e2e)
+    — the retrieval step of RAG-style curation where neither ranker
+    alone recalls everything.
+
+    Scale shape: each leg is a TAKE-ORDERED top-k (orderBy+limit =
+    per-partition heaps, no global sort shuffle); row_number ranks run
+    on the ≤100-row fused lists, never the corpus; the fusion join is
+    two tiny frames. Portability: both legs rank on ROUNDED scores
+    (6dp BM25 / 4dp cosine, doc_id tie-break) so cross-engine libm
+    noise can't flip a rank, and the fused score is emitted as the
+    scaled BIGINT floor(rrf·1e9 + 0.5) — integer ranks through exact
+    IEEE division/addition, no round(double) in a hash-gated column
+    (the r07 numeric-convention rule)."""
+    from .operators.similarity import brute_force_top_k
+
+    lex_scores = bm25_scoring(spark, sf_dir)
+    top_lex = lex_scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        _RRF_DEPTH
+    )
+    wlex = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    lex = top_lex.select(
+        "doc_id", F.row_number().over(wlex).alias("lex_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = brute_force_top_k(
+        emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("sem_rank")
+    )
+
+    fused = lex.join(sem, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.floor(rrf * 1000000000 + F.lit(0.5)).cast("bigint").alias("rrf_scaled"),
+    )
+
+
 @register(
     "bigram_next_token",
     f"""
@@ -8994,15 +9081,16 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-8 accounting (211 entries: 188 oracle-backed, 23 rows-only; 50
+# Round-8 accounting (212 entries: 189 oracle-backed, 23 rows-only; 50
 #   slots) — executes tools/gen_window.py's plan at round-8 start
 #   (VERDICT r07 item 3: drain the never-graded backlog to zero):
-#   - 3 never-graded oracle-backed head the window:
+#   - 4 never-graded oracle-backed head the window:
 #     streaming_media_ingest (PROMOTED rows-only → hash gate this round
 #     via the exact-copy deterministic sub-contract),
 #     graph_common_neighbors_capped (new: the shared graph hub guard),
-#     and domain_temperature_sample (new: α=0.5 mixture rebalancing
-#     with an exact-integer keep rule).
+#     domain_temperature_sample (new: α=0.5 mixture rebalancing with an
+#     exact-integer keep rule) and hybrid_rank_fusion_rrf (new: RRF
+#     fusion of the BM25 and cosine top-k legs).
 #   - all 14 never-graded rows-only entries follow — every rows-only
 #     query that has never received a driver row (even the weak
 #     err='no_oracle' + spark_rows record), i.e. the judge's 10-entry
@@ -9013,7 +9101,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     semantic_dedup_semdedup are new).  After this round EVERY
 #     registry entry has ≥1 driver row and the rotation becomes pure
 #     oldest-first.
-#   - the remaining 33 slots go to the oldest-graded (r04) oracle-backed
+#   - the remaining 32 slots go to the oldest-graded (r04) oracle-backed
 #     entries in gen_window order.
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
@@ -9025,6 +9113,7 @@ _WINDOW_THIS_ROUND = [
     "streaming_media_ingest",  # never graded
     "graph_common_neighbors_capped",  # never graded
     "domain_temperature_sample",  # never graded (oracle-backed, new)
+    "hybrid_rank_fusion_rrf",  # never graded (oracle-backed, new)
     "dedup_minhash_incremental",  # never graded (rows-only)
     "dedup_simhash_incremental",  # never graded (rows-only)
     "embedding_neardup_incremental",  # never graded (rows-only)
@@ -9071,7 +9160,6 @@ _WINDOW_THIS_ROUND = [
     "streaming_stream_join",  # last green r04
     "tpch_q17_avg_qty",  # last green r04
     "gopher_quality_filter",  # last green r04
-    "passage_dup_spans",  # last green r04
 ]
 
 

@@ -1518,3 +1518,53 @@ def test_domain_temperature_sample_matches_python_reference(spark, sf_dir):
         assert abs(kept[lang] - expect) <= 3 * (expect ** 0.5) + 3, (
             lang, kept[lang], expect
         )
+
+
+def test_hybrid_rank_fusion_rrf_matches_python_reference(spark, sf_dir):
+    """RRF fusion recomputed in pure python from the two legs' own
+    outputs (BM25 scores + exact cosine top-k): ranks on rounded
+    scores with doc_id tie-break, rrf = 1/(60+r) per present leg,
+    scaled-integer emission — must match the query row-for-row."""
+    from apache_spark_link_prediction_spark.queries import (
+        QUERIES,
+        _RRF_DEPTH,
+        _RRF_K,
+        bm25_scoring,
+    )
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    import math
+
+    lex_scores = sorted(
+        ((r["bm25"], r["doc_id"]) for r in bm25_scoring(spark, sf_dir).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    lex_rank = {d: i + 1 for i, (_, d) in enumerate(lex_scores[:_RRF_DEPTH])}
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_rank = {
+        r["neighbor_id"]: r["rank"]
+        for r in brute_force_top_k(
+            emb, emb.filter(emb.vec_id == 0), k=_RRF_DEPTH
+        ).collect()
+    }
+    want = {}
+    for d in set(lex_rank) | set(sem_rank):
+        rrf = (1.0 / (_RRF_K + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (_RRF_K + sem_rank[d]) if d in sem_rank else 0.0
+        )
+        want[d] = (
+            lex_rank.get(d),
+            sem_rank.get(d),
+            math.floor(rrf * 1_000_000_000 + 0.5),
+        )
+    got = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf_scaled"])
+        for r in QUERIES["hybrid_rank_fusion_rrf"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(
+        v[0] is not None and v[1] is not None for v in got.values()
+    ), "no doc appeared in both legs — fusion unexercised"

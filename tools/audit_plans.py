@@ -107,6 +107,10 @@ ALLOW = {
     # predicate — definitionally |probes|x|corpus| like
     # embedding_topk_bruteforce; the corpus side streams once
     "hard_negative_mining": {"nested-loop join"},
+    # composes bm25_scoring (1-row avgdl/N scalar crossJoin) and
+    # brute_force_top_k's 1-query broadcast scoring — both shapes
+    # allowlisted above; the fusion itself joins two <=100-row lists
+    "hybrid_rank_fusion_rrf": {"nested-loop join"},
     # group-total scalar (1-row broadcast) cross-joined for the
     # relative HAVING — same pattern as heavy_hitters_tokens
     "tpch_q11_important_stock": {"nested-loop join"},
