@@ -617,6 +617,268 @@ def semdedup(
     )
 
 
+def semdedup_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    num_clusters: int | None = None,
+    seed: int = 12345,
+    fit_sample_size: int = 50_000,
+    fit_max_iter: int = 8,
+    max_cluster_block: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Persisted index for :func:`semdedup_incremental`: the full
+    :func:`semdedup` decision frame JOINED BACK with each vector —
+    ``(id, cluster_id, keep, vector)``, one row per corpus document.
+    At 100 TB this parquet (written once per full run, appended per
+    ingest) is what the daily batch reads; the k-means model itself is
+    NOT persisted — cell centroids are recomputed from the index as
+    exact cell means (cells × dim tiny aggregate), which keeps the
+    index pure data with no model-serialization coupling."""
+    decisions = semdedup(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        eps=eps,
+        num_clusters=num_clusters,
+        seed=seed,
+        fit_sample_size=fit_sample_size,
+        fit_max_iter=fit_max_iter,
+        max_cluster_block=max_cluster_block,
+        round_to=round_to,
+    )
+    return decisions.join(
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        on=id_col,
+    )
+
+
+def _cell_means(index: DataFrame, *, vec_col: str) -> DataFrame:
+    """Exact per-cell element-wise mean over ALL index rows (kept and
+    pruned — the centroid should reflect the corpus distribution, not
+    the surviving exemplars). posexplode → groupBy(cell, pos) gets
+    map-side partial aggregation, and the output is cells × dim rows —
+    broadcast-sized by construction (num_clusters ≤ 4096)."""
+    per_dim = (
+        index.select("cluster_id", F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy("cluster_id", "__pos")
+        .agg(F.avg("__x").alias("__m"))
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: s["__m"],
+        ).alias("__centroid")
+    )
+
+
+def semdedup_incremental(
+    index: DataFrame,
+    new_batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    max_cluster_block: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental SemDeDup ingest with FROZEN history — the semantic
+    tier's member of the round-8 ``*_incremental`` family (minhash /
+    simhash / embedding-LSH / clusters): decide a new batch against a
+    persisted :func:`semdedup_index` without re-running k-means or
+    touching prior decisions.
+
+    Contract (the production retention rule — pruned documents are
+    deleted, kept exemplars are immutable):
+
+    - Cell centroids are the exact per-cell means of the INDEX
+      (:func:`_cell_means`); each new vector joins its nearest cell
+      (squared distance, cell-id tie-break — the IVF probe ordering).
+    - Candidate pairs are new×new and new×old-KEPT within a cell (old
+      pruned rows are gone; old kept rows are immovable anchors).
+    - A component containing any old exemplar prunes ALL its new
+      members (the old exemplar stays the cluster's representative —
+      even if a new doc bridges two old exemplars, both stay, per
+      frozen history). An all-new component elects the
+      farthest-from-centroid keeper exactly like the full run.
+    - The exact-collapse tier and distinct-vector cluster cap apply to
+      the new batch (cap population = new reps + old kept reps, the
+      same accounting the full run uses); a new vector bitwise-equal
+      to an old KEPT vector is pruned even over-cap (cos(v,v) via the
+      pipeline's own expression, zero-vector contract preserved).
+
+    Emits ``(id, cluster_id, keep)`` for the NEW batch only; the
+    caller appends these (joined with their vectors) to the index for
+    the next ingest. Pinned against an independent pure-python
+    implementation of this spec in tests/test_operators.py::
+    test_semdedup_incremental_matches_python_reference."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = new_batch.select(F.col(id_col).alias("__id"), vec.alias("__vec"))
+    centroids = F.broadcast(_cell_means(index, vec_col=vec_col))
+
+    # Nearest-cell assignment: |new| × num_cells broadcast probe (the
+    # ivf_top_k multi-probe shape, nprobe=1).
+    dist = F.aggregate(
+        F.zip_with("__vec", "__centroid", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_assign = Window.partitionBy("__id").orderBy(
+        F.col("__dist").asc(), F.col("cluster_id").asc()
+    )
+    assigned = (
+        base.crossJoin(centroids)
+        .withColumn("__dist", dist)
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select("__id", "__vec", F.col("cluster_id").alias("__cell"))
+    )
+
+    groups = (
+        assigned.groupBy("__cell", "__vec")
+        .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__ids"))
+        .localCheckpoint(eager=False)
+    )
+    norm = F.sqrt(F.aggregate("__vec", F.lit(0.0), lambda a, x: a + x * x))
+    nvec = F.when(norm > 0, F.transform("__vec", lambda x: x / norm)).otherwise(
+        F.col("__vec")
+    )
+    new_reps = groups.select(
+        "__cell",
+        "__rep",
+        nvec.alias("__nvec"),
+        (F.size("__ids") > 1).alias("__multi"),
+        (
+            F.round(cosine_similarity("__vec", "__vec"), round_to) >= 1.0 - eps
+        ).alias("__self_dup"),
+        F.col("__vec"),
+    )
+    old_kept = index.filter(F.col("keep")).select(
+        F.col("cluster_id").alias("__cell"),
+        F.col(id_col).alias("__rep"),
+        F.col(vec_col).alias("__vec"),
+    )
+    onorm = F.sqrt(F.aggregate("__vec", F.lit(0.0), lambda a, x: a + x * x))
+    old_reps = old_kept.select(
+        "__cell",
+        "__rep",
+        F.when(onorm > 0, F.transform("__vec", lambda x: x / onorm))
+        .otherwise(F.col("__vec"))
+        .alias("__nvec"),
+    )
+    if max_cluster_block is not None:
+        from .dedup import _drop_hot_buckets
+
+        population = new_reps.select("__cell", "__rep", "__nvec").unionByName(
+            old_reps
+        )
+        surviving = _drop_hot_buckets(population, ["__cell"], max_cluster_block)
+    else:
+        surviving = new_reps.select("__cell", "__rep", "__nvec").unionByName(
+            old_reps
+        )
+    old_ids = old_reps.select(F.col("__rep").alias("__oid"))
+    a = surviving.join(
+        new_reps.select(F.col("__rep").alias("__nr")),
+        surviving["__rep"] == F.col("__nr"),
+        "left_semi",
+    ).select("__cell", F.col("__rep").alias("src_id"), F.col("__nvec").alias("__na"))
+    b = surviving.select(
+        "__cell", F.col("__rep").alias("dst_id"), F.col("__nvec").alias("__nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("__na", "__nb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, on="__cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("__sim", F.round(dot, round_to))
+        .filter(F.col("__sim") >= 1.0 - eps)
+        .select(
+            F.least("src_id", "dst_id").alias("src_id"),
+            F.greatest("src_id", "dst_id").alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    # Over-cap guarantee: a new vector bitwise-identical to an old
+    # KEPT vector must be pruned even when its cell was dropped from
+    # pairing — same closed form as the banded tiers' collapse pass.
+    ident = (
+        new_reps.alias("n")
+        .join(
+            old_kept.alias("o"),
+            (F.col("n.__cell") == F.col("o.__cell"))
+            & (F.col("n.__vec") == F.col("o.__vec")),
+        )
+        .filter(
+            F.round(cosine_similarity("n.__vec", "n.__vec"), round_to) >= 1.0 - eps
+        )
+        .select(
+            F.col("n.__rep").alias("src_id"), F.col("o.__rep").alias("dst_id")
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    pairs = pairs.unionByName(ident).dropDuplicates(["src_id", "dst_id"])
+
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+    # Component roll-up: does it contain an old exemplar?  Election
+    # happens only in all-new components.
+    node_comp = comp.join(
+        old_ids.withColumnRenamed("__oid", "node_id").withColumn(
+            "__is_old", F.lit(True)
+        ),
+        on="node_id",
+        how="left",
+    )
+    comp_has_old = node_comp.groupBy("component").agg(
+        F.max(F.coalesce("__is_old", F.lit(False))).alias("__has_old")
+    )
+    rep_comp = (
+        new_reps.join(comp, new_reps["__rep"] == comp["node_id"], "left")
+        .join(comp_has_old, on="component", how="left")
+        .join(centroids, F.col("__cell") == F.col("cluster_id"), "left")
+        .select(
+            "__cell",
+            "__rep",
+            "__multi",
+            "__self_dup",
+            F.coalesce("component", "__rep").alias("__comp"),
+            F.coalesce("__has_old", F.lit(False)).alias("__has_old"),
+            F.when(
+                F.col("component").isNotNull(),
+                F.round(cosine_similarity("__vec", "__centroid"), round_to),
+            ).alias("__csim"),
+        )
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col("__csim").asc_nulls_last(), F.col("__rep").asc()
+    )
+    rep_keep = rep_comp.withColumn(
+        "__rkeep", ~F.col("__has_old") & (F.row_number().over(w) == 1)
+    ).select("__cell", "__rep", "__multi", "__self_dup", "__rkeep")
+
+    memb = groups.select("__rep", F.explode("__ids").alias("__id"))
+    return (
+        memb.join(rep_keep, on="__rep")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("int").alias("cluster_id"),
+            F.when(~F.col("__self_dup") & F.col("__multi"), F.lit(True))
+            .otherwise(F.col("__rkeep") & (F.col("__id") == F.col("__rep")))
+            .alias("keep"),
+        )
+    )
+
+
 def embedding_index(
     corpus: DataFrame,
     *,

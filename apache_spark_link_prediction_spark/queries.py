@@ -907,6 +907,28 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, eps=0.6, fit_max_iter=8)
 
 
+@register("semantic_dedup_incremental")  # rows-only (seeded k-means index)
+def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingest with frozen history — the semantic
+    tier's member of the *_incremental family: vectors with
+    vec_id % 5 == 0 play the new batch against a persisted
+    operators.similarity.semdedup_index of the rest (decisions +
+    vectors; centroids recomputed from the index as exact cell means,
+    no model serialization). New docs near an old KEPT exemplar are
+    pruned (the exemplar never moves); all-new duplicate components
+    elect farthest-from-centroid exactly like the full run. Pinned
+    operation-for-operation against a pure-python implementation of
+    the spec by tests/test_operators.py::
+    test_semdedup_incremental_matches_python_reference (+ the crafted
+    frozen-history/over-cap cases in
+    test_semdedup_incremental_frozen_history)."""
+    from .operators.similarity import semdedup_incremental, semdedup_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = semdedup_index(emb.filter(F.col("vec_id") % 5 != 0), eps=0.6)
+    return semdedup_incremental(idx, emb.filter(F.col("vec_id") % 5 == 0), eps=0.6)
+
+
 _DOMAIN_TEMPERATURE_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, lang,
@@ -9081,7 +9103,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-8 accounting (212 entries: 189 oracle-backed, 23 rows-only; 50
+# Round-8 accounting (213 entries: 189 oracle-backed, 24 rows-only; 50
 #   slots) — executes tools/gen_window.py's plan at round-8 start
 #   (VERDICT r07 item 3: drain the never-graded backlog to zero):
 #   - 4 never-graded oracle-backed head the window:
@@ -9091,7 +9113,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     domain_temperature_sample (new: α=0.5 mixture rebalancing with an
 #     exact-integer keep rule) and hybrid_rank_fusion_rrf (new: RRF
 #     fusion of the BM25 and cosine top-k legs).
-#   - all 14 never-graded rows-only entries follow — every rows-only
+#   - all 15 never-graded rows-only entries follow — every rows-only
 #     query that has never received a driver row (even the weak
 #     err='no_oracle' + spark_rows record), i.e. the judge's 10-entry
 #     r07 backlog minus streaming_media_ingest (now hash-gated) plus
@@ -9101,7 +9123,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     semantic_dedup_semdedup are new).  After this round EVERY
 #     registry entry has ≥1 driver row and the rotation becomes pure
 #     oldest-first.
-#   - the remaining 32 slots go to the oldest-graded (r04) oracle-backed
+#   - the remaining 31 slots go to the oldest-graded (r04) oracle-backed
 #     entries in gen_window order.
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
@@ -9128,6 +9150,7 @@ _WINDOW_THIS_ROUND = [
     "multimodal_audio_centroid",  # never graded (rows-only)
     "dedup_clusters_incremental",  # never graded (rows-only)
     "semantic_dedup_semdedup",  # never graded (rows-only)
+    "semantic_dedup_incremental",  # never graded (rows-only)
     "s1_scan_project_filter",  # last green r04
     "pair_features_flagship",  # last green r04
     "pair_multiset_common_tokens",  # last green r04
@@ -9159,7 +9182,6 @@ _WINDOW_THIS_ROUND = [
     "heavy_hitters_tokens",  # last green r04
     "streaming_stream_join",  # last green r04
     "tpch_q17_avg_qty",  # last green r04
-    "gopher_quality_filter",  # last green r04
 ]
 
 

@@ -1568,3 +1568,206 @@ def test_hybrid_rank_fusion_rrf_matches_python_reference(spark, sf_dir):
     assert any(
         v[0] is not None and v[1] is not None for v in got.values()
     ), "no doc appeared in both legs — fusion unexercised"
+
+
+def _round6(x: float) -> float:
+    """Spark F.round(double, 6): BigDecimal.valueOf → shortest decimal
+    repr → HALF_UP. Python's repr is the same shortest round-trip
+    string, so Decimal(repr(x)) + ROUND_HALF_UP replicates it exactly
+    (the repo's repr-based rounding convention, round 7)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def test_semdedup_incremental_matches_python_reference(spark, emb):
+    """Frozen-history incremental SemDeDup vs an independent pure-
+    python implementation of the same spec (index cell means, nearest-
+    cell assignment, new×new + new×old-kept pairs, has-old components
+    prune all new members, all-new components elect farthest-from-
+    centroid). Arithmetic replicated operation-for-operation (left-fold
+    dot products, repr-based HALF_UP rounding); margin guards assert
+    the fixture is nowhere near a threshold/tie so cross-impl ulp noise
+    cannot flip a decision."""
+    import math
+
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        semdedup_incremental,
+        semdedup_index,
+    )
+
+    eps = 0.6
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = semdedup_index(old, eps=eps).localCheckpoint()
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup_incremental(
+            idx, new, eps=eps, max_cluster_block=None
+        ).collect()
+    }
+
+    index_rows = [
+        (r["vec_id"], r["cluster_id"], r["keep"], [float(x) for x in r["embedding"]])
+        for r in idx.collect()
+    ]
+    new_rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in new.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).collect()
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def normed(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v] if n > 0 else list(v)
+
+    # cell means over ALL index rows
+    cells: dict = {}
+    for _, c, _, v in index_rows:
+        cells.setdefault(c, []).append(v)
+    centroids = {
+        c: [sum(col) / len(vs) for col in zip(*vs)] for c, vs in cells.items()
+    }
+
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    assign = {}
+    for i, v in new_rows:
+        ds = sorted((sqdist(v, cv), c) for c, cv in centroids.items())
+        assert ds[1][0] - ds[0][0] > 1e-9, "assignment tie — fixture unusable"
+        assign[i] = ds[0][1]
+    # collapse identical new vectors per cell
+    groups: dict = {}
+    for i, v in new_rows:
+        groups.setdefault((assign[i], tuple(v)), []).append(i)
+    reps = {min(ids): (cell, list(vec), ids) for (cell, vec), ids in groups.items()}
+    old_kept = {
+        i: (c, v) for i, c, keep, v in index_rows if keep
+    }
+    # pairs: new rep × (new rep ∪ old kept) same cell
+    def pair_sim(a, b):
+        return _round6(fold_dot(normed(a), normed(b)))
+
+    parent = {r: r for r in reps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    has_old_root: set = set()
+    rlist = sorted(reps)
+    for i_idx in range(len(rlist)):
+        ri = rlist[i_idx]
+        ci, vi, _ = reps[ri]
+        for rj in rlist[i_idx + 1:]:
+            cj, vj, _ = reps[rj]
+            if ci == cj:
+                s = pair_sim(vi, vj)
+                assert abs(s - (1 - eps)) > 1e-4, "threshold-margin violation"
+                if s >= 1 - eps:
+                    parent[find(ri)] = find(rj)
+    linked_old = {}
+    for ri, (ci, vi, _) in reps.items():
+        for oi, (co, vo) in old_kept.items():
+            if ci == co:
+                s = pair_sim(vi, vo)
+                assert abs(s - (1 - eps)) > 1e-4, "threshold-margin violation"
+                if s >= 1 - eps:
+                    linked_old.setdefault(ri, True)
+    for ri in linked_old:
+        has_old_root.add(find(ri))
+    has_old_root = {find(r) for r in parent if find(r) in has_old_root}
+
+    comp_members: dict = {}
+    for r in reps:
+        comp_members.setdefault(find(r), []).append(r)
+    def centroid_cos(v, c):
+        # cosine vs centroid — normalize both sides, zero-norm → 0.0
+        na = math.sqrt(fold_dot(v, v))
+        nc = math.sqrt(fold_dot(c, c))
+        if na == 0 or nc == 0:
+            return 0.0
+        return _round6(fold_dot(v, c) / (na * nc))
+
+    want = {}
+    for root, members in comp_members.items():
+        in_component = len(members) > 1 or members[0] in linked_old
+        if not in_component:
+            elect = members[0]  # trivially its own keeper
+        elif root in has_old_root:
+            elect = None  # frozen history: the old exemplar stays
+        else:
+            vals = sorted(
+                centroid_cos(reps[m][1], centroids[reps[m][0]]) for m in members
+            )
+            for x, y in zip(vals, vals[1:]):
+                assert y - x > 1e-5 or y == x, "csim near-tie"
+            elect = min(
+                members,
+                key=lambda m: (centroid_cos(reps[m][1], centroids[reps[m][0]]), m),
+            )
+        for m in members:
+            cell, v, ids = reps[m]
+            self_dup = _round6(pair_sim(v, v)) >= 1 - eps
+            multi = len(ids) > 1
+            for i in ids:
+                if not self_dup and multi:
+                    want[i] = (cell, True)
+                else:
+                    want[i] = (cell, m == elect and i == m)
+    assert got == want
+    assert any(not k for _, k in got.values()), "no pruning exercised"
+    assert any(k for _, k in got.values())
+
+
+def test_semdedup_incremental_frozen_history(spark):
+    """Crafted frozen-history semantics: a new doc near an old KEPT
+    exemplar is pruned (the exemplar never moves); an all-new dup pair
+    elects its own farthest-from-centroid keeper; with the cluster cap
+    at 1 only the bitwise-identical-to-old guarantee survives
+    (documented candidate loss, same as every capped tier)."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    idx = spark.createDataFrame(
+        [
+            (10, 0, True, [1.0, 0.0, 0.0]),
+            (11, 0, False, [0.98, 0.19, 0.0]),
+            (20, 1, True, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, cluster_id int, keep boolean, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (50, [0.995, 0.1, 0.0]),   # ~ old kept 10 → pruned
+            (51, [0.0, 0.05, 0.999]),  # ~ old kept 20 → pruned
+            (52, [0.0, 0.9, 0.44]),    # all-new dup pair in cell 1:
+            (53, [0.0, 0.92, 0.40]),   #   53 is farther from (0,0,1) → keeper
+            (54, [1.0, 0.0, 0.0]),     # bitwise = old kept 10 → pruned
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["keep"]
+           for r in semdedup_incremental(idx, new, eps=0.05).collect()}
+    assert out == {50: False, 51: False, 52: False, 53: True, 54: False}
+
+    capped = {r["vec_id"]: r["keep"]
+              for r in semdedup_incremental(
+                  idx, new, eps=0.05, max_cluster_block=1
+              ).collect()}
+    assert capped == {50: True, 51: True, 52: True, 53: True, 54: False}

@@ -248,6 +248,7 @@ EMB_QUERIES = (
     "confusion_matrix_macro_f1",
     "embedding_neardup_incremental",
     "semantic_dedup_semdedup",
+    "semantic_dedup_incremental",
 )
 
 
