@@ -9103,28 +9103,14 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-8 accounting (213 entries: 189 oracle-backed, 24 rows-only; 50
-#   slots) — executes tools/gen_window.py's plan at round-8 start
-#   (VERDICT r07 item 3: drain the never-graded backlog to zero):
-#   - 4 never-graded oracle-backed head the window:
-#     streaming_media_ingest (PROMOTED rows-only → hash gate this round
-#     via the exact-copy deterministic sub-contract),
-#     graph_common_neighbors_capped (new: the shared graph hub guard),
-#     domain_temperature_sample (new: α=0.5 mixture rebalancing with an
-#     exact-integer keep rule) and hybrid_rank_fusion_rrf (new: RRF
-#     fusion of the BM25 and cosine top-k legs).
-#   - all 15 never-graded rows-only entries follow — every rows-only
-#     query that has never received a driver row (even the weak
-#     err='no_oracle' + spark_rows record), i.e. the judge's 10-entry
-#     r07 backlog minus streaming_media_ingest (now hash-gated) plus
-#     the five new entries of this round (dedup_minhash_incremental
-#     gains its VERDICT-r07-item-1 row; dedup_simhash_incremental,
-#     embedding_neardup_incremental, dedup_clusters_incremental and
-#     semantic_dedup_semdedup are new).  After this round EVERY
-#     registry entry has ≥1 driver row and the rotation becomes pure
-#     oldest-first.
-#   - the remaining 31 slots go to the oldest-graded (r04) oracle-backed
-#     entries in gen_window order.
+# Round-9 accounting (213 entries at round start: 189 oracle-backed, 24
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan at round-9
+#   start (VERDICT r08 item 1).  After r08 graded, EVERY registry entry
+#   has >=1 driver row and the never-graded backlog is zero, so rotation
+#   is pure oldest-first: the 5 r04-green oracle-backed entries lead,
+#   then r05-green entries in gen_window order.  New entries registered
+#   this round are never-graded and auto-lead the NEXT window (they are
+#   appended after this rotation was pinned; tests allow that).
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
 #   window slots before any re-grade — first-time evidence beats
@@ -9132,56 +9118,56 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
 _WINDOW_THIS_ROUND = [
-    "streaming_media_ingest",  # never graded
-    "graph_common_neighbors_capped",  # never graded
-    "domain_temperature_sample",  # never graded (oracle-backed, new)
-    "hybrid_rank_fusion_rrf",  # never graded (oracle-backed, new)
-    "dedup_minhash_incremental",  # never graded (rows-only)
-    "dedup_simhash_incremental",  # never graded (rows-only)
-    "embedding_neardup_incremental",  # never graded (rows-only)
-    "streaming_heavy_hitters_topk",  # never graded (rows-only)
-    "streaming_neardup_suppress",  # never graded (rows-only)
-    "p2_lsh_reference_mode",  # never graded (rows-only)
-    "streaming_custom_sessions",  # never graded (rows-only)
-    "bpe_tokenize_stats",  # never graded (rows-only)
-    "image_phash_neardup",  # never graded (rows-only)
-    "embedding_pipeline_e2e",  # never graded (rows-only)
-    "neardup_pipeline_e2e",  # never graded (rows-only)
-    "multimodal_audio_centroid",  # never graded (rows-only)
-    "dedup_clusters_incremental",  # never graded (rows-only)
-    "semantic_dedup_semdedup",  # never graded (rows-only)
-    "semantic_dedup_incremental",  # never graded (rows-only)
-    "s1_scan_project_filter",  # last green r04
-    "pair_features_flagship",  # last green r04
-    "pair_multiset_common_tokens",  # last green r04
-    "left_existence_label",  # last green r04
-    "global_count",  # last green r04
-    "tpch_q1_agg",  # last green r04
-    "window_topk_per_group",  # last green r04
-    "window_running_sum",  # last green r04
-    "set_intersect",  # last green r04
-    "sessionize_events",  # last green r04
-    "tumbling_window_agg",  # last green r04
-    "dedup_exact",  # last green r04
-    "dedup_token_jaccard",  # last green r04
-    "dedup_ngram_jaccard",  # last green r04
-    "embedding_topk_bruteforce",  # last green r04
-    "embedding_pairs_exact",  # last green r04
-    "doc_fingerprints",  # last green r04
-    "graph_degrees",  # last green r04
-    "streaming_window_agg",  # last green r04
-    "streaming_sessionize",  # last green r04
-    "streaming_dedup",  # last green r04
-    "range_join_bands",  # last green r04
-    "array_agg_per_group",  # last green r04
-    "tpch_q5_multijoin",  # last green r04
-    "graph_pagerank",  # last green r04
-    "bloom_filter_join",  # last green r04
-    "dedup_keeper_quality",  # last green r04
-    "zorder_key_part",  # last green r04
-    "heavy_hitters_tokens",  # last green r04
-    "streaming_stream_join",  # last green r04
-    "tpch_q17_avg_qty",  # last green r04
+    "gopher_quality_filter",  # last green r04
+    "passage_dup_spans",  # last green r04
+    "tpch_q18_large_orders",  # last green r04
+    "cohort_retention",  # last green r04
+    "sliding_window_agg",  # last green r04
+    "null_fill_group",  # last green r05
+    "conditional_label_agg",  # last green r05
+    "split_part_type",  # last green r05
+    "tpch_q3_topk",  # last green r05
+    "rollup_agg",  # last green r05
+    "pivot_linestatus",  # last green r05
+    "lang_id",  # last green r05
+    "text_quality",  # last green r05
+    "token_counts",  # last green r05
+    "multimodal_payload_meta",  # last green r05
+    "graph_common_neighbors",  # last green r05
+    "graph_triangle_count",  # last green r05
+    "json_props_extract_agg",  # last green r05
+    "semi_anti_existence",  # last green r05
+    "doc_chunking",  # last green r05
+    "pack_sequences",  # last green r05
+    "decontaminate_ngram",  # last green r05
+    "repetition_ratio",  # last green r05
+    "multimodal_resize_meta",  # last green r05
+    "multimodal_frame_sample",  # last green r05
+    "graph_adamic_adar",  # last green r05
+    "train_test_split_hash",  # last green r05
+    "stratified_sample_mixture",  # last green r05
+    "percentile_agg",  # last green r05
+    "zscore_by_group_pandas",  # last green r05
+    "window_functions_suite",  # last green r05
+    "sql_correlated_exists",  # last green r05
+    "pii_scrub",  # last green r05
+    "html_strip",  # last green r05
+    "vocab_topk",  # last green r05
+    "tfidf_keywords",  # last green r05
+    "graph_pref_attachment",  # last green r05
+    "graph_jaccard_neighbors",  # last green r05
+    "graph_resource_allocation",  # last green r05
+    "tpch_q6_forecast_revenue",  # last green r05
+    "tpch_q10_returned_items",  # last green r05
+    "tpch_q13_order_counts",  # last green r05
+    "tpch_q14_promo_effect",  # last green r05
+    "tpch_q19_discounted_revenue",  # last green r05
+    "ntile_feature_binning",  # last green r05
+    "join_key_skew_probe",  # last green r05
+    "histogram_fixed_bins",  # last green r05
+    "tpch_q8_market_share",  # last green r05
+    "tpch_q15_top_supplier",  # last green r05
+    "activity_streaks",  # last green r05
 ]
 
 
