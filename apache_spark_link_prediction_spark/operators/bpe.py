@@ -157,7 +157,21 @@ def train_bpe(
         else:
             accepted = _collect_merge_batch(vocab, want)
             if not accepted:
-                break
+                # A count-flat window (top count == window floor on the
+                # very first pick) makes the exact replay accept nothing
+                # even though pairs remain.  Degrade to ONE sequential
+                # top-1 round instead of truncating the merge list
+                # (ADVICE r08) — only an empty top-1 means no pairs.
+                rounds += 1
+                top = (
+                    _pair_counts(vocab)
+                    .orderBy(F.col("n").desc(), F.col("pair"))
+                    .limit(1)
+                    .collect()
+                )
+                if not top:
+                    break
+                accepted = [tuple(top[0]["pair"].split(SEP))]
         batch_sizes.append(len(accepted))
         merges.extend(accepted)
         out = vocab

@@ -434,7 +434,12 @@ def minhash_index(
     keys and shingle hashes use the same seeds/expressions as
     :func:`minhash_near_dup_pairs`, so index rows built at different
     times (or by the full pipeline) are mutually compatible as long as
-    (shingle_n, num_hashes, bands) match.
+    (shingle_n, num_hashes, bands) match. Indexes persisted by the
+    pre-r08 format (no ``sig``/``set_key`` columns) remain readable:
+    :func:`minhash_incremental_pairs` recomputes ``set_key`` from the
+    stored shingles and runs with the σ-prefilter disabled (ADVICE
+    r08) — the prefilter only discards candidates the exact verify
+    would reject anyway, so results are unchanged.
 
     ``sig`` (the full minhash signature) feeds the incremental path's
     σ-prefilter without any per-ingest recompute; ``set_key`` is a
@@ -546,6 +551,23 @@ def minhash_incremental_pairs(
         num_hashes=num_hashes,
         bands=bands,
     )
+    # Pre-r08 index-format tolerance (ADVICE r08): ``set_key`` is
+    # recomputed from the stored shingles with the exact
+    # :func:`minhash_index` expression; a missing ``sig`` disables the
+    # σ-prefilter for this run — the prefilter only drops candidates
+    # the exact hashed-shingle verify would reject anyway, so the
+    # returned pair set is unchanged, just more candidates verified.
+    if "set_key" not in index.columns:
+        index = index.withColumn(
+            "set_key",
+            F.array(
+                F.xxhash64(F.lit(0), F.col("shingles")),
+                F.xxhash64(F.lit(1), F.col("shingles")),
+            ),
+        )
+    if "sig" not in index.columns:
+        index = index.withColumn("sig", F.lit(None).cast("array<bigint>"))
+        prefilter_sigma = None
     cols = ["doc_id", "nsh", "shingles", "sig", "band_keys", "set_key"]
     # Tag rows instead of joining an id list back in: the union is
     # lazy, so a literal flag per branch costs nothing and keeps the

@@ -89,8 +89,13 @@ def hub_cap_loss(
         .agg(
             F.count(F.lit(1)).alias("n_hubs_capped"),
             F.coalesce(F.sum(d - kept), F.lit(0)).alias("n_edges_dropped"),
+            # integral halving via shiftright: d·(d−1) and k·(k−1) are
+            # both even, so the per-row difference is even and the shift
+            # is exact — double-precision division would lose exactness
+            # past 2^53, the celebrity-hub-at-100TB regime this guard
+            # exists for (ADVICE r08).
             F.coalesce(
-                F.sum((d * (d - 1) - kept * (kept - 1)) / 2).cast("long"), F.lit(0)
+                F.sum(F.shiftright(d * (d - 1) - kept * (kept - 1), 1)), F.lit(0)
             ).alias("n_wedge_pairs_dropped"),
         )
     )

@@ -810,12 +810,17 @@ def semdedup_incremental(
     # Over-cap guarantee: a new vector bitwise-identical to an old
     # KEPT vector must be pruned even when its cell was dropped from
     # pairing — same closed form as the banded tiers' collapse pass.
+    # Vector equality ALONE is the join key (a valid equi-key; the match
+    # set is tiny): new-batch cells come from nearest recomputed exact
+    # cell means while the index's cluster_id came from the original
+    # k-means fit, so a bitwise-equal pair can legitimately sit in
+    # different cells — a cell-equality predicate here would let such a
+    # duplicate slip through (ADVICE r08).
     ident = (
         new_reps.alias("n")
         .join(
             old_kept.alias("o"),
-            (F.col("n.__cell") == F.col("o.__cell"))
-            & (F.col("n.__vec") == F.col("o.__vec")),
+            F.col("n.__vec") == F.col("o.__vec"),
         )
         .filter(
             F.round(cosine_similarity("n.__vec", "n.__vec"), round_to) >= 1.0 - eps

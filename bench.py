@@ -97,15 +97,17 @@ def replica_path(base_sf_dir: str) -> str:
 
 
 def _source_fingerprint(base_sf_dir: str) -> dict:
-    """Per-file (size, mtime) of the base tables — regenerating the base
-    parquet in place must trigger a replica rebuild, not a silent reuse
-    of stale data (ADVICE r07)."""
+    """Per-file (size, mtime_ns) of the base tables — regenerating the
+    base parquet in place must trigger a replica rebuild, not a silent
+    reuse of stale data (ADVICE r07). Nanosecond mtime (ADVICE r08):
+    whole-second granularity could silently reuse a replica when the
+    base was regenerated within the same second at identical sizes."""
     fp: dict[str, list] = {}
     for root, _dirs, files in os.walk(base_sf_dir):
         for f in files:
             path = os.path.join(root, f)
             st = os.stat(path)
-            fp[os.path.relpath(path, base_sf_dir)] = [st.st_size, int(st.st_mtime)]
+            fp[os.path.relpath(path, base_sf_dir)] = [st.st_size, st.st_mtime_ns]
     return fp
 
 

@@ -1771,3 +1771,96 @@ def test_semdedup_incremental_frozen_history(spark):
                   idx, new, eps=0.05, max_cluster_block=1
               ).collect()}
     assert capped == {50: True, 51: True, 52: True, 53: True, 54: False}
+
+
+def test_semdedup_incremental_ident_guard_crosses_cells(spark):
+    """ADVICE r08 regression: a new vector bitwise-equal to an old KEPT
+    exemplar must be pruned even when nearest-recomputed-mean assignment
+    puts it in a DIFFERENT cell than the index recorded for the old row
+    (index cluster_ids come from the original k-means fit; pruned
+    members drag the recomputed cell mean away). The identical-vector
+    guard joins on vector equality alone, so the duplicate cannot slip
+    through the cell-keyed pair join."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    # cell 0's mean is dragged to (0.1, 0.3, 0) by its pruned member;
+    # cell 1's mean sits at (0.75, 0.25, 0) because three pruned rows
+    # at (1,0,0) outvote the kept exemplar (0,1,0).
+    idx = spark.createDataFrame(
+        [
+            (10, 0, True, [1.0, 0.0, 0.0]),
+            (11, 0, False, [-0.8, 0.6, 0.0]),
+            (20, 1, True, [0.0, 1.0, 0.0]),
+            (21, 1, False, [1.0, 0.0, 0.0]),
+            (22, 1, False, [1.0, 0.0, 0.0]),
+            (23, 1, False, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, cluster_id int, keep boolean, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (50, [1.0, 0.0, 0.0]),  # bitwise = old kept 10 (cell 0) but
+            #                          assigned cell 1 → ident guard prunes
+            (51, [0.0, 0.0, 1.0]),  # far from every exemplar → kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in semdedup_incremental(idx, new, eps=0.05).collect()}
+    assert out[50][0] == 1, "fixture broke: 50 must land in cell 1"
+    assert out[50][1] is False, "cross-cell bitwise duplicate slipped through"
+    assert out[51][1] is True
+
+
+def test_train_bpe_flat_window_falls_back_to_sequential(spark):
+    """ADVICE r08 regression: a count-flat pair distribution (every
+    pair count 1, more pairs than the 16·want collect window) makes the
+    exact replay accept nothing on its first pick; the batched trainer
+    must degrade to one sequential top-1 round per iteration — same
+    merge list as batch_size=1 — not truncate the merge list."""
+    from apache_spark_link_prediction_spark.operators.bpe import train_bpe
+
+    # 40 two-char words over 80 globally-unique characters: every
+    # adjacent pair (intra-word and char+</w>) has count exactly 1.
+    words = [chr(0x4E00 + 2 * i) + chr(0x4E00 + 2 * i + 1) for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    stats = {}
+    batched = train_bpe(docs, num_merges=3, batch_size=4, stats=stats)
+    assert len(batched) == 3, "flat window truncated the merge list"
+    assert batched == train_bpe(docs, num_merges=3, batch_size=1)
+
+
+def test_minhash_incremental_tolerates_pre_r08_index(spark, docs):
+    """ADVICE r08 regression: an index persisted by the pre-r08 format
+    (no sig/set_key columns) must still feed minhash_incremental_pairs
+    — set_key is recomputed from the stored shingles and the
+    σ-prefilter is disabled — with pair-for-pair identical output to
+    the current-format run (the prefilter only drops candidates the
+    exact verify rejects anyway)."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(old, shingle_n=1)
+    legacy_idx = idx.drop("sig", "set_key")
+    want = {
+        (r["src_id"], r["dst_id"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            idx, new, shingle_n=1, threshold=0.6
+        ).collect()
+    }
+    got = {
+        (r["src_id"], r["dst_id"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            legacy_idx, new, shingle_n=1, threshold=0.6
+        ).collect()
+    }
+    assert got == want
+    assert got, "fixture produced no pairs touching the new batch"

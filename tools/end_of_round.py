@@ -1,0 +1,89 @@
+"""End-of-round checklist as ONE command (VERDICT r08 item 2) — the
+gate-regeneration discipline that rounds 7 and 8 both shipped as debt,
+made structurally un-skippable:
+
+    python tools/end_of_round.py [--round N] [--skip-bench]
+
+runs, in order, failing fast with a non-zero exit on the first red step:
+
+1. ``tools/audit_plans.py --all``       — 0 flagged plans
+2. ``tools/check_types.py``             — schema drift check
+3. ``tools/gen_queries_md.py``          — regenerate QUERIES.md
+4. ``tools/check_oracle.py`` at sf0.01  → ``CORRECTNESS_local_r{N}.json``
+5. ``tools/check_oracle.py`` at sf0.001 → ``CORRECTNESS_local_r{N}_sf0001.json``
+6. ``pytest tests/ -q``                 — full suite, 0 failed
+
+The local gate pair (steps 4-5) is what
+tests/test_registry.py::test_local_gate_covers_every_registry_entry
+pins: the NEWEST committed pair must cover every registry entry, so
+these files must be part of the round's LAST commit — register no new
+query after running this. ``--round`` defaults to newest driver
+artifact round + 1 (the round currently being built). The bench is a
+separate, quiet-box step (see MEMORY: bench-methodology) and is not run
+here unless the caller opts in later; this script is the correctness
+half of the checklist.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def current_round() -> int:
+    rounds = [
+        int(re.match(r"CORRECTNESS_r(\d+)\.json", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9][0-9].json"))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def run(label: str, cmd: list[str]) -> None:
+    t0 = time.time()
+    print(f"== {label}: {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, cwd=REPO)
+    el = time.time() - t0
+    if proc.returncode != 0:
+        print(f"FAILED {label} (exit {proc.returncode}, {el:.0f}s)", flush=True)
+        raise SystemExit(proc.returncode)
+    print(f"ok {label} ({el:.0f}s)", flush=True)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    rnd = current_round()
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = int(args[i + 1])
+    py = sys.executable
+    gate = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}.json")
+    gate_small = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}_sf0001.json")
+    run("audit_plans", [py, "tools/audit_plans.py", "--all"])
+    run("check_types", [py, "tools/check_types.py"])
+    run("gen_queries_md", [py, "tools/gen_queries_md.py"])
+    run(
+        "gate sf0.01",
+        [py, "tools/check_oracle.py", "/root/testdata/sf0.01", "--json", gate],
+    )
+    run(
+        "gate sf0.001",
+        [py, "tools/check_oracle.py", "/root/testdata/sf0.001", "--json", gate_small],
+    )
+    run("pytest", [py, "-m", "pytest", "tests/", "-q"])
+    print(
+        f"\nALL GREEN for round {rnd}. Now commit (as the round's LAST "
+        f"commits — no new query registrations after this):\n"
+        f"  git add {os.path.basename(gate)} {os.path.basename(gate_small)} "
+        f"QUERIES.md\n  git commit"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
