@@ -1431,26 +1431,55 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_heavy_hitters_topk")  # rows-only: MG state is
-# order/batch-dependent and approximate — not SQL-expressible; the
-# superset + lower-bound guarantees are pinned in tests/test_streaming.py
+@register(
+    "streaming_heavy_hitters_topk",
+    """
+    SELECT event_type, user_id, mg_count FROM (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS mg_count,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY event_type, user_id)
+    WHERE rk <= 10
+    """,
+)
 def streaming_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (applyInPandasWithState,
     O(capacity) state per event_type forever): drive the bounded events
-    stream to completion and emit each type's LAST top-k emission —
-    captured per micro-batch via foreachBatch, because MG emissions are
-    not monotone (prune shrinks counts, evicted users vanish), so a
-    max-over-all-emissions would reconstruct a state that never
-    existed. Batch twin with the exact-recount guarantee:
-    ``heavy_hitters_tokens``."""
+    stream to completion, capture each type's LAST emission per
+    micro-batch via foreachBatch (MG emissions are not monotone — prune
+    shrinks counts, evicted users vanish — so a max-over-all-emissions
+    would reconstruct a state that never existed), then take the
+    deterministic top-10 by (count DESC, user_id).
+
+    Hash-gated since r09 (VERDICT r08 item 3) by running the sketch in
+    its EXACT regime: with ``capacity`` above the distinct-user count
+    of every test SF (≤1,500 at sf0.1) MG performs zero decrements, so
+    its standard error bound (true − estimate ≤ n/capacity) collapses
+    to equality and the final emission is the exact per-user count —
+    the oracle is plain GROUP BY + top-10. ``top_k=capacity`` emits the
+    whole counter set so the tie-break happens deterministically in the
+    plan, not in ``Counter.most_common``'s insertion order. The
+    approximate under-capacity regime (prune, superset + lower-bound
+    guarantees) stays pinned by tests/test_streaming.py."""
     from .streaming.events import (
         run_stream_last_emission_per_group,
         streaming_heavy_hitters,
     )
 
-    return run_stream_last_emission_per_group(
-        streaming_heavy_hitters(_events_as_stream(spark, sf_dir), capacity=64),
+    capacity = 4096
+    last = run_stream_last_emission_per_group(
+        streaming_heavy_hitters(
+            _events_as_stream(spark, sf_dir), capacity=capacity, top_k=capacity
+        ),
         group_cols=["event_type"],
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mg_count").desc(), F.col("user_id")
+    )
+    return (
+        last.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
     )
 
 
@@ -2746,12 +2775,52 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.intersectAll(done)
 
 
-@register("streaming_custom_sessions")  # rows-only: emission depends on batch arrival
+@register(
+    "streaming_custom_sessions",
+    # The drained-stream emission is deterministic and closed-form:
+    # _events_as_stream writes 4 files and the source reads 4 per
+    # trigger, so the data arrives in ONE micro-batch — every session
+    # except each user's last closes by in-batch gap detection; the
+    # last closes iff the FINAL watermark (global max ts − 30 min
+    # delay) strictly passes last_ts + gap (EventTimeTimeout fires on
+    # the trailing no-data micro-batch).  µs timestamps make boundary
+    # ties measure-zero.
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS last_us,
+             CAST(count(*) AS INT) AS n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY MAX(us) DESC) AS rk_last
+      FROM s GROUP BY user_id, sid)
+    SELECT user_id, session_start_us, n_events
+    FROM sess
+    WHERE rk_last > 1
+       OR last_us + 1800 * 1000000
+          < (SELECT MAX(epoch_us(ts)) - 1800 * 1000000 FROM events)
+    """,
+)
 def streaming_custom_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sessionization with EventTimeTimeout state lifecycle
     (applyInPandasWithState): closed sessions only; each user's final
-    session stays in state, as on a real unbounded stream. Exact-match
-    subset of the batch sessionization pinned in tests."""
+    session stays in state unless the final watermark times it out, as
+    on a real unbounded stream. Hash-gated since r09 (VERDICT r08 item
+    3): the bounded harness drains in one micro-batch plus the no-data
+    timeout batch, so the emitted set is exactly the batch
+    sessionization minus each user's still-open last session — the
+    oracle above. Exact-match subset property additionally pinned in
+    tests/test_streaming.py."""
     from .streaming.events import run_stream_to_memory, streaming_custom_sessions
 
     return run_stream_to_memory(
@@ -6575,15 +6644,83 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
 
 
-@register("bpe_tokenize_stats")  # rows-only: iterative argmax not SQL-portable
+def _bpe_oracle_sql(num_merges: int = 8) -> str:
+    """Full BPE train+segment as ONE generated DuckDB query (VERDICT
+    r08 item 3 — the promotion of ``bpe_tokenize_stats`` from rows-only
+    to hash-gated): the fixed-depth merge loop unrolls into
+    ``num_merges`` chained CTE stages.
+
+    Encoding: each word's symbol array is a VARCHAR of wrapped symbols
+    ``\\x1e<sym>\\x1f…`` (two control chars absent from whitespace-
+    tokenized text — the same reservation train_bpe makes for its
+    ``\\x1f`` pair separator). Under this encoding the greedy
+    left-to-right merge fold IS SQL ``replace()``: matches align to
+    whole symbols (a fused symbol contains no wrappers, and a pattern
+    cannot start mid-symbol because ``\\x1e`` occurs only at symbol
+    starts), replace scans left-to-right non-overlapping and resumes
+    after each replacement, and the fused string can never equal its
+    own left part (b non-empty) — exactly the no-chaining argument of
+    ``_merge_expr`` (operators/bpe.py). Per stage: adjacent-pair counts
+    via symbol-list zip, argmax by (count DESC, a‖\\x1f‖b ASC) — the
+    trainer's tie-break — then one replace() over the vocab. The final
+    stages replay the same replaces over per-doc words and aggregate
+    the fertility stats. Parity with the Spark trainer is additionally
+    pinned merge-for-merge by the pure-Python reference tests."""
+    toks = _toks_sql("text")
+    wrap = (
+        r"regexp_replace(word, '(.)', chr(30) || '\1' || chr(31), 'g')"
+        r" || chr(30) || '</w>' || chr(31)"
+    )
+    sym_list = "regexp_extract_all(s, chr(30) || '([^' || chr(31) || ']*)' || chr(31), 1)"
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({toks}) AS word FROM documents) GROUP BY word),
+    v0 AS (SELECT {wrap} AS s, cnt FROM words)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+    pc{k} AS (
+      SELECT z[1] AS a, z[2] AS b, SUM(cnt) AS n FROM (
+        SELECT unnest(list_zip(syms, syms[2:])) AS z, cnt FROM (
+          SELECT {sym_list} AS syms, cnt
+          FROM v{k - 1} WHERE length(s) - length(replace(s, chr(30), '')) >= 2))
+      WHERE z[2] IS NOT NULL GROUP BY z[1], z[2]),
+    m{k} AS (SELECT a, b FROM pc{k} ORDER BY n DESC, a || chr(31) || b LIMIT 1),
+    v{k} AS (
+      SELECT replace(s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+                        chr(30) || m.a || m.b || chr(31)) AS s, cnt
+      FROM v{k - 1}, m{k} m)""")
+    parts.append(f""",
+    d0 AS (SELECT doc_id, {wrap} AS s FROM (
+      SELECT doc_id, unnest({toks}) AS word FROM documents))""")
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+    d{k} AS (
+      SELECT doc_id, replace(s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+                                chr(30) || m.a || m.b || chr(31)) AS s
+      FROM d{k - 1}, m{k} m)""")
+    parts.append(f"""
+    SELECT doc_id,
+           CAST(SUM(length(s) - length(replace(s, chr(30), ''))) AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM d{num_merges} GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@register("bpe_tokenize_stats", _bpe_oracle_sql())
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING on the corpus (operators/bpe.py — 8
     merges learned as a distributed pair-count/argmax/fold loop over
     the unique-word vocab) followed by corpus segmentation with the
     learned merges: per-doc BPE token counts, the tokenizer-fertility
-    statistic. Rows-only (iterative argmax is not SQL-expressible);
-    exact merge-sequence and segmentation parity vs a pure-Python
-    reference implementation pinned in tests/test_operators.py."""
+    statistic. Hash-gated since r09: the fixed-depth merge loop unrolls
+    into a generated 8-stage DuckDB twin (:func:`_bpe_oracle_sql`), so
+    the driver checks the LEARNED MERGES (any divergence reshapes every
+    segmentation count) as well as the segmentation itself; exact
+    merge-sequence parity vs a pure-Python reference stays pinned in
+    tests/test_operators.py."""
     from .operators.bpe import apply_bpe, train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -9118,6 +9255,14 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
 _WINDOW_THIS_ROUND = [
+    # r09 promotions (VERDICT r08 item 3): rows-only -> hash-gated this
+    # round; placed in the window so the driver records their first
+    # hash-green rows (policy-clean: all three already have their
+    # first-evidence rows-only driver row, and they are oracle-backed
+    # now, so window re-grade slots are theirs to take).
+    "bpe_tokenize_stats",  # promoted r09: generated 8-stage BPE oracle
+    "streaming_heavy_hitters_topk",  # promoted r09: exact-regime MG
+    "streaming_custom_sessions",  # promoted r09: drained-stream oracle
     "gopher_quality_filter",  # last green r04
     "passage_dup_spans",  # last green r04
     "tpch_q18_large_orders",  # last green r04
@@ -9165,9 +9310,6 @@ _WINDOW_THIS_ROUND = [
     "ntile_feature_binning",  # last green r05
     "join_key_skew_probe",  # last green r05
     "histogram_fixed_bins",  # last green r05
-    "tpch_q8_market_share",  # last green r05
-    "tpch_q15_top_supplier",  # last green r05
-    "activity_streaks",  # last green r05
 ]
 
 
