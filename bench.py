@@ -53,6 +53,10 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "p2_lsh_similarity",
+    # The scale-safe p2 twin (VERDICT r08 item 5): exact prefix-filter
+    # join on the portable 20% sample — the plan whose candidate volume
+    # tracks true pairs at 100×, gated alongside the MLlib-parity row.
+    "p2_scale_path_jaccard",
     "embedding_ann_ivf",
     "json_props_extract_agg",
     "semi_anti_existence",
