@@ -118,6 +118,47 @@ def test_queries_md_fresh():
     assert got == want, "QUERIES.md stale — run: python tools/gen_queries_md.py"
 
 
+def test_local_gate_fresher_than_registry_source():
+    # VERDICT r09 item 1 hardening: the committed local-gate pair must
+    # have been regenerated AFTER the last change to queries.py — a
+    # registry edit after gate regeneration is exactly the debt rounds
+    # 7-9 shipped. Timestamps: last git commit touching the file, or
+    # the filesystem mtime when the file has uncommitted changes (so
+    # the discipline also bites during development: edit queries.py →
+    # this test is red until tools/end_of_round.py reruns the gates).
+    import re
+    import subprocess
+
+    def _last_change(path: pathlib.Path) -> int:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", str(path)],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.strip()
+        ts = int(out) if out else 0
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", str(path)],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.strip()
+        if dirty and path.exists():
+            ts = max(ts, int(path.stat().st_mtime))
+        return ts
+
+    gates = sorted(REPO.glob("CORRECTNESS_local_r[0-9][0-9]*.json"))
+    assert gates, "no local gate files committed"
+    by_round: dict[int, list[pathlib.Path]] = {}
+    for f in gates:
+        rnd = int(re.match(r"CORRECTNESS_local_r(\d+)", f.name).group(1))
+        by_round.setdefault(rnd, []).append(f)
+    newest_pair = by_round[max(by_round)]
+    gate_ts = max(_last_change(f) for f in newest_pair)
+    src_ts = _last_change(REPO / "apache_spark_link_prediction_spark" / "queries.py")
+    assert gate_ts >= src_ts, (
+        "local gate pair predates the last queries.py change — run "
+        "python tools/end_of_round.py and commit the regenerated pair "
+        "as the round's LAST commit"
+    )
+
+
 def test_local_gate_covers_every_registry_entry():
     # Gate/registry invariant (VERDICT r07 item 2: the round-7 gate was
     # regenerated BEFORE the round's last query registration, so the

@@ -44,6 +44,36 @@ def current_round() -> int:
     return max(rounds, default=0) + 1
 
 
+def verify_gate_pair(gate: str, gate_small: str) -> None:
+    """Fail loudly if either freshly-written gate file's entry set
+    differs from the registry at HEAD (VERDICT r09 item 1) — a cheap,
+    Spark-free check that catches the exact failure mode rounds 7-9 all
+    shipped: a query registered AFTER the gate regeneration, leaving
+    the committed pair missing entries. Runs after steps 4-5 write the
+    files, before pytest, so the failure names the offending entries
+    instead of surfacing as a generic test_registry red."""
+    import json
+
+    sys.path.insert(0, REPO)
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    for path in (gate, gate_small):
+        rows = set(json.load(open(path)))
+        missing = sorted(set(QUERIES) - rows)
+        stale = sorted(rows - set(QUERIES))
+        if missing or stale:
+            print(
+                f"FAILED gate-vs-registry: {os.path.basename(path)} "
+                f"missing={missing} stale={stale}\n"
+                "A query was (un)registered after the gate regeneration "
+                "— re-run tools/end_of_round.py so the pair covers the "
+                "registry at HEAD.",
+                flush=True,
+            )
+            raise SystemExit(1)
+    print("ok gate-vs-registry (entry sets match the registry)", flush=True)
+
+
 def run(label: str, cmd: list[str]) -> None:
     t0 = time.time()
     print(f"== {label}: {' '.join(cmd)}", flush=True)
@@ -75,6 +105,7 @@ def main() -> int:
         "gate sf0.001",
         [py, "tools/check_oracle.py", "/root/testdata/sf0.001", "--json", gate_small],
     )
+    verify_gate_pair(gate, gate_small)
     run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     print(
         f"\nALL GREEN for round {rnd}. Now commit (as the round's LAST "
