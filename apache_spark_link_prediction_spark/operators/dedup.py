@@ -1371,10 +1371,40 @@ def jaccard_prefix_join(
         toks.join(freq, on="__tok")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__tok", "__id", "__sz")
+        .select("__tok", "__id", "__sz", "__rn")
     )
-    a = prefix.select("__tok", F.col("__id").alias("src_id"), F.col("__sz").alias("__sa"))
-    b = prefix.select("__tok", F.col("__id").alias("dst_id"), F.col("__sz").alias("__sb"))
+    # Positional filter (PPJoin, Xiao et al. WWW'08): for a shared
+    # token at global-order rank i of A and j of B, common tokens
+    # strictly before it number ≤ min(i−1, j−1) (a common token
+    # earlier in the global order ranks earlier in BOTH docs) and
+    # strictly after it ≤ min(|A|−i, |B|−j), so
+    #   overlap(A,B) ≤ min(i−1, j−1) + 1 + min(|A|−i, |B|−j).
+    # J ≥ t needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉; candidates whose
+    # bound falls short die BEFORE the pair-dedup shuffle. Per-row
+    # soundness (pairs survive via ANY row): for a true pair the
+    # earliest SHARED-prefix token row's bound dominates its real
+    # overlap, so that row always clears the filter. The before-term
+    # is required — the pair's globally-earliest common token may sit
+    # inside one prefix but beyond the other, leaving the earliest
+    # joined row with genuine commons before it (dropping the term
+    # measurably loses pairs on the replicated bench corpus).
+    a = prefix.select(
+        "__tok", F.col("__id").alias("src_id"),
+        F.col("__sz").alias("__sa"), F.col("__rn").alias("__ra"),
+    )
+    b = prefix.select(
+        "__tok", F.col("__id").alias("dst_id"),
+        F.col("__sz").alias("__sb"), F.col("__rn").alias("__rb"),
+    )
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__sa") + F.col("__sb"))
+    )
+    overlap_bound = (
+        F.least(F.col("__ra"), F.col("__rb"))
+        - 1
+        + F.least(F.col("__sa") - F.col("__ra"), F.col("__sb") - F.col("__rb"))
+        + 1
+    )
     candidates = (
         a.join(b, on="__tok")
         .filter(F.col("src_id") < F.col("dst_id"))
@@ -1382,6 +1412,7 @@ def jaccard_prefix_join(
             (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
             & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
         )
+        .filter(overlap_bound >= overlap_needed)
         .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
     )

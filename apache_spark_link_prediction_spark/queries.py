@@ -1362,11 +1362,11 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_similarity_join(feats, threshold=0.8, mode="intent")
 
 
-def _P2_SCALE_PATH_ORACLE() -> str:
+def _P2_SCALE_PATH_ORACLE(modulus: int = 5) -> str:
     return f"""
     WITH s AS (
       SELECT doc_id, text FROM documents
-      WHERE ({_rolling_hash_sql("'p2:' || CAST(doc_id AS VARCHAR)")}) % 5 = 0),
+      WHERE ({_rolling_hash_sql("'p2:' || CAST(doc_id AS VARCHAR)")}) % {modulus} = 0),
     d AS (
       SELECT doc_id, list_distinct({_toks_sql('text')}) AS toks FROM s)
     SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
@@ -1406,6 +1406,32 @@ def p2_scale_path_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sampled = docs.filter(
         doc_rolling_hash(F.concat(F.lit("p2:"), F.col("doc_id").cast("string"))) % 5
+        == 0
+    )
+    return jaccard_prefix_join(sampled, threshold=0.8)
+
+
+@register("p2_scale_path_jaccard_deep", _P2_SCALE_PATH_ORACLE(modulus=20))
+def p2_scale_path_jaccard_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HEADLINE-BENCH twin of :func:`p2_scale_path_jaccard` at a
+    deeper 5% sample (h % 20 == 0 of the portable rolling hash; same
+    exact prefix-filter plan, same hash-gated all-pairs DuckDB oracle).
+
+    Why a separate row (VERDICT r09 item 3): the 20% entry is
+    output-bound by measurement — at the 10× bench replica its true
+    pair count grows 66× (111,871 → 7,387,140; every ≥9-token doc
+    gains 45 cross-copy near-identical pairs by the replica's
+    construction) so its 290-400s wall owned 73% of the r09 series
+    total while measuring pair EMISSION, not plan quality. The 5%
+    sample shrinks cluster sizes 4× (pairs ~16×) keeping the row's
+    wall comparable across rounds; the 20% entry stays registry-graded
+    for correctness and its 10×-tier first measurement is recorded in
+    BASELINE.md Round 10."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(
+        doc_rolling_hash(F.concat(F.lit("p2:"), F.col("doc_id").cast("string"))) % 20
         == 0
     )
     return jaccard_prefix_join(sampled, threshold=0.8)

@@ -53,10 +53,14 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "p2_lsh_similarity",
-    # The scale-safe p2 twin (VERDICT r08 item 5): exact prefix-filter
-    # join on the portable 20% sample — the plan whose candidate volume
-    # tracks true pairs at 100×, gated alongside the MLlib-parity row.
-    "p2_scale_path_jaccard",
+    # The scale-safe p2 twin (VERDICT r08 item 5) at the 5% bench
+    # sample (VERDICT r09 item 3): exact prefix-filter join — the plan
+    # whose candidate volume tracks true pairs at 100×. The 20% entry
+    # (p2_scale_path_jaccard) is output-bound at the 10× replica (66×
+    # true-pair growth, BASELINE.md Round 10) and would own ~3/4 of
+    # the series total while measuring pair emission, so the series
+    # gates its 5%-sample twin instead.
+    "p2_scale_path_jaccard_deep",
     "embedding_ann_ivf",
     "json_props_extract_agg",
     "semi_anti_existence",
@@ -85,6 +89,10 @@ SF1_RECORDED: dict[str, float] = {
     "text_quality": 0.38,
     "token_counts": 0.59,
     "p2_lsh_similarity": 25.33,
+    # First measurement round 10 (BASELINE.md Round 10): 10× replica,
+    # solo-warm best-of-2, 464,380 output pairs (67× the 1× tier's
+    # 6,929 — output-bound by construction of the replica corpus).
+    "p2_scale_path_jaccard_deep": 28.08,
     "embedding_ann_ivf": 6.17,
     "json_props_extract_agg": 0.65,
     "semi_anti_existence": 0.94,
@@ -197,14 +205,18 @@ def run_pass(queries, sf_dir: str, names: list[str], *, timed: bool) -> dict[str
 
 def solo_rerun(queries, sf_dir: str, name: str) -> float:
     """Solo-warm adjudication rerun for a gate-tripped query (VERDICT
-    r09 item 2): clean state, one untimed warm pass, one timed pass —
-    the same protocol the r08 graph_common_neighbors adjudication ran
-    by hand. The gate then judges the BETTER of in-sequence and solo
-    time, so a trip caused by in-JVM residue or momentary contention
-    self-clears while a genuine plan regression (slow both ways) still
-    flags."""
+    r09 item 2): clean state, one untimed warm pass, best of TWO timed
+    passes — the protocol the r08/r10 graph_common_neighbors
+    adjudications ran by hand. Best-of-2 because the r10 adjudication
+    measured sporadic whole-VM stalls (guest CPUs ~97% idle mid-query,
+    zero steal/iowait — host-level, invisible to the guest) that
+    inflate a single run 2-8× at random; a genuine plan regression is
+    slow on EVERY run, so the min still flags it."""
     run_pass(queries, sf_dir, [name], timed=False)
-    return run_pass(queries, sf_dir, [name], timed=True)[name]
+    return min(
+        run_pass(queries, sf_dir, [name], timed=True)[name],
+        run_pass(queries, sf_dir, [name], timed=True)[name],
+    )
 
 
 _SPARK = None
