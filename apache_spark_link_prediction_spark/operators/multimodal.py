@@ -597,6 +597,65 @@ def audio_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(op, schema=schema)
 
 
+def audio_impulse_from_documents(docs: DataFrame) -> DataFrame:
+    """Testbed adapter: synthesize an IMPULSE-TRAIN 16-bit mono PCM WAV
+    per document — amplitude 10000 at every P-th sample, 0 elsewhere,
+    with period ``P = 8·2^(doc_id mod 4) ∈ {8,16,32,64}`` and length
+    padded down to a multiple of P (min one period).
+
+    Why this waveform exists (next to the sawtooth of
+    :func:`audio_from_documents`): its DFT is closed-form EXACT — for
+    a frame of length L with P | L, X_m = A·L/P when m ≡ 0 (mod L/P),
+    else 0, so every non-DC nonzero rfft bin has the SAME magnitude
+    and the spectral centroid collapses to the unweighted mean of the
+    harmonic frequencies, rate·(P+2)/(4P) — a dyadic rational (312.5,
+    281.25, 265.625, 257.8125 Hz at rate 1000), independent of frame
+    length. That lets a scalar SQL oracle hash-check the REAL decode →
+    rFFT → centroid path (audio_spectral_centroid) end to end: FFT
+    round-off perturbs the zero bins by ~1e-13 of the peak, orders of
+    magnitude inside the 4-dp rounding. P | 256 keeps every
+    frame_samples=256 window (and the P-multiple tail) phase-aligned."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                p = 8 * (1 << (int(doc_id) % 4))
+                n = max(p, (int(n_chars) // p) * p)
+                samples = np.zeros(n, dtype="<i2")
+                samples[::p] = 10000
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(1000)
+                    w.writeframes(samples.tobytes())
+                ids.append(int(doc_id))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "modality": ["audio"] * len(ids),
+                    "mime": ["audio/wav"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return docs.select("doc_id", "n_chars").mapInPandas(op, schema=schema)
+
+
 def audio_energy_windows(media: DataFrame, *, window_samples: int = 50) -> DataFrame:
     """Windowed RMS energy over PCM WAV payloads — the first feature
     any audio curation pipeline computes (silence/clipping detection,

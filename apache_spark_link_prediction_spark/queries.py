@@ -871,6 +871,21 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@register("embedding_ann_ivfpq")  # approx — rows-only (k-means/PQ not SQL-portable)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (VERDICT r08 item 6): coarse k-means cells +
+    per-cell residual product-quantization codes + asymmetric-distance
+    candidate scoring + exact re-rank — the memory-feasible 100 TB ANN
+    tier (search-time corpus state is (id, cell, m codes) ≈ 3% of the
+    raw vectors; see operators.similarity.ivf_pq_top_k). Recall floor
+    vs brute force and re-rank-score exactness pinned in
+    tests/test_operators.py."""
+    from .operators.similarity import ivf_pq_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_top_k(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @register("embedding_near_dup")  # approx — rows-only
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via capped sign-LSH self-join.
@@ -1649,11 +1664,39 @@ def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_stateful_ema")  # rows-only: order-dependent custom state
+@register(
+    "streaming_stateful_ema",
+    # Drained-stream closed form (promotion, VERDICT r09 item 7 — the
+    # heavy-hitters/custom-sessions shape): the bounded file stream
+    # drains in ONE micro-batch (no maxFilesPerTrigger), so the
+    # per-user fold order is the global ts sort — (user_id, ts) is
+    # unique in the corpus — and a recursive CTE replays the EXACT
+    # IEEE-double sequence: first event seeds ema = value, each next
+    # folds 0.3·v + (1.0 − 0.3)·ema (the (1.0 − 0.3) matters: it is
+    # one ulp away from literal 0.7, and the Spark side computes
+    # 1.0 − alpha too).
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    f AS (
+      SELECT user_id, 1 AS rn, n, value AS ema FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, f.n,
+             0.3 * e.value + (1.0 - 0.3) * f.ema
+      FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+    SELECT user_id, CAST(n AS INT) AS n_events, round(ema, 6) AS ema
+    FROM f WHERE rn = n
+    """,
+)
 def streaming_stateful_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user EMA of event value; pinned against an independent pandas
-    fold in tests/test_streaming.py."""
+    fold in tests/test_streaming.py AND hash-gated against a
+    recursive-CTE oracle that replays the drained single-batch fold
+    op-for-op (see the oracle note on float semantics)."""
     from .streaming.events import run_stream_to_memory, streaming_user_ema
 
     return run_stream_to_memory(
@@ -2052,6 +2095,97 @@ def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = minhash_index(old, shingle_n=1)
     inc = minhash_incremental_pairs(idx, new, shingle_n=1, threshold=0.9)
     return dedup_clusters_incremental(assignment, new.select("doc_id"), inc)
+
+
+def _curate_batch_tail(docs: DataFrame, kept_new: DataFrame) -> DataFrame:
+    """Shared tail of the incremental curation pipeline (used by the
+    registry query AND its full-recompute parity test): keeper-aware
+    decontamination + deterministic hash split over an already
+    keeper-filtered new batch. Benchmark slice = doc_id % 100 < 5 over
+    the WHOLE corpus (the eval suite doesn't shrink because ingest is
+    incremental); per-doc output (doc_id, lang, split, n_tokens)."""
+    from .functions.textstats import doc_rolling_hash
+    from .operators.dedup import word_shingles
+
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 100 < 5)
+        .select(F.explode(word_shingles("text", _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    train_cand = kept_new.filter(F.col("doc_id") % 100 >= 5)
+    contaminated = (
+        train_cand.select(
+            "doc_id", F.explode(word_shingles("text", _DECON_N)).alias("gram")
+        )
+        .join(bench_grams, on="gram", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    sh = doc_rolling_hash(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    return (
+        train_cand.join(contaminated, on="doc_id", how="left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(sh % 100 < 80, "train").otherwise("test").alias("split"),
+            F.size(tokenize("text")).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+@register("incremental_curation_e2e")  # rows-only: minhash banding + iterative CC
+def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY-INGEST curation pipeline end-to-end (VERDICT r08 item
+    7 / r09 item 6) — what a 100 TB corpus actually runs per batch,
+    composed from the repo's incremental tiers in one lazy plan:
+
+    1. ``minhash_incremental_pairs`` — near-dup pairs touching the new
+       batch (docs with doc_id % 5 == 0), against the persisted
+       ``minhash_index`` of the old corpus (text never re-read);
+    2. ``dedup_clusters_incremental`` — keeper maintenance by cluster
+       contraction (CC on the batch graph only, corpus-sized work is
+       two equi-joins);
+    3. keeper gate — a new doc survives iff it IS its cluster's keeper
+       (duplicates of already-ingested content are dropped; history is
+       frozen, old docs are never retroactively dropped);
+    4. keeper-aware n-gram decontamination against the benchmark slice
+       (doc_id % 100 < 5 over the whole corpus — the eval suite is
+       corpus-wide even when ingest is incremental) — only the KEPT
+       new docs pay the gram explode;
+    5. deterministic hash train/test split (portable rolling hash).
+
+    Emits one row per surviving new-batch doc: (doc_id, lang, split,
+    n_tokens). Parity-pinned against the full-recompute pipeline
+    (re-cluster old ∪ new from scratch, same tail) by
+    tests/test_plans.py::test_incremental_curation_matches_full_recompute
+    — the composition proof, same shape as curation_pipeline_e2e's
+    single-plan claim. Scale: per-ingest cost is O(batch) for every
+    stage (the index and assignment are the persisted corpus state;
+    rebuilt in-query here only because registry queries are
+    self-contained, like dedup_clusters_incremental)."""
+    from .operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+        minhash_incremental_pairs,
+        minhash_index,
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    assignment = dedup_clusters(
+        old, minhash_near_dup_pairs(old, shingle_n=1, threshold=0.9)
+    )
+    idx = minhash_index(old, shingle_n=1)
+    inc = minhash_incremental_pairs(idx, new, shingle_n=1, threshold=0.9)
+    updated = dedup_clusters_incremental(assignment, new.select("doc_id"), inc)
+    kept_new = new.join(
+        updated.filter(F.col("keeper_id") == F.col("doc_id")).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+    return _curate_batch_tail(docs, kept_new)
 
 
 # ---------------------------------------------------------------------------
@@ -9031,6 +9165,48 @@ def multimodal_audio_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = audio_from_documents(docs)
+    frames = audio_spectral_centroid(media, frame_samples=256)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("centroid_hz"), 4).alias("mean_centroid_hz"),
+    )
+
+
+@register(
+    "multimodal_audio_centroid_tone",
+    # Impulse-train closed form (hash-gated twin of the FFT path,
+    # VERDICT r09 item 7): every non-DC nonzero rfft bin of an
+    # impulse train has equal magnitude, so the centroid is the plain
+    # mean of the harmonics — rate·(P+2)/(4P), a dyadic rational
+    # (exact at 4 dp), for FULL frames and the P-multiple tail alike.
+    """
+    SELECT doc_id AS media_id,
+           CAST(ceil(greatest(8 * (1 << (doc_id % 4)),
+                              (n_chars // (8 * (1 << (doc_id % 4))))
+                                * (8 * (1 << (doc_id % 4)))) / 256.0)
+                AS BIGINT) AS n_frames,
+           round(1000.0 * (8 * (1 << (doc_id % 4)) + 2)
+                 / (4.0 * (8 * (1 << (doc_id % 4)))), 4) AS mean_centroid_hz
+    FROM documents
+    """,
+)
+def multimodal_audio_centroid_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated twin of ``multimodal_audio_centroid``: the SAME
+    real frequency-domain path (stdlib WAV decode → numpy rFFT →
+    windowed spectral centroid, operators/multimodal.py
+    audio_spectral_centroid) driven over impulse-train payloads whose
+    spectrum is closed-form exact (see audio_impulse_from_documents) —
+    the general sawtooth entry stays rows-only because an arbitrary
+    waveform's FFT is not scalar-SQL-expressible, while this corpus
+    makes the identical binary pipeline oracle-checkable end to end
+    (the audio analogue of the audio_energy promotion)."""
+    from .operators.multimodal import (
+        audio_impulse_from_documents,
+        audio_spectral_centroid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = audio_impulse_from_documents(docs)
     frames = audio_spectral_centroid(media, frame_samples=256)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),

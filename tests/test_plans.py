@@ -357,3 +357,43 @@ def test_threshold_metrics_matches_mllib_binary_classification_metrics(spark):
         assert got[t][0] == pytest.approx(prec[t]), f"precision@{t}"
         assert got[t][1] == pytest.approx(rec[t]), f"recall@{t}"
         assert got[t][2] == pytest.approx(f1[t]), f"f1@{t}"
+
+
+def test_incremental_curation_matches_full_recompute(spark, docs):
+    """incremental_curation_e2e (VERDICT r08 item 7): the per-batch
+    pipeline (incremental pairs → contracted clustering → keeper gate
+    → decontamination → hash split) must emit exactly the rows the
+    FULL-recompute pipeline (re-cluster old ∪ new from scratch, same
+    tail) emits for the new batch — the composition proof on top of
+    the per-stage parities already pinned in test_operators.py."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+    from apache_spark_link_prediction_spark.queries import (
+        _curate_batch_tail,
+        incremental_curation_e2e,
+    )
+
+    import tests.conftest as c
+
+    got = {
+        (r["doc_id"], r["lang"], r["split"], r["n_tokens"])
+        for r in incremental_curation_e2e(spark, c.SF_DIR).collect()
+    }
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    full_assignment = dedup_clusters(
+        docs, minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
+    )
+    kept_new_full = new.join(
+        full_assignment.filter(F.col("keeper_id") == F.col("doc_id")).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+    want = {
+        (r["doc_id"], r["lang"], r["split"], r["n_tokens"])
+        for r in _curate_batch_tail(docs, kept_new_full).collect()
+    }
+    assert got == want
+    assert got, "fixture produced no curated rows"

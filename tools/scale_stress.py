@@ -35,6 +35,7 @@ from apache_spark_link_prediction_spark.operators.dedup import (  # noqa: E402
 )
 from apache_spark_link_prediction_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_pairs,
+    ivf_pq_top_k,
     ivf_top_k,
     lsh_bucketed_top_k,
 )
@@ -187,6 +188,7 @@ DOCS_QUERIES = (
     "dedup_minhash_incremental",
     "dedup_simhash_incremental",
     "dedup_clusters_incremental",
+    "incremental_curation_e2e",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
@@ -286,6 +288,9 @@ def main() -> None:
         ),
         "embedding_ann_ivf": lambda d, e: ivf_top_k(
             e, e.filter(F.col("vec_id") < 8), k=5, num_cells=16, nprobe=4
+        ),
+        "embedding_ann_ivfpq": lambda d, e: ivf_pq_top_k(
+            e, e.filter(F.col("vec_id") < 8), k=5
         ),
         "embedding_near_dup": lambda d, e: embedding_near_dup_pairs(
             e, threshold=0.4, tables=8, planes=4
