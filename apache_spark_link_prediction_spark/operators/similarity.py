@@ -351,9 +351,18 @@ def _fit_pq_codebooks(sample_vectors, coarse_centers, *, m: int, ks: int, seed: 
 
     x = np.asarray(sample_vectors, dtype=np.float64)
     centers = np.asarray(coarse_centers, dtype=np.float64)
+
+    def _argmin_sq(pts, cents):
+        # ‖p−c‖² = ‖p‖² − 2p·c + ‖c‖² via matmul — the naive
+        # (n, k, dim) broadcast materializes n·k·dim doubles (1.4 GB
+        # and 23.6s at the 10×-tier 20k×141×64; the matmul form is
+        # <0.1s). ‖p‖² is constant per row, so it drops out of argmin.
+        return ((cents * cents).sum(axis=1)[None, :] - 2.0 * pts @ cents.T).argmin(
+            axis=1
+        )
+
     # nearest coarse centroid per sample row → residuals
-    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    res = x - centers[d2.argmin(axis=1)]
+    res = x - centers[_argmin_sq(x, centers)]
     n, dim = res.shape
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
@@ -364,7 +373,7 @@ def _fit_pq_codebooks(sample_vectors, coarse_centers, *, m: int, ks: int, seed: 
         k_eff = min(ks, n)
         cb = xs[rng.choice(n, size=k_eff, replace=False)].copy()
         for _ in range(10):  # Lloyd; coarse codebooks don't need convergence
-            a = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            a = _argmin_sq(xs, cb)
             for c in range(k_eff):
                 mask = a == c
                 if mask.any():

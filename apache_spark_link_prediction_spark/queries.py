@@ -9491,76 +9491,70 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATES (tools/gen_window.py) so every registry entry accumulates
 # driver evidence across consecutive round artifacts.
 #
-# Round-9 accounting (213 entries at round start: 189 oracle-backed, 24
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan at round-9
-#   start (VERDICT r08 item 1).  After r08 graded, EVERY registry entry
-#   has >=1 driver row and the never-graded backlog is zero, so rotation
-#   is pure oldest-first: the 5 r04-green oracle-backed entries lead,
-#   then r05-green entries in gen_window order.  New entries registered
-#   this round are never-graded and auto-lead the NEXT window (they are
-#   appended after this rotation was pinned; tests allow that).
 # Ordering rule (pinned in tests/test_registry.py): while ANY entry has
 #   no committed driver CORRECTNESS row, never-graded queries fill
 #   window slots before any re-grade — first-time evidence beats
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
+# Round-10 accounting (219 entries at round start: 196 oracle-backed, 23
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan at round-10
+#   start: the five round-10 additions/promotions are never-graded and
+#   lead (oracle-backed first: the 5%-sample p2 bench twin, the promoted
+#   EMA recursive-CTE oracle, the impulse-train centroid twin; then the
+#   two new rows-only tiers: IVF-PQ and the incremental curation e2e),
+#   followed by pure oldest-first rotation (r05 greens, then r06).
 _WINDOW_THIS_ROUND = [
-    # r09 promotions (VERDICT r08 item 3): rows-only -> hash-gated this
-    # round; placed in the window so the driver records their first
-    # hash-green rows (policy-clean: all three already have their
-    # first-evidence rows-only driver row, and they are oracle-backed
-    # now, so window re-grade slots are theirs to take).
-    "bpe_tokenize_stats",  # promoted r09: generated 8-stage BPE oracle
-    "streaming_heavy_hitters_topk",  # promoted r09: exact-regime MG
-    "streaming_custom_sessions",  # promoted r09: drained-stream oracle
-    "p2_scale_path_jaccard",  # new r09: scale-safe p2 twin (headline)
-    "gopher_quality_filter",  # last green r04
-    "passage_dup_spans",  # last green r04
-    "tpch_q18_large_orders",  # last green r04
-    "cohort_retention",  # last green r04
-    "sliding_window_agg",  # last green r04
-    "null_fill_group",  # last green r05
-    "conditional_label_agg",  # last green r05
-    "split_part_type",  # last green r05
-    "tpch_q3_topk",  # last green r05
-    "rollup_agg",  # last green r05
-    "pivot_linestatus",  # last green r05
-    "lang_id",  # last green r05
-    "text_quality",  # last green r05
-    "token_counts",  # last green r05
-    "multimodal_payload_meta",  # last green r05
-    "graph_common_neighbors",  # last green r05
-    "graph_triangle_count",  # last green r05
-    "json_props_extract_agg",  # last green r05
-    "semi_anti_existence",  # last green r05
-    "doc_chunking",  # last green r05
-    "pack_sequences",  # last green r05
-    "decontaminate_ngram",  # last green r05
-    "repetition_ratio",  # last green r05
-    "multimodal_resize_meta",  # last green r05
-    "multimodal_frame_sample",  # last green r05
-    "graph_adamic_adar",  # last green r05
-    "train_test_split_hash",  # last green r05
-    "stratified_sample_mixture",  # last green r05
-    "percentile_agg",  # last green r05
-    "zscore_by_group_pandas",  # last green r05
-    "window_functions_suite",  # last green r05
-    "sql_correlated_exists",  # last green r05
-    "pii_scrub",  # last green r05
-    "html_strip",  # last green r05
-    "vocab_topk",  # last green r05
-    "tfidf_keywords",  # last green r05
-    "graph_pref_attachment",  # last green r05
-    "graph_jaccard_neighbors",  # last green r05
-    "graph_resource_allocation",  # last green r05
-    "tpch_q6_forecast_revenue",  # last green r05
-    "tpch_q10_returned_items",  # last green r05
-    "tpch_q13_order_counts",  # last green r05
-    "tpch_q14_promo_effect",  # last green r05
-    "tpch_q19_discounted_revenue",  # last green r05
-    "ntile_feature_binning",  # last green r05
-    "join_key_skew_probe",  # last green r05
+    "p2_scale_path_jaccard_deep",  # never graded
+    "streaming_stateful_ema",  # never graded
+    "multimodal_audio_centroid_tone",  # never graded
+    "embedding_ann_ivfpq",  # never graded (rows-only)
+    "incremental_curation_e2e",  # never graded (rows-only)
+    "histogram_fixed_bins",  # last green r05
+    "tpch_q8_market_share",  # last green r05
+    "tpch_q15_top_supplier",  # last green r05
+    "activity_streaks",  # last green r05
+    "event_transition_counts",  # last green r05
+    "cdc_upsert_latest",  # last green r05
+    "time_weighted_avg_daily",  # last green r05
+    "dedup_levenshtein_banded",  # last green r05
+    "sample_k_per_group",  # last green r05
+    "streaming_cdc_upsert",  # last green r06
+    "funnel_conversion",  # last green r06
+    "retention_cohorts",  # last green r06
+    "concurrent_sessions",  # last green r06
+    "dedup_jaccard_prefix",  # last green r06
+    "gap_fill_daily",  # last green r06
+    "unigram_logprob_score",  # last green r06
+    "token_drift_js",  # last green r06
+    "pagerank_parts",  # last green r06
+    "tpch_q4_priority_exists",  # last green r06
+    "tpch_q12_late_shipments",  # last green r06
+    "tpch_q21_waiting_supplier",  # last green r06
+    "tpch_q22_idle_customers",  # last green r06
+    "bm25_scoring",  # last green r06
+    "bigram_next_token",  # last green r06
+    "graph_khop_reachability",  # last green r06
+    "winsorize_by_group",  # last green r06
+    "table_profile",  # last green r06
+    "corr_by_group",  # last green r06
+    "incremental_agg_merge",  # last green r06
+    "variant_props_extract",  # last green r06
+    "streaming_static_join",  # last green r06
+    "array_hof_suite",  # last green r06
+    "null_semantics_suite",  # last green r06
+    "k_anonymity_release",  # last green r06
+    "ndcg_retrieval_eval",  # last green r06
+    "interpolate_missing_daily",  # last green r06
+    "asof_join_pandas",  # last green r06
+    "multi_distinct_agg",  # last green r06
+    "sql_lateral_topk",  # last green r06
+    "snapshot_diff_audit",  # last green r06
+    "trigram_search_index",  # last green r06
+    "count_min_freq",  # last green r06
+    "weighted_sample_ares",  # last green r06
+    "ks_drift_sources",  # last green r06
+    "gini_revenue_concentration",  # last green r06
 ]
 
 

@@ -62,6 +62,7 @@ HEADLINE = [
     # gates its 5%-sample twin instead.
     "p2_scale_path_jaccard_deep",
     "embedding_ann_ivf",
+    "embedding_ann_ivfpq",
     "json_props_extract_agg",
     "semi_anti_existence",
     "salted_skew_join",
@@ -94,6 +95,10 @@ SF1_RECORDED: dict[str, float] = {
     # 6,929 — output-bound by construction of the replica corpus).
     "p2_scale_path_jaccard_deep": 28.08,
     "embedding_ann_ivf": 6.17,
+    # First measurement round 10: 10× tier solo-warm best-of-2; the
+    # eager fit chain (count + coarse KMeans + bounded sample collect +
+    # numpy codebooks) is the ~7s constant term — 1× measures 7.0s.
+    "embedding_ann_ivfpq": 10.16,
     "json_props_extract_agg": 0.65,
     "semi_anti_existence": 0.94,
     "salted_skew_join": 2.08,
