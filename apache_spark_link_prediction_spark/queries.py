@@ -2320,6 +2320,108 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_select",
+    # Per-token log-ratio rounded to 9dp and summed as DECIMAL(28,9)
+    # (the time_decay_user_score pattern: absorb the ≤1-ulp libm ln
+    # divergence per term, keep the aggregate exact); the smoothing-
+    # denominator constant K folds out of the per-token join as
+    # n_tokens·K. DuckDB ln() = natural log (log() is base 10).
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_toks_sql('text')} AS toks FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+    stats AS (
+      SELECT tok, count(*) AS c_s,
+             count(*) FILTER (WHERE lang = 'en') AS c_t
+      FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t, count(*) AS v FROM stats),
+    per_doc AS (
+      SELECT t.doc_id,
+             SUM(CAST(round(ln((s.c_t + 1.0) / (s.c_s + 1.0)), 9)
+                      AS DECIMAL(18,9))) AS sum_term,
+             count(*) AS n_tok
+      FROM tok t JOIN stats s USING (tok) GROUP BY t.doc_id),
+    k AS (SELECT CAST(round(ln((n_t + v) / (n_s + v * 1.0)), 9)
+                      AS DECIMAL(18,9)) AS kk FROM tot)
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(p.n_tok, 0) AS INT) AS n_tokens,
+           -- round the EXACT DECIMAL to 6dp (half-away-from-zero in
+           -- both engines), THEN cast: rounding the double instead
+           -- diverges on ...x500-tail decimals (measured 120/500 docs
+           -- one-ulp-of-1e-6 apart at sf0.001)
+           CAST(round(COALESCE(p.sum_term, 0) - COALESCE(p.n_tok, 0) * kk, 6)
+                AS DOUBLE) AS logratio,
+           CAST(COALESCE(p.sum_term, 0) - COALESCE(p.n_tok, 0) * kk > 0
+                AS INT) AS selected
+    FROM (SELECT doc_id, lang FROM documents) d
+    LEFT JOIN per_doc p USING (doc_id) CROSS JOIN k
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 —
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document importance weight = log-ratio of the document's
+    probability under a TARGET unigram LM (here: the lang='en' slice
+    stands in for the high-quality target corpus) vs the SOURCE LM
+    (the whole corpus), both add-one smoothed over the shared vocab;
+    ``selected`` = documents the target LM likes at least as much as
+    the source (logratio > 0) — the deterministic-threshold variant of
+    the paper's importance resampling.
+
+    Exactness contract: each token's log-ratio term rounds to 9dp on
+    an identical IEEE double in both engines, then sums as exact
+    DECIMAL(28,9) (order-independent), so the gate is a true hash
+    check despite libm ln() differing by ulps between JVM and DuckDB.
+    Plan shape at 100 TB: one explode scan → vocab-sized conditional
+    aggregation (map-side partial) → token-keyed join back (stats are
+    (tok, 2 longs) — never doc text) → one doc-keyed aggregation; the
+    corpus totals are a broadcast scalar. No driver-side state, no
+    UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokenize("text")).alias("tok"))
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
+    tot = stats.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # decimal(18,9), NOT (28,9): the n_tokens·K product must fit
+    # Spark's 38-digit precision cap EXACTLY — long(=dec(20,0))·dec(28,9)
+    # overflows it and Spark silently truncates the product to scale 6,
+    # which diverged from DuckDB's exact decimal math on 120/500 docs.
+    term = F.round(
+        F.log((F.col("c_t") + F.lit(1.0)) / (F.col("c_s") + F.lit(1.0))), 9
+    ).cast("decimal(18,9)")
+    per_doc = (
+        tok.join(stats, on="tok")
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("sum_term"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    kk = F.round(
+        F.log((F.col("n_t") + F.col("v")) / (F.col("n_s") + F.col("v") * F.lit(1.0))),
+        9,
+    ).cast("decimal(18,9)")
+    zero = F.lit(0).cast("decimal(18,9)")
+    logratio_dec = F.coalesce(F.col("sum_term"), zero) - F.coalesce(
+        F.col("n_tok"), F.lit(0)
+    ).cast("decimal(10,0)") * F.col("kk")
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, on="doc_id", how="left")
+        .crossJoin(F.broadcast(tot.select(kk.alias("kk"))))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("int").alias("n_tokens"),
+            # decimal round BEFORE the double cast — see the oracle note
+            F.round(logratio_dec, 6).cast("double").alias("logratio"),
+            (logratio_dec > 0).cast("int").alias("selected"),
+        )
+    )
+
+
+@register(
     "repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),
@@ -9497,17 +9599,19 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-10 accounting (219 entries at round start: 196 oracle-backed, 23
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan at round-10
-#   start: the five round-10 additions/promotions are never-graded and
-#   lead (oracle-backed first: the 5%-sample p2 bench twin, the promoted
-#   EMA recursive-CTE oracle, the impulse-train centroid twin; then the
-#   two new rows-only tiers: IVF-PQ and the incremental curation e2e),
-#   followed by pure oldest-first rotation (r05 greens, then r06).
+# Round-10 accounting (220 entries: 197 oracle-backed, 23
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the six
+#   round-10 additions/promotions are never-graded and lead
+#   (oracle-backed first: the 5%-sample p2 bench twin, the promoted EMA
+#   recursive-CTE oracle, the impulse-train centroid twin, the DSIR
+#   importance selector; then the two new rows-only tiers: IVF-PQ and
+#   the incremental curation e2e), followed by pure oldest-first
+#   rotation (r05 greens, then r06).
 _WINDOW_THIS_ROUND = [
     "p2_scale_path_jaccard_deep",  # never graded
     "streaming_stateful_ema",  # never graded
     "multimodal_audio_centroid_tone",  # never graded
+    "dsir_importance_select",  # never graded
     "embedding_ann_ivfpq",  # never graded (rows-only)
     "incremental_curation_e2e",  # never graded (rows-only)
     "histogram_fixed_bins",  # last green r05
@@ -9554,7 +9658,6 @@ _WINDOW_THIS_ROUND = [
     "count_min_freq",  # last green r06
     "weighted_sample_ares",  # last green r06
     "ks_drift_sources",  # last green r06
-    "gini_revenue_concentration",  # last green r06
 ]
 
 

@@ -58,6 +58,13 @@ ALLOW = {
     # multi-probe cell assignment is queries x num_cells centroids
     # (a 16-row broadcast dim) — the corpus side never nested-loops
     "embedding_ann_ivf": {"nested-loop join"},
+    # same probe shape as embedding_ann_ivf (queries x broadcast
+    # centroid table); the corpus side joins on cell id, codes-only
+    "embedding_ann_ivfpq": {"nested-loop join"},
+    # corpus-total/vocab-size scalar (1-row broadcast) cross-joined as
+    # the smoothing constant K — same driver-collect-free
+    # global-scalar pattern as heavy_hitters_tokens
+    "dsir_importance_select": {"nested-loop join"},
     # 1-row broadcast total (corpus-size scalar) cross-joined for the
     # relative threshold — the driver-collect-free way to use a global
     # count inside the plan

@@ -189,6 +189,7 @@ DOCS_QUERIES = (
     "dedup_simhash_incremental",
     "dedup_clusters_incremental",
     "incremental_curation_e2e",
+    "dsir_importance_select",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
