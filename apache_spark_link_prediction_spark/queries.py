@@ -2320,6 +2320,85 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_containment_fuzzy",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= {_DECON_N}
+                   THEN list_distinct(list_transform(range(0, len(toks) - {_DECON_N - 1}),
+                                      i -> array_to_string(toks[i + 1 : i + {_DECON_N}], ' ')))
+                   ELSE [array_to_string(toks, ' ')] END AS grams
+          FROM d),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 >= 5),
+    bench AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 < 5),
+    ng AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+    ov AS (SELECT t.doc_id, b.bench_id, count(*) AS ov
+           FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id, b.bench_id),
+    mx AS (SELECT doc_id, max(ov) AS max_ov FROM ov GROUP BY doc_id)
+    SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+           round(COALESCE(mx.max_ov, 0) * 1.0 / ng.n_grams, 6) AS max_containment,
+           CAST(COALESCE(mx.max_ov, 0) * 2 >= ng.n_grams AS INT) AS contaminated
+    FROM ng LEFT JOIN mx USING (doc_id)
+    """,
+)
+def decontaminate_containment_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination by n-gram CONTAINMENT — the
+    GPT-3/Pile-style leak filter one step past exact-match
+    ``decontaminate_ngram``: a training doc is contaminated when the
+    fraction of its word-{_DECON_N}-gram set contained in some single
+    benchmark doc reaches 1/2 (near-duplicates of eval items leak even
+    when no verbatim overlap survives edits). Same benchmark contract
+    as the exact filter (docs with doc_id % 100 < 5 stand in for the
+    eval suite; training docs are the rest).
+
+    Emits per training doc (doc_id, n_grams, max_containment,
+    contaminated); the flag uses the exact-integer rule
+    ``2·overlap ≥ n_grams`` (no float threshold compare), containment
+    is a small-integer ratio rounded at 6dp (dyadic halves round
+    identically in both engines — verified).
+
+    Plan shape at 100 TB: distinct grams explode map-side, ONE shuffle
+    on the gram string for the train⨝bench equi-join (bench side is
+    eval-suite-sized — thousands of docs — so candidate volume is
+    bounded by shared-gram fan-out against a small set), pair counts
+    aggregate map-side, max per train doc. At extreme gram skew add
+    the hot-gram cap the dedup family uses; not needed at eval-suite
+    scale."""
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", _DECON_N)).alias("gram")
+    )
+    train = grams.filter(F.col("doc_id") % 100 >= 5)
+    bench = grams.filter(F.col("doc_id") % 100 < 5).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    ng = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    mx = (
+        train.join(bench, on="gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .groupBy("doc_id")
+        .agg(F.max("ov").alias("max_ov"))
+    )
+    return (
+        ng.join(mx, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("max_ov"), F.lit(0)) * F.lit(1.0) / F.col("n_grams"),
+                6,
+            ).alias("max_containment"),
+            (F.coalesce(F.col("max_ov"), F.lit(0)) * 2 >= F.col("n_grams"))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
     "dsir_importance_select",
     # Per-token log-ratio rounded to 9dp and summed as DECIMAL(28,9)
     # (the time_decay_user_score pattern: absorb the ≤1-ulp libm ln
@@ -9599,19 +9678,20 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-10 accounting (220 entries: 197 oracle-backed, 23
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the six
+# Round-10 accounting (221 entries: 198 oracle-backed, 23
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the seven
 #   round-10 additions/promotions are never-graded and lead
 #   (oracle-backed first: the 5%-sample p2 bench twin, the promoted EMA
 #   recursive-CTE oracle, the impulse-train centroid twin, the DSIR
-#   importance selector; then the two new rows-only tiers: IVF-PQ and
-#   the incremental curation e2e), followed by pure oldest-first
-#   rotation (r05 greens, then r06).
+#   importance selector, the fuzzy containment decontaminator; then the
+#   two new rows-only tiers: IVF-PQ and the incremental curation e2e),
+#   followed by pure oldest-first rotation (r05 greens, then r06).
 _WINDOW_THIS_ROUND = [
     "p2_scale_path_jaccard_deep",  # never graded
     "streaming_stateful_ema",  # never graded
     "multimodal_audio_centroid_tone",  # never graded
     "dsir_importance_select",  # never graded
+    "decontaminate_containment_fuzzy",  # never graded
     "embedding_ann_ivfpq",  # never graded (rows-only)
     "incremental_curation_e2e",  # never graded (rows-only)
     "histogram_fixed_bins",  # last green r05
@@ -9657,7 +9737,6 @@ _WINDOW_THIS_ROUND = [
     "trigram_search_index",  # last green r06
     "count_min_freq",  # last green r06
     "weighted_sample_ares",  # last green r06
-    "ks_drift_sources",  # last green r06
 ]
 
 

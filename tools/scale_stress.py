@@ -190,6 +190,7 @@ DOCS_QUERIES = (
     "dedup_clusters_incremental",
     "incremental_curation_e2e",
     "dsir_importance_select",
+    "decontaminate_containment_fuzzy",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
