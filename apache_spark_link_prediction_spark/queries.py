@@ -9678,7 +9678,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-10 accounting (221 entries: 198 oracle-backed, 23
+# Round-10 accounting (220 entries: 198 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the seven
 #   round-10 additions/promotions are never-graded and lead
 #   (oracle-backed first: the 5%-sample p2 bench twin, the promoted EMA
