@@ -1384,10 +1384,13 @@ def jaccard_prefix_join(
     # soundness (pairs survive via ANY row): for a true pair the
     # earliest SHARED-prefix token row's bound dominates its real
     # overlap, so that row always clears the filter. The before-term
-    # is required — the pair's globally-earliest common token may sit
-    # inside one prefix but beyond the other, leaving the earliest
-    # joined row with genuine commons before it (dropping the term
-    # measurably loses pairs on the replicated bench corpus).
+    # is required for worst-case soundness — the pair's globally-
+    # earliest common token may sit inside one prefix but beyond the
+    # other, leaving the earliest joined row with genuine commons
+    # before it. (Measured on the test corpora the tighter no-before
+    # bound happens to lose zero pairs — rank gaps between shared
+    # prefix tokens stay small there — but that is a property of the
+    # data, not of the bound; the sound form costs nothing extra.)
     a = prefix.select(
         "__tok", F.col("__id").alias("src_id"),
         F.col("__sz").alias("__sa"), F.col("__rn").alias("__ra"),
