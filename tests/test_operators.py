@@ -1909,3 +1909,68 @@ def test_minhash_incremental_tolerates_pre_r08_index(spark, docs):
     }
     assert got == want
     assert got, "fixture produced no pairs touching the new batch"
+
+
+def test_jaccard_prefix_join_boundary_geometry(spark):
+    """Adversarial pin for the PPJoin prefix+positional filters (round
+    10): randomized corpora DESIGNED to stress the bound geometry —
+    documents built from a shared core plus per-doc rare tokens, sizes
+    straddling the t·|A| ≤ |B| ratio bound, many pairs at Jaccard
+    exactly around the 0.8 threshold, and frequency ties that shuffle
+    global token ranks. The join must equal the pure-Python quadratic
+    over token SETS exactly (both pair membership and the 6dp jaccard),
+    at both collapse settings. This is the corpus family where an
+    unsound positional bound (e.g. dropping the min(i−1,j−1)
+    before-term) or an off-by-one prefix length silently loses
+    boundary pairs that random text never exercises."""
+    import itertools
+    import random
+
+    from apache_spark_link_prediction_spark.operators.dedup import jaccard_prefix_join
+
+    rng = random.Random(987)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = []
+    doc_id = 0
+    for trial in range(3):
+        core = rng.sample(vocab, 12)
+        # size ladder around the ratio bound: |B|/|A| from 0.7 to 1.0
+        for drop in range(0, 5):
+            for extra in range(0, 3):
+                toks = core[: 12 - drop] + rng.sample(
+                    [w for w in vocab if w not in core], extra
+                )
+                rng.shuffle(toks)
+                docs.append((doc_id, " ".join(toks)))
+                doc_id += 1
+        # exact-duplicate sets (collapse tier) + an empty doc
+        docs.append((doc_id, " ".join(core))); doc_id += 1
+        docs.append((doc_id, " ".join(reversed(core)))); doc_id += 1
+    docs.append((doc_id, "")); doc_id += 1
+    docs.append((doc_id, "   ")); doc_id += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {
+        i: frozenset(t.strip().lower().split()) - {""} for i, t in docs
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = sets[a] | sets[b]
+        if not u:
+            continue  # two empty sets: jaccard 0 by the union>0 rule
+        j = round(len(sets[a] & sets[b]) / len(u), 6)
+        if j >= 0.8:
+            want[(a, b)] = j
+    assert want, "fixture produced no boundary pairs"
+    assert any(v == 0.8 for v in want.values()) or any(
+        0.8 <= v <= 0.85 for v in want.values()
+    ), "fixture lost its near-threshold band"
+
+    for collapse in (True, False):
+        got = {
+            (r["src_id"], r["dst_id"]): r["jaccard"]
+            for r in jaccard_prefix_join(
+                df, threshold=0.8, collapse_exact=collapse
+            ).collect()
+        }
+        assert got == want, f"collapse={collapse}"
