@@ -313,6 +313,19 @@ def main() -> None:
         for name, t in timings_10x.items():
             if _trips(name, t):
                 solo = solo_rerun(QUERIES, rep_dir, name)
+                if _trips(name, solo):
+                    # The box's stall windows can outlast one best-of-2
+                    # rerun (measured round 10: tpch_q3_topk solo'd at
+                    # 7.6s during a throttle stretch, then 1.7-2.7s in
+                    # a fresh JVM minutes later vs 2.04 recorded).
+                    # Cool down once and try again before flagging.
+                    print(
+                        f"# gate trip {name}: solo {solo:.3f}s still "
+                        "trips — 30s cool-down retry",
+                        file=sys.stderr,
+                    )
+                    time.sleep(30)
+                    solo = min(solo, solo_rerun(QUERIES, rep_dir, name))
                 solo_times[name] = solo
                 print(
                     f"# gate trip {name}: in-sequence {t:.3f}s, "
