@@ -1974,3 +1974,33 @@ def test_jaccard_prefix_join_boundary_geometry(spark):
             ).collect()
         }
         assert got == want, f"collapse={collapse}"
+
+
+def test_ivfpq_normalized_space_and_tiny_corpus(spark, emb):
+    """The normalize=True path (unit-sphere cells, ADC exactly monotone
+    in cosine) must stay above the sign-LSH-grade recall floor, and the
+    degenerate branch — fit sample smaller than ks, codebooks padded —
+    must still return exact-cosine rows at full rank count."""
+    from apache_spark_link_prediction_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_pq_top_k,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_top_k(emb, queries, k=5)
+    approx = ivf_pq_top_k(emb, queries, k=5, num_cells=16, nprobe=4, normalize=True)
+    t = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & t) / len(t) >= 0.4, "normalized IVF-PQ recall floor"
+
+    # tiny corpus: 10 vectors < ks=16 → k_eff < ks, padded codebooks
+    tiny = emb.filter(F.col("vec_id") < 10)
+    out = ivf_pq_top_k(
+        tiny, tiny.filter(F.col("vec_id") < 2), k=3, num_cells=4, nprobe=4, ks=16
+    ).collect()
+    exact_all = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                 for r in brute_force_top_k(tiny, tiny.filter(F.col("vec_id") < 2),
+                                            k=10**9).collect()}
+    assert len(out) == 2 * 3  # nprobe=num_cells probes everything
+    for r in out:
+        assert abs(exact_all[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9

@@ -712,3 +712,30 @@ def test_kafka_broker_smoke(spark, sf_dir):
     a = {tuple(r) for r in events.collect()}
     b = {tuple(r) for r in back.select(*events.columns).collect()}
     assert a == b
+
+
+def test_streaming_ema_stream_drains_in_one_batch(spark, sf_dir):
+    """Pins the precondition of streaming_stateful_ema's hash oracle
+    (promoted round 10): the bounded file stream must drain in ONE
+    micro-batch, so the per-user fold order is the global ts sort the
+    recursive-CTE oracle replays. If a maxFilesPerTrigger ever splits
+    it, cross-batch arrival order would reorder the fold and the gate
+    would silently depend on file order — this test fails first."""
+    from apache_spark_link_prediction_spark.queries import _events_as_stream
+    from apache_spark_link_prediction_spark.streaming.events import (
+        streaming_user_ema,
+    )
+
+    agg = streaming_user_ema(_events_as_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ema_batch_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch_ids = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert batch_ids == [0], f"stream split into batches {batch_ids}"
