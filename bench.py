@@ -108,6 +108,18 @@ REPLICA_COPIES = 10
 REPLICA_MARKER = "_SPARK_GRAFT_REPLICA_OK"
 
 
+def trips_gate(name: str, t: float, recorded: dict[str, float] | None = None) -> bool:
+    """Per-query regression-gate predicate: a timing trips only when it
+    exceeds BOTH 2× its recorded baseline AND the baseline + 2s
+    absolute slack (round 8: sub-second 10×-tier queries swing ~2×
+    run-to-run from JIT/straggler noise alone, so a ratio-only gate on
+    a small base flags noise). Unrecorded queries never trip (their
+    first measurement becomes the baseline). Module-level so
+    tests/test_cli.py can pin the arithmetic."""
+    rec = SF1_RECORDED if recorded is None else recorded
+    return name in rec and t > 2.0 * rec[name] and t - rec[name] > 2.0
+
+
 def replica_path(base_sf_dir: str) -> str:
     tag = os.path.basename(base_sf_dir.rstrip("/")) or "sf"
     return f"/tmp/spark_graft_bench_{tag}_x{REPLICA_COPIES}"
@@ -298,12 +310,7 @@ def main() -> None:
         # plans — BASELINE.md Round 8), so a ratio-only gate on a small
         # base flags noise; a genuine regression on a query that matters
         # clears 2× AND 2 absolute seconds.
-        def _trips(name: str, t: float) -> bool:
-            return (
-                name in SF1_RECORDED
-                and t > 2.0 * SF1_RECORDED[name]
-                and t - SF1_RECORDED[name] > 2.0
-            )
+        _trips = trips_gate
 
         # Auto-adjudicate trips with a solo-warm rerun (VERDICT r09
         # item 2 / ADVICE r09): the in-sequence timing can be inflated

@@ -86,3 +86,29 @@ def test_cli_p2_reference_mode_runs(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "Total edges created: " in capsys.readouterr().out
+
+
+def test_bench_trips_gate_arithmetic():
+    """Pins bench.py's per-query regression-gate predicate: 2× ratio
+    AND +2s absolute slack, both required; unrecorded names never trip
+    (their first measurement becomes the recorded baseline)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    rec = {"fast": 0.5, "slow": 10.0}
+    # ratio trips but absolute slack saves the sub-second query
+    assert not bench.trips_gate("fast", 1.9, rec)      # 3.8x but +1.4s
+    assert bench.trips_gate("fast", 2.6, rec)          # 5.2x and +2.1s
+    # absolute excess without the ratio does not trip
+    assert not bench.trips_gate("slow", 19.9, rec)     # +9.9s but 1.99x
+    assert bench.trips_gate("slow", 22.1, rec)         # 2.21x and +12.1s
+    # boundary: exactly 2x / exactly +2s do NOT trip (strict >)
+    assert not bench.trips_gate("slow", 20.0, rec)
+    assert not bench.trips_gate("fast", 1.0, rec)
+    # unrecorded name never trips
+    assert not bench.trips_gate("new_row", 1e9, rec)

@@ -2,7 +2,7 @@
 gate-regeneration discipline that rounds 7 and 8 both shipped as debt,
 made structurally un-skippable:
 
-    python tools/end_of_round.py [--round N] [--skip-bench]
+    python tools/end_of_round.py [--round N]
 
 runs, in order, failing fast with a non-zero exit on the first red step:
 
