@@ -2501,6 +2501,81 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_repetition_ngram",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(range(0, len(toks) - 1),
+                                   i -> array_to_string(toks[i + 1 : i + 2], ' '))
+               ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks) - 2),
+                                   i -> array_to_string(toks[i + 1 : i + 3], ' '))
+               ELSE [] END AS g3
+      FROM d)
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS total_2gram,
+           round(CASE WHEN len(g2) = 0 THEN 0.0
+                      ELSE (len(g2) - len(list_distinct(g2)) * 1.0) / len(g2)
+                 END, 6) AS dup_frac_2gram,
+           CAST(len(g3) AS BIGINT) AS total_3gram,
+           round(CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE (len(g3) - len(list_distinct(g3)) * 1.0) / len(g3)
+                 END, 6) AS dup_frac_3gram
+    FROM g
+    """,
+)
+def gopher_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram repetition signals (Rae et al.
+    2021, arXiv:2112.11446 Table A1): per document, the fraction of
+    2-gram and 3-gram OCCURRENCES that are repeats of an earlier
+    occurrence — templated/looping text scores high where the
+    top-token ``repetition_ratio`` stays blind (distinct tokens can
+    still repeat as phrases). dup_frac_n = (total − distinct)/total,
+    0 for docs shorter than n tokens; small-integer ratio rounded at
+    6dp (both engines round dyadic halves identically — verified
+    round 10).
+
+    Scale shape: a pure per-document map — ONE scan, zero shuffles,
+    zero joins; the n-gram arrays are built by transform over an
+    already-projected token column (referencing the attribute, not
+    inlining the split subtree — the word_shingles re-evaluation trap,
+    SURVEY §2 note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize("text").alias("toks"))
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g = d.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
+
+    def frac(col: str) -> F.Column:
+        total = F.size(col)
+        return F.round(
+            F.when(total == 0, F.lit(0.0)).otherwise(
+                (total - F.size(F.array_distinct(col)) * F.lit(1.0)) / total
+            ),
+            6,
+        )
+
+    return g.select(
+        "doc_id",
+        F.size("g2").cast("long").alias("total_2gram"),
+        frac("g2").alias("dup_frac_2gram"),
+        F.size("g3").cast("long").alias("total_3gram"),
+        frac("g3").alias("dup_frac_3gram"),
+    )
+
+
+@register(
     "repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),
@@ -9678,12 +9753,13 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-10 accounting (220 entries: 198 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the seven
+# Round-10 accounting (221 entries: 199 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the eight
 #   round-10 additions/promotions are never-graded and lead
 #   (oracle-backed first: the 5%-sample p2 bench twin, the promoted EMA
 #   recursive-CTE oracle, the impulse-train centroid twin, the DSIR
-#   importance selector, the fuzzy containment decontaminator; then the
+#   importance selector, the fuzzy containment decontaminator, the
+#   Gopher duplicate-n-gram signals; then the
 #   two new rows-only tiers: IVF-PQ and the incremental curation e2e),
 #   followed by pure oldest-first rotation (r05 greens, then r06).
 _WINDOW_THIS_ROUND = [
@@ -9692,6 +9768,7 @@ _WINDOW_THIS_ROUND = [
     "multimodal_audio_centroid_tone",  # never graded
     "dsir_importance_select",  # never graded
     "decontaminate_containment_fuzzy",  # never graded
+    "gopher_repetition_ngram",  # never graded
     "embedding_ann_ivfpq",  # never graded (rows-only)
     "incremental_curation_e2e",  # never graded (rows-only)
     "histogram_fixed_bins",  # last green r05
@@ -9736,7 +9813,6 @@ _WINDOW_THIS_ROUND = [
     "snapshot_diff_audit",  # last green r06
     "trigram_search_index",  # last green r06
     "count_min_freq",  # last green r06
-    "weighted_sample_ares",  # last green r06
 ]
 
 

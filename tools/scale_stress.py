@@ -191,6 +191,7 @@ DOCS_QUERIES = (
     "incremental_curation_e2e",
     "dsir_importance_select",
     "decontaminate_containment_fuzzy",
+    "gopher_repetition_ngram",
     "bm25_scoring",
     "bigram_next_token",
     "k_anonymity_release",
