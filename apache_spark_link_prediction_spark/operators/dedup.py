@@ -1366,7 +1366,25 @@ def jaccard_prefix_join(
     toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
-    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    # Every pruning bound below must be STRICTLY PERMISSIVE w.r.t. the
+    # verification predicate round(jaccard, 6) >= threshold, which
+    # admits true J down to threshold − 5e-7 (HALF_UP). Two epsilon
+    # guards make that hold (ADVICE r10, high):
+    #   * t_eff relaxes each bound to the rounded predicate's floor
+    #     (matters only for corpora with 10^6-token docs, but costs
+    #     nothing);
+    #   * _EPS subtracted inside every ceil() defeats IEEE-double
+    #     overshoot — e.g. 0.8/1.8 > 4/9 in doubles, so
+    #     t·(sa+sb)/(1+t) at exact-integer points (sa+sb = 63, 117,
+    #     126, … at t = 0.8) ceils one too high and silently drops a
+    #     true pair sitting at exactly J = threshold. The same
+    #     overshoot family hits ceil(t·sz) (prefix one token too
+    #     short at sz = 35, 70, … for t = 0.8) and the size filter
+    #     (ceil(0.8·35) = 29 in doubles, dropping a legal
+    #     |A|=35,|B|=28 pair at J = 0.8), so all three sites use it.
+    t_eff = threshold - 1e-6
+    _EPS = 1e-9
+    prefix_len = F.col("__sz") - F.ceil(F.lit(t_eff) * F.col("__sz") - F.lit(_EPS)) + 1
     prefix = (
         toks.join(freq, on="__tok")
         .withColumn("__rn", F.row_number().over(w))
@@ -1400,7 +1418,7 @@ def jaccard_prefix_join(
         F.col("__sz").alias("__sb"), F.col("__rn").alias("__rb"),
     )
     overlap_needed = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("__sa") + F.col("__sb"))
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("__sa") + F.col("__sb")) - F.lit(_EPS)
     )
     overlap_bound = (
         F.least(F.col("__ra"), F.col("__rb"))
@@ -1412,8 +1430,8 @@ def jaccard_prefix_join(
         a.join(b, on="__tok")
         .filter(F.col("src_id") < F.col("dst_id"))
         .filter(
-            (F.col("__sb") >= F.ceil(F.lit(threshold) * F.col("__sa")))
-            & (F.col("__sa") >= F.ceil(F.lit(threshold) * F.col("__sb")))
+            (F.col("__sb") >= F.ceil(F.lit(t_eff) * F.col("__sa") - F.lit(_EPS)))
+            & (F.col("__sa") >= F.ceil(F.lit(t_eff) * F.col("__sb") - F.lit(_EPS)))
         )
         .filter(overlap_bound >= overlap_needed)
         .select("src_id", "dst_id")

@@ -364,7 +364,14 @@ def _fit_pq_codebooks(sample_vectors, coarse_centers, *, m: int, ks: int, seed: 
     # nearest coarse centroid per sample row → residuals
     res = x - centers[_argmin_sq(x, centers)]
     n, dim = res.shape
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    if dim % m != 0:
+        # ValueError, not assert: the contract must survive python -O
+        # and name the tunable at the ivf_pq_top_k call site instead
+        # of an opaque numpy reshape error (ADVICE r10, low).
+        raise ValueError(
+            f"vector dim {dim} must be divisible by m={m} PQ subspaces; "
+            "pass an m that divides the embedding dimension"
+        )
     sub = dim // m
     rng = np.random.default_rng(seed)
     codebooks = []

@@ -1669,8 +1669,10 @@ def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Drained-stream closed form (promotion, VERDICT r09 item 7 — the
     # heavy-hitters/custom-sessions shape): the bounded file stream
     # drains in ONE micro-batch (no maxFilesPerTrigger), so the
-    # per-user fold order is the global ts sort — (user_id, ts) is
-    # unique in the corpus — and a recursive CTE replays the EXACT
+    # per-user fold order is the (ts, value) sort — the value
+    # tie-break makes the order deterministic even for duplicate
+    # per-user timestamps, and ties on BOTH keys fold
+    # order-invariantly — and a recursive CTE replays the EXACT
     # IEEE-double sequence: first event seeds ema = value, each next
     # folds 0.3·v + (1.0 − 0.3)·ema (the (1.0 − 0.3) matters: it is
     # one ulp away from literal 0.7, and the Spark side computes
@@ -1678,7 +1680,7 @@ def json_props_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE e AS (
       SELECT user_id, CAST(value AS DOUBLE) AS value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n
       FROM events),
     f AS (

@@ -274,7 +274,15 @@ def streaming_user_ema(
             n, ema = state.get
         else:
             n, ema = 0, 0.0
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # Secondary key `value` (ADVICE r10): (user_id, ts) uniqueness
+        # holds on the shipped corpus, but pandas quicksort is
+        # non-stable — without a tie-break a future corpus with
+        # duplicate per-user timestamps would make the hash gate
+        # nondeterministic. With ties on BOTH ts and value the fold is
+        # order-invariant (equal values fold commutatively), so this
+        # is fully deterministic for any corpus. The CTE oracle
+        # orders by the same (ts, value) pair.
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "value"])
         for v in rows["value"]:
             ema = float(v) if n == 0 else alpha * float(v) + (1.0 - alpha) * ema
             n += 1

@@ -1976,6 +1976,41 @@ def test_jaccard_prefix_join_boundary_geometry(spark):
         assert got == want, f"collapse={collapse}"
 
 
+def test_jaccard_prefix_join_float_ceil_overshoot(spark):
+    """ADVICE r10 (high) regression: at t=0.8 the IEEE-double quotient
+    0.8/1.8 exceeds 4/9, so ceil(0.8/1.8·(sa+sb)) overshoots by one at
+    exact-integer points (sa+sb = 63, 117, 126, …) and an unrelaxed
+    positional filter silently drops a true pair sitting at exactly
+    J = threshold. Constructed counterexample: |A|=34, |B|=29,
+    overlap=28 ⇒ J = 28/35 = 0.8. Doc C carries A's six unique tokens
+    so B's singleton is the GLOBALLY rarest token — then every
+    shared-prefix candidate row's positional bound is exactly 28,
+    while the overshooting requirement is ceil(28.000000000000004)=29.
+    The epsilon-relaxed filter (dedup.py, t_eff/_EPS) must keep the
+    pair; C must pair with nobody."""
+    from apache_spark_link_prediction_spark.operators.dedup import jaccard_prefix_join
+
+    shared = [f"s{i:02d}" for i in range(28)]
+    a_uni = [f"z{i:02d}" for i in range(6)]
+    doc_a = " ".join(shared + a_uni)                      # |A| = 34
+    doc_b = " ".join(["a00"] + shared)                    # |B| = 29
+    doc_c = " ".join(a_uni + [f"j{i:02d}" for i in range(4)])  # df(z*)=2
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    assert len(set(doc_a.split())) + len(set(doc_b.split())) == 63
+    assert round(28 / 35, 6) == 0.8
+
+    for collapse in (True, False):
+        got = {
+            (r["src_id"], r["dst_id"]): r["jaccard"]
+            for r in jaccard_prefix_join(
+                df, threshold=0.8, collapse_exact=collapse
+            ).collect()
+        }
+        assert got == {(1, 2): 0.8}, f"collapse={collapse}: {got}"
+
+
 def test_ivfpq_normalized_space_and_tiny_corpus(spark, emb):
     """The normalize=True path (unit-sphere cells, ADC exactly monotone
     in cosine) must stay above the sign-LSH-grade recall floor, and the

@@ -38,11 +38,31 @@ def test_every_oracle_key_is_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def _graded_before_newest() -> set:
+    """Names with a driver row in any artifact EXCEPT the newest one.
+    The newest artifact is excluded because it is the round that just
+    graded the current window: an entry whose ONLY row lives there took
+    its slot for its first-ever evidence, which the policy allows. A
+    row in any older artifact means the entry already had evidence
+    before this window was pinned — holding a slot now is a re-grade."""
+    files = sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json")))
+    graded: set = set()
+    for f in files[:-1]:
+        graded |= set(json.load(open(f)).keys())
+    if "funnel_conversion" in graded:
+        graded.add("funnel_view_click_purchase")
+    return graded
+
+
 def test_rows_only_window_entries_are_never_graded():
     # A rows-only query may take a grading slot ONLY for its first-ever
     # driver row (the weak rows-only check adds nothing on repeat);
-    # hash-oracle entries own every re-grade slot.
-    graded = _driver_graded()
+    # hash-oracle entries own every re-grade slot. Implemented as
+    # stated (VERDICT r10 wrong-item 1): an entry whose only driver row
+    # is in the NEWEST artifact is taking its first-ever evidence slot
+    # and is exempt — the suite must stay green the moment the driver
+    # drops a fresh artifact on disk, not only at the pre-driver commit.
+    graded = _graded_before_newest()
     offenders = [
         n for n in list(QUERIES)[:DRIVER_WINDOW]
         if n not in ORACLE and n in graded

@@ -739,3 +739,20 @@ def test_streaming_ema_stream_drains_in_one_batch(spark, sf_dir):
     finally:
         q.stop()
     assert batch_ids == [0], f"stream split into batches {batch_ids}"
+
+    # The oracle's other precondition (ADVICE r10): the fold order is
+    # deterministic. With the (ts, value) secondary sort both sides now
+    # tolerate duplicate per-user timestamps, but pin that the shipped
+    # corpus ALSO has no (user_id, ts, value) duplicates, so any future
+    # corpus change that could reorder the fold fails loudly here
+    # rather than flickering the hash gate.
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dup = (
+        events.groupBy("user_id", "ts", "value")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, f"{dup} duplicate (user_id, ts, value) triples"
