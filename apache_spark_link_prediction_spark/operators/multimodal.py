@@ -860,6 +860,42 @@ def png_near_dup_testbed(
     return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def png_class_testbed(
+    docs: DataFrame, *, classes: int = 100, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Hash-gate twin of :func:`png_near_dup_testbed`: the SAME
+    closed-form class-frequency PNG family but WITHOUT the per-doc
+    one-byte wiggle, so every doc in class ``doc_id % classes`` renders
+    a byte-identical payload and the perceptual hash is a pure function
+    of the class. That makes the full binary pipeline (stdlib PNG
+    encode → decode → 32×32 DCT → 64-bit pHash) oracle-checkable
+    against per-class golden constants (queries.image_phash_class_gate)
+    — the image analogue of audio_impulse_from_documents. The wiggled
+    testbed stays the near-dup demo (sha256 misses its pairs); this one
+    pins the hash computation itself."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                cls = int(d) % classes
+                base = bytes(
+                    ((2 * cls + 3) * i + (i * i) // 7) % 256 for i in range(n)
+                )
+                payloads.append(encode_png(width, height, base, color_type=0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 AUDIO_CENTROID_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -115,3 +115,34 @@ def test_cdc_apply_deletes_tombstone_semantics(spark, events_pd):
     assert not (set(out) & tombstoned) and tombstoned
     for r in upserts.itertuples():
         assert out[r.user_id] == pytest.approx(round(float(r.value), 6), abs=1e-6)
+
+
+def test_decontaminate_fuzzy_hot_gram_cap_is_noop_on_corpus(spark):
+    """Pins the precondition of decontaminate_containment_fuzzy's hash
+    gate after the hot-gram cap became standard (VERDICT r10 item 3):
+    the DuckDB oracle is UNCAPPED, so the gate stays green only while
+    no gram on the shipped corpus exceeds _DECON_HOT_GRAM_CAP. Assert
+    the max gram document-frequency is far below the cap (observed ≤4
+    at sf0.001-0.1), so a corpus regen that introduces boilerplate
+    grams fails loudly here instead of flipping the hash gate."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.operators.dedup import word_shingles
+    from apache_spark_link_prediction_spark.queries import (
+        _DECON_HOT_GRAM_CAP,
+        _DECON_N,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    max_df = (
+        docs.select(F.explode(word_shingles("text", _DECON_N)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_df <= _DECON_HOT_GRAM_CAP // 10, (
+        f"max gram df {max_df} is within 10x of the cap "
+        f"{_DECON_HOT_GRAM_CAP}; the uncapped oracle may diverge"
+    )

@@ -616,3 +616,45 @@ def test_media_ingest_gate_determinism_claims(spark):
         ph = phash64_from_gray(gray)
         dmin = min(bin(ph ^ s).count("1") for s in sigs)
         assert dmin > 7, f"novel image {i} within hamming {dmin} of the index"
+
+
+def test_phash_class_golden_constants():
+    """Regenerates the 100 golden per-class pHashes that
+    queries.image_phash_class_gate's DuckDB oracle hardcodes, via the
+    SAME operator path the query runs (encode_png → decode_png →
+    phash64_from_gray), and audits the median-threshold margins: the
+    smallest nonzero |DCT coefficient − median| must stay far above
+    floating-point summation noise (>=1e-4), so the golden values are
+    stable across BLAS implementations and a future numpy cannot flip
+    a bit silently. If the testbed formula or the hash path changes,
+    this fails BEFORE the driver's hash gate does."""
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        _dct_matrix,
+        decode_png,
+        encode_png,
+        phash64_from_gray,
+    )
+    from apache_spark_link_prediction_spark.queries import PHASH_CLASS_GOLDEN
+
+    assert len(PHASH_CLASS_GOLDEN) == 100
+    n = 32 * 32
+    got = []
+    min_margin = float("inf")
+    for cls in range(100):
+        base = bytes(((2 * cls + 3) * i + (i * i) // 7) % 256 for i in range(n))
+        meta = decode_png(encode_png(32, 32, base, color_type=0))
+        gray = np.frombuffer(meta["pixels"], dtype=np.uint8).reshape(
+            meta["height"], meta["width"], meta["channels"]
+        ).mean(axis=2)
+        got.append(phash64_from_gray(gray))
+        m = _dct_matrix(32)
+        d = (m @ gray.astype(np.float64) @ m.T)[:8, :8].ravel()
+        med = float(np.median(d[1:]))
+        margins = np.abs(d - med)
+        nz = margins[margins > 0]
+        min_margin = min(min_margin, float(nz.min()))
+    assert tuple(got) == PHASH_CLASS_GOLDEN
+    assert len(set(got)) == 100, "class hashes must be pairwise distinct"
+    assert min_margin >= 1e-4, f"threshold margin too thin: {min_margin}"
