@@ -1714,10 +1714,22 @@ def streaming_stateful_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_neardup_suppress")  # rows-only: greedy arrival-order
-# semantics (earliest-seen keeper wins) are inherently stateful-stream-
-# shaped; pinned against an independent Python greedy simulation in
-# tests/test_streaming.py.
+@register("streaming_neardup_suppress")  # rows-only — promotion adjudicated
+# (VERDICT r10 item 6): the streaming_stateful_ema precedent (recursive-CTE
+# replay of the drained single-batch fold) does NOT transfer. The fold order
+# itself is replayable — DuckDB recursive CTEs can carry the per-bucket
+# admitted-signature set as list state, and the single-file stream drains in
+# one batch — but the values being folded are NOT: the SimHash signature is
+# built from Spark's xxhash64 (XXH64, seed 42) of each token
+# (operators/dedup.py simhash/simhash_cols), an engine-internal hash
+# primitive with no DuckDB equivalent, so no SQL over the parquet can
+# reproduce a single signature, let alone the greedy admit/suppress
+# sequence. The EMA promotion worked because its folded values (the
+# events.value column) exist in the corpus; here they are engine-internal.
+# Hence rows-only forever, pinned instead against an independent Python
+# greedy simulation in tests/test_streaming.py (signature computation,
+# bucket assignment, arrival-order fold, and cap semantics all re-derived
+# outside Spark's plan).
 def streaming_neardup_suppress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup suppression (streaming.events.
     streaming_neardup_suppress): SimHash map-side, pigeonhole-block
