@@ -2605,6 +2605,229 @@ def gopher_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_perplexity",
+    # Same decimal-exactness contract as dsir_importance_select: each
+    # bigram's log-prob term rounds to 9dp on an identical IEEE double
+    # in both engines ((c_b + 1.0)/(c_w + v) is exact-double in both),
+    # then sums order-independently as DECIMAL; the keep rule is an
+    # exact decimal comparison (threshold 3.4 nats/bigram — the corpus
+    # median avg-NLL is 3.387, so the flag splits non-trivially).
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> struct_pack(w1 := toks[i],
+                                         big := toks[i] || ' ' || toks[i + 1]))) AS s
+          FROM d WHERE len(toks) >= 2),
+    bb AS (SELECT doc_id, s.w1 AS w1, s.big AS big FROM b),
+    cb AS (SELECT big, count(*) AS c_b FROM bb GROUP BY big),
+    cw AS (SELECT w1, count(*) AS c_w FROM bb GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM d)),
+    terms AS (SELECT doc_id,
+                     CAST(round(ln((c_b + 1.0) / (c_w + v)), 9)
+                          AS DECIMAL(18,9)) AS t
+              FROM bb JOIN cb USING (big) JOIN cw USING (w1) CROSS JOIN v),
+    pd AS (SELECT doc_id, count(*) AS nb, -SUM(t) AS nll FROM terms GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(round(COALESCE(pd.nll, 0), 6) AS DOUBLE) AS nll,
+           CAST(COALESCE(pd.nll, 0) <= CAST(3.4 AS DECIMAL(2,1))
+                * COALESCE(pd.nb, 0) AS INT) AS keep
+    FROM d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020,
+    arXiv:1911.00359 — CCNet scores every document with a corpus LM
+    and keeps the low-perplexity head): an add-one-smoothed BIGRAM
+    model is fit on the corpus itself (P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V))
+    and every document reports its total negative log-likelihood; the
+    ``keep`` flag marks documents at or below 3.4 nats/bigram (an
+    exact-decimal comparison, no float threshold).
+
+    Exactness: the dsir_importance_select contract — per-term
+    round(ln(·), 9) on bit-identical doubles, exact DECIMAL sums,
+    decimal-domain keep rule, final 6dp round before the double cast.
+
+    Plan shape at 100 TB: one explode scan into (w1, bigram) pairs,
+    two vocab²-bounded map-side aggregations (bigram and context
+    counts — each row is (string, long)), one token-keyed join back,
+    one doc-keyed aggregation; V is a broadcast scalar. No
+    driver-side state, no UDFs. At extreme context skew the stats
+    join inherits AQE's skew handling — the stats side is
+    vocab-sized, orders of magnitude below the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("__t"))
+    n = F.size("__t")
+    bigs = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.concat_ws(" ", F.slice("__t", i, 2)).alias("big"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.big")
+    )
+    cb = bigs.groupBy("big").agg(F.count(F.lit(1)).alias("c_b"))
+    cw = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+    v = toks.select(F.explode("__t").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    term = F.round(
+        F.log((F.col("c_b") + F.lit(1.0)) / (F.col("c_w") + F.col("v"))), 9
+    ).cast("decimal(18,9)")
+    pd_ = (
+        bigs.join(cb, on="big")
+        .join(cw, on="w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg((-F.sum(term)).alias("nll"), F.count(F.lit(1)).alias("nb"))
+    )
+    zero = F.lit(0).cast("decimal(18,9)")
+    nll_dec = F.coalesce(F.col("nll"), zero)
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(pd_, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            nb.cast("long").alias("n_bigrams"),
+            F.round(nll_dec, 6).cast("double").alias("nll"),
+            (nll_dec <= F.lit("3.4").cast("decimal(2,1)") * nb.cast("decimal(10,0)"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@register(
+    "span_corruption_mask",
+    # Every quantity is INTEGER arithmetic on the portable rolling-hash
+    # seed (the doc_rolling_hash / train_test_split_hash contract), so
+    # the mask positions — pinned order-sensitively by mask_hash — are
+    # bit-identical in any engine. The lookbacks are CASE-guarded, NOT
+    # just coalesced: DuckDB list indices are Python-style, so anch[i-2]
+    # at i=1 silently wraps to the LAST element instead of NULL.
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks,
+                      {_rolling_hash_sql('text')} AS seed
+               FROM documents),
+    b AS (SELECT doc_id, len(toks) AS n, seed FROM d),
+    a AS (SELECT doc_id, n,
+                 list_transform(range(1, n + 1),
+                   j -> ((seed + j * 2654435761) % 2147483647) % 20 = 0) AS anch
+          FROM b),
+    m AS (SELECT doc_id, n, anch,
+                 list_transform(range(1, n + 1),
+                   i -> anch[i]
+                        OR (CASE WHEN i > 1 THEN anch[i - 1] ELSE FALSE END)
+                        OR (CASE WHEN i > 2 THEN anch[i - 2] ELSE FALSE END)) AS msk
+          FROM a)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(anch, x -> x)) AS BIGINT) AS n_anchors,
+           CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked,
+           CAST(len(list_filter(range(1, n + 1),
+                i -> msk[i] AND NOT
+                     (CASE WHEN i > 1 THEN msk[i - 1] ELSE FALSE END)))
+                AS BIGINT) AS n_spans,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(msk,
+                 x -> CAST(CASE WHEN x THEN 2 ELSE 1 END AS BIGINT))),
+             (acc, f) -> (acc * 131 + f) % 2147483647) AS mask_hash
+    FROM m
+    """,
+)
+def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption masking (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4 — mask contiguous spans, ~15% of tokens,
+    mean span length 3), made DETERMINISTIC the way the repo's
+    train/test split is: anchors are drawn per (document, position)
+    from the portable Rabin-Karp seed (functions.textstats.
+    doc_rolling_hash), position j anchors iff
+    ((seed + j·2654435761) mod 2³¹−1) mod 20 = 0 (5% anchors ×
+    3-token spans ≈ 15% masked, spans merge when anchors collide),
+    so the same text ALWAYS yields the same corruption — reproducible
+    pretraining batches with no RNG state to ship. Emits per doc
+    (n_tokens, n_anchors, n_masked, n_spans, mask_hash) where
+    mask_hash folds the 0/1 mask order-sensitively — the full mask is
+    pinned, not just its counts.
+
+    Plan shape at 100 TB: pure per-document map over the token array
+    (three array transforms + three folds, all JVM-side, zero
+    shuffles, zero UDFs) — the same embarrassingly-parallel class as
+    gopher_repetition_ngram."""
+    P = 2147483647
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.textstats import doc_rolling_hash
+
+    base = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n"),
+        doc_rolling_hash("text").alias("seed"),
+    )
+    idx = F.when(
+        F.col("n") >= 1, F.sequence(F.lit(1), F.col("n"))
+    ).otherwise(F.array().cast("array<int>"))
+    a = base.select(
+        "doc_id",
+        "n",
+        F.transform(
+            idx,
+            lambda j: ((F.col("seed") + j.cast("long") * F.lit(2654435761)) % P)
+            % 20
+            == 0,
+        ).alias("anch"),
+    )
+    # F.get is 0-based and NULL-safe out of bounds (vs ANSI element_at,
+    # which raises at index 0) — mirror DuckDB's NULL-then-COALESCE.
+    m = a.select(
+        "doc_id",
+        "n",
+        "anch",
+        F.transform(
+            idx,
+            lambda i: F.get("anch", i - 1)
+            | F.coalesce(F.get("anch", i - 2), F.lit(False))
+            | F.coalesce(F.get("anch", i - 3), F.lit(False)),
+        ).alias("msk"),
+    )
+    count_true = lambda c: F.size(F.filter(c, lambda x: x))  # noqa: E731
+    return m.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        count_true(F.col("anch")).cast("long").alias("n_anchors"),
+        count_true(F.col("msk")).cast("long").alias("n_masked"),
+        F.size(
+            F.filter(
+                idx,
+                lambda i: F.get("msk", i - 1)
+                & ~F.coalesce(F.get("msk", i - 2), F.lit(False)),
+            )
+        )
+        .cast("long")
+        .alias("n_spans"),
+        F.aggregate(
+            F.transform(
+                F.col("msk"),
+                lambda x: F.when(x, F.lit(2)).otherwise(F.lit(1)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, f: (acc * 131 + f) % P,
+        ).alias("mask_hash"),
+    )
+
+
+@register(
     "repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),

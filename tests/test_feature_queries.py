@@ -146,3 +146,24 @@ def test_decontaminate_fuzzy_hot_gram_cap_is_noop_on_corpus(spark):
         f"max gram df {max_df} is within 10x of the cap "
         f"{_DECON_HOT_GRAM_CAP}; the uncapped oracle may diverge"
     )
+
+
+def test_span_corruption_mask_properties(spark):
+    """Geometry pins for span_corruption_mask beyond the hash gate:
+    every anchor masks itself (n_anchors <= n_masked <= 3*n_anchors),
+    spans never outnumber anchors, and the corpus-level mask rate sits
+    near the T5 target (5% anchors x 3-token spans ~ 13-15% after
+    merges and tail truncation)."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    rows = QUERIES["span_corruption_mask"](spark, SF_DIR).collect()
+    assert rows
+    tot_tokens = sum(r["n_tokens"] for r in rows)
+    tot_masked = sum(r["n_masked"] for r in rows)
+    for r in rows:
+        assert r["n_anchors"] <= r["n_masked"] <= 3 * r["n_anchors"]
+        assert r["n_spans"] <= r["n_anchors"]
+        if r["n_tokens"] == 0:
+            assert r["mask_hash"] == 0
+    rate = tot_masked / tot_tokens
+    assert 0.08 <= rate <= 0.22, f"corpus mask rate {rate:.3f} off target"

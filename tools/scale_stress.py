@@ -205,6 +205,11 @@ DOCS_QUERIES = (
     "bigram_pmi",
     "image_phash_neardup",
     "domain_temperature_sample",
+    # round-11: the headline-bench deep 5% jaccard twin (VERDICT r10
+    # item 4 — output-bound by construction under cluster replication,
+    # like dedup_jaccard_prefix; soak it by name, judge the exponent
+    # against the pair-count growth, not against 1.0)
+    "p2_scale_path_jaccard_deep",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
