@@ -2827,6 +2827,85 @@ def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3  # k-gram width for winnowing fingerprints
+_WINNOW_W = 4  # winnowing window (guarantee: matches ≥ k+w−1 tokens share a fp)
+
+
+@register(
+    "winnowing_fingerprints",
+    # Pure integer pipeline on the portable rolling hash — grams are
+    # already lowercase/single-spaced, so the hash normalization is a
+    # no-op and both engines fold identical codepoints. DuckDB list
+    # slices are 1-based INCLUSIVE on both ends (toks[p : p+k-1] is a
+    # k-gram), matching Spark's slice(toks, p, k).
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= {_WINNOW_K}
+                   THEN list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+                        p -> array_to_string(toks[p : p + {_WINNOW_K - 1}], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM d),
+    h AS (SELECT doc_id,
+                 list_transform(grams, g -> {_rolling_hash_sql('g')}) AS hs
+          FROM g),
+    w AS (SELECT doc_id, len(hs) AS n_grams,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                           p -> list_min(hs[p : p + {_WINNOW_W - 1}])) END AS mins
+          FROM h),
+    f AS (SELECT doc_id, n_grams,
+                 list_sort(list_distinct(mins)) AS fps FROM w)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                       (acc, fp) -> (acc * 131 + fp) % 2147483647) AS fp_hash
+    FROM f
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    {_WINNOW_K}-token gram with the portable Rabin-Karp hash, slide a
+    {_WINNOW_W}-window over the hash sequence, and keep each window's
+    MINIMUM as a fingerprint. The winnowing guarantee: any shared run
+    of ≥ k+w−1 tokens between two documents shares at least one
+    fingerprint, at an expected density of 2/(w+1) — the
+    bounded-density alternative to keeping every gram (decontaminate/
+    passage_dup ship full gram streams; this ships ~1/3 of one). Emits
+    per doc (n_grams, n_fingerprints, fp_hash) with fp_hash folding
+    the SORTED DISTINCT fingerprint set — the exact selection is
+    pinned, not just counts. Docs shorter than one window keep their
+    single global minimum (the whole doc is one window).
+
+    Plan shape at 100 TB: pure per-document map over the token array
+    (gram hash transform + window minima + one fold), zero shuffles,
+    zero UDFs; the downstream join use (shared-fingerprint candidate
+    pairs) is a fingerprint-keyed shuffle 3× smaller than the
+    passage_dup gram stream."""
+    from .functions.textstats import winnowing_fingerprint_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    f = docs.select(
+        "doc_id",
+        F.greatest(n - _WINNOW_K + 1, F.lit(0)).cast("long").alias("n_grams"),
+        winnowing_fingerprint_set("text", k=_WINNOW_K, w=_WINNOW_W).alias("__fps"),
+    )
+    return f.select(
+        "doc_id",
+        "n_grams",
+        F.size("__fps").cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            F.col("__fps"),
+            F.lit(0).cast("long"),
+            lambda acc, fp: (acc * 131 + fp) % 2147483647,
+        ).alias("fp_hash"),
+    )
+
+
 @register(
     "repetition_ratio",
     f"""

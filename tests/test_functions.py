@@ -185,3 +185,52 @@ def test_sketch_aggregates_error_bounds(spark, sf_dir):
             lo = xs[max(0, int((q - 2 * eps) * n) - 1)]
             hi = xs[min(n - 1, int((q + 2 * eps) * n) + 1)]
             assert lo <= est <= hi, (k, q, est, lo, hi)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. winnowing contract: (1) two documents
+    sharing a token run of >= k+w-1 tokens share at least one
+    fingerprint even when everything around the run differs; (2) two
+    documents with NO shared k-gram share no fingerprint (fingerprints
+    are gram hashes — no false sharing without a shared gram); (3) the
+    selection density sits near the expected 2/(w+1) on long
+    unstructured text."""
+    from apache_spark_link_prediction_spark.functions.textstats import (
+        winnowing_fingerprint_set,
+    )
+
+    k, w = 3, 4
+    run = "alpha bravo charlie delta echo foxtrot"  # k+w-1 = 6 tokens
+    doc_a = "one two three four " + run + " five six seven"
+    doc_b = "red green blue " + run + " yellow purple"
+    doc_c = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    import random
+
+    rng = random.Random(42)
+    long_doc = " ".join(f"t{rng.randrange(10**6)}" for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c), (4, long_doc)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprint_set("text", k=k, w=w).alias("fps")
+        ).collect()
+    }
+    assert rows[1] & rows[2], "shared k+w-1 run must share a fingerprint"
+    assert not (rows[1] & rows[3]) and not (rows[2] & rows[3])
+    n_grams = 400 - k + 1
+    density = len(rows[4]) / n_grams
+    assert 0.25 <= density <= 0.55, f"density {density:.3f} far from 2/(w+1)=0.4"
+    # empty and sub-window docs
+    tiny = spark.createDataFrame(
+        [(1, ""), (2, "a b"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in tiny.select(
+            "doc_id", winnowing_fingerprint_set("text", k=k, w=w).alias("fps")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and len(got[3]) == 1

@@ -270,8 +270,14 @@ def main() -> None:
         # 32 executor threads share one JVM here; the default 1g heap
         # under-provisions them ~100× vs a real cluster's per-core
         # memory and OOMs the output-bound stress cases (quadratic
-        # true-pair growth under 10× cluster replication).
-        .config("spark.driver.memory", "16g")
+        # true-pair growth under 10× cluster replication). The 100×
+        # soaks of output-bound ops need more than the 10× default —
+        # override with SPARK_STRESS_DRIVER_MEM (r11: deep-jaccard at
+        # 100× lost driver heartbeats for 150s+ in GC at 16g).
+        .config(
+            "spark.driver.memory",
+            _os.environ.get("SPARK_STRESS_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source").cache()
