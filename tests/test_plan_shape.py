@@ -170,3 +170,17 @@ def test_count_min_partial_aggregates_before_exchange(spark, sf_dir):
     first_agg = plan.find("HashAggregate")
     first_exchange = plan.find("Exchange")
     assert first_agg != -1 and first_exchange != -1
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark, sf_dir):
+    """dpp_partitioned_join's whole point: the fact scan's partition
+    filters must carry a ``dynamicpruning`` subquery (the broadcast
+    dim's key set injected at runtime), and the join must be a
+    broadcast — no shuffle of the partitioned fact side before
+    pruning. The result row itself is hash-gated; this pins that the
+    pruning actually happens rather than a full scan that merely
+    agrees."""
+    plan = plan_of(QUERIES["dpp_partitioned_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

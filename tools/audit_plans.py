@@ -107,6 +107,9 @@ ALLOW = {
     # unigram-total scalar (1-row broadcast) cross-joined into the PMI
     # denominator — same pattern as heavy_hitters_tokens
     "bigram_pmi": {"nested-loop join"},
+    # vocab-size scalar V (1-row broadcast) cross-joined into the
+    # add-one smoothing denominator — same pattern as dsir/unigram
+    "bigram_lm_perplexity": {"nested-loop join"},
     # basket-count scalar (1-row broadcast) cross-joined into the lift
     # denominator — same pattern as heavy_hitters_tokens
     "association_rules": {"nested-loop join"},
