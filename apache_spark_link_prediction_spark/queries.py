@@ -10225,66 +10225,65 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-10 accounting (221 entries: 199 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the eight
-#   round-10 additions/promotions are never-graded and lead
-#   (oracle-backed first: the 5%-sample p2 bench twin, the promoted EMA
-#   recursive-CTE oracle, the impulse-train centroid twin, the DSIR
-#   importance selector, the fuzzy containment decontaminator, the
-#   Gopher duplicate-n-gram signals; then the
-#   two new rows-only tiers: IVF-PQ and the incremental curation e2e),
-#   followed by pure oldest-first rotation (r05 greens, then r06).
+# Round-11 accounting (227 entries: 205 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the five
+#   round-11 oracle-backed additions are never-graded and lead (the DPP
+#   partitioned join, the CCNet bigram-LM filter, the T5 span-corruption
+#   mask, the MOSS winnowing fingerprints, and the pHash golden-constant
+#   gate); the r10 first-evidence rows (incl. the two rows-only tiers)
+#   rotate out, followed by pure oldest-first rotation (r06 greens, then
+#   r07).
 _WINDOW_THIS_ROUND = [
-    "p2_scale_path_jaccard_deep",  # never graded
-    "streaming_stateful_ema",  # never graded
-    "multimodal_audio_centroid_tone",  # never graded
-    "dsir_importance_select",  # never graded
-    "decontaminate_containment_fuzzy",  # never graded
-    "gopher_repetition_ngram",  # never graded
-    "embedding_ann_ivfpq",  # never graded (rows-only)
-    "incremental_curation_e2e",  # never graded (rows-only)
-    "histogram_fixed_bins",  # last green r05
-    "tpch_q8_market_share",  # last green r05
-    "tpch_q15_top_supplier",  # last green r05
-    "activity_streaks",  # last green r05
-    "event_transition_counts",  # last green r05
-    "cdc_upsert_latest",  # last green r05
-    "time_weighted_avg_daily",  # last green r05
-    "dedup_levenshtein_banded",  # last green r05
-    "sample_k_per_group",  # last green r05
-    "streaming_cdc_upsert",  # last green r06
-    "funnel_conversion",  # last green r06
-    "retention_cohorts",  # last green r06
-    "concurrent_sessions",  # last green r06
-    "dedup_jaccard_prefix",  # last green r06
-    "gap_fill_daily",  # last green r06
-    "unigram_logprob_score",  # last green r06
-    "token_drift_js",  # last green r06
-    "pagerank_parts",  # last green r06
-    "tpch_q4_priority_exists",  # last green r06
-    "tpch_q12_late_shipments",  # last green r06
-    "tpch_q21_waiting_supplier",  # last green r06
-    "tpch_q22_idle_customers",  # last green r06
-    "bm25_scoring",  # last green r06
-    "bigram_next_token",  # last green r06
-    "graph_khop_reachability",  # last green r06
-    "winsorize_by_group",  # last green r06
-    "table_profile",  # last green r06
-    "corr_by_group",  # last green r06
-    "incremental_agg_merge",  # last green r06
-    "variant_props_extract",  # last green r06
-    "streaming_static_join",  # last green r06
-    "array_hof_suite",  # last green r06
-    "null_semantics_suite",  # last green r06
-    "k_anonymity_release",  # last green r06
-    "ndcg_retrieval_eval",  # last green r06
-    "interpolate_missing_daily",  # last green r06
-    "asof_join_pandas",  # last green r06
-    "multi_distinct_agg",  # last green r06
-    "sql_lateral_topk",  # last green r06
-    "snapshot_diff_audit",  # last green r06
-    "trigram_search_index",  # last green r06
-    "count_min_freq",  # last green r06
+    "dpp_partitioned_join",  # never graded
+    "bigram_lm_perplexity",  # never graded
+    "span_corruption_mask",  # never graded
+    "winnowing_fingerprints",  # never graded
+    "image_phash_class_gate",  # never graded
+    "weighted_sample_ares",  # last green r06
+    "ks_drift_sources",  # last green r06
+    "gini_revenue_concentration",  # last green r06
+    "token_entropy",  # last green r06
+    "event_debounce",  # last green r06
+    "arrow_vec_norms",  # last green r06
+    "chi_square_independence",  # last green r06
+    "bigram_pmi",  # last green r06
+    "sql_recursive_cte",  # last green r06
+    "datetime_semantics_suite",  # last green r06
+    "string_semantics_suite",  # last green r06
+    "tpch_q2_min_cost_supplier",  # last green r06
+    "tpch_q9_product_profit",  # last green r06
+    "tpch_q11_important_stock",  # last green r06
+    "tpch_q20_excess_inventory",  # last green r06
+    "tpch_q16_supplier_count",  # last green r06
+    "crossvalidate_counts",  # last green r07
+    "distinct_agg",  # last green r07
+    "set_except",  # last green r07
+    "sample_bernoulli",  # last green r07
+    "salted_skew_join",  # last green r07
+    "streaming_text_curation",  # last green r07
+    "streaming_embedding_ingest",  # last green r07
+    "cube_agg",  # last green r07
+    "dedup_clusters_exact",  # last green r07
+    "multimodal_audio_energy",  # last green r07
+    "asof_join_events",  # last green r07
+    "doc_rolling_hash",  # last green r07
+    "rolling_range_window",  # last green r07
+    "approx_distinct_agg",  # last green r07
+    "approx_quantile_agg",  # last green r07
+    "set_except_all",  # last green r07
+    "set_intersect_all",  # last green r07
+    "scd2_history",  # last green r07
+    "unpivot_measures",  # last green r07
+    "tpch_q7_volume_shipping",  # last green r07
+    "funnel_view_click_purchase",  # last green r07
+    "event_anomaly_mad",  # last green r07
+    "rolling_distinct_users_hll",  # last green r07
+    "python_datasource_agg",  # last green r07
+    "multimodal_png_roundtrip",  # last green r07
+    "curation_pipeline_e2e",  # last green r07
+    "udtf_chunk_text",  # last green r07
+    "pandas_udf_cosine",  # last green r07
+    "dq_constraint_audit",  # last green r07
 ]
 
 
