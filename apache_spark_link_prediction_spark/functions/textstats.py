@@ -161,38 +161,55 @@ def doc_rolling_hash(text: Column | str, *, base: int = 131, mod: int = 21474836
     return F.when(F.length(normalized) == 0, F.lit(0).cast("long")).otherwise(h)
 
 
-def winnowing_fingerprint_set(
-    text: Column | str, *, k: int = 3, w: int = 4
-) -> Column:
-    """Winnowing fingerprint set (Schleimer, Wilkerson, Aiken, SIGMOD
-    2003): hash every ``k``-token gram with :func:`doc_rolling_hash`,
-    slide a ``w``-window over the hash sequence, keep each window's
-    minimum, return the SORTED DISTINCT selection as ``array<long>``.
-    Guarantee: two documents sharing a token run of ≥ k+w−1 share at
-    least one fingerprint; expected density 2/(w+1). Documents shorter
-    than one window keep their single global minimum; empty documents
-    return an empty array. Pure per-row array expressions — no
-    shuffle, no UDF (used by queries.winnowing_fingerprints, whose
-    DuckDB oracle mirrors the arithmetic)."""
+def with_winnowing_fingerprints(
+    df, text: Column | str, *, k: int = 3, w: int = 4, out: str = "fps"
+):
+    """Append the winnowing fingerprint set (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003) of ``text`` as column ``out`` (``array<long>``,
+    sorted distinct): hash every ``k``-token gram with
+    :func:`doc_rolling_hash`, slide a ``w``-window over the hash
+    sequence, keep each window's minimum. Guarantee: two documents
+    sharing a token run of ≥ k+w−1 share at least one fingerprint;
+    expected density 2/(w+1). Documents shorter than one window keep
+    their single global minimum; empty documents get an empty array.
+
+    A DataFrame transformer, not a Column expression, ON PURPOSE: the
+    window-minima stage references the gram-hash array once per window
+    position, and Catalyst inlines HOF lambda bodies with no
+    common-subexpression elimination — as a single expression the
+    per-gram rolling-hash fold re-evaluates per reference (measured
+    10× slower at sf0.01). Materializing tokens → grams → hashes as
+    named columns evaluates each stage once per row. Still pure
+    per-row array expressions: no shuffle, no UDF (used by
+    queries.winnowing_fingerprints, whose DuckDB oracle mirrors the
+    arithmetic)."""
     toks = _tokens(_col(text))
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
+    d = df.withColumn("__wn_t", toks)
+    n = F.size("__wn_t")
+    d = d.withColumn(
+        "__wn_h",
         F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda p: F.concat_ws(" ", F.slice(toks, p, k)),
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda p: F.concat_ws(" ", F.slice("__wn_t", p, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+            lambda g: doc_rolling_hash(g),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: doc_rolling_hash(g))
-    gcnt = F.size(hashes)
+    )
+    gcnt = F.size("__wn_h")
     mins = (
         F.when(gcnt == 0, F.array().cast("array<long>"))
-        .when(gcnt < w, F.array(F.array_min(hashes)))
+        .when(gcnt < w, F.array(F.array_min("__wn_h")))
         .otherwise(
             F.transform(
                 F.sequence(F.lit(1), gcnt - w + 1),
-                lambda p: F.array_min(F.slice(hashes, p, w)),
+                lambda p: F.array_min(F.slice("__wn_h", p, w)),
             )
         )
     )
-    return F.array_sort(F.array_distinct(mins))
+    return d.withColumn(out, F.array_sort(F.array_distinct(mins))).drop(
+        "__wn_t", "__wn_h"
+    )

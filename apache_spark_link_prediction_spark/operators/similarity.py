@@ -346,6 +346,20 @@ def _residuals(sample_vectors, coarse_centers):
     return x - centers[a]
 
 
+def _pq_subdim(dim: int, m: int) -> int:
+    """Shared PQ-subspace precondition (ValueError, not assert: the
+    contract must survive ``python -O`` and name the tunable at the
+    ivf_pq_top_k call site instead of an opaque numpy reshape error —
+    ADVICE r10, low; hoisted so the rotation and codebook fits can't
+    drift apart — code review r11)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"vector dim {dim} must be divisible by m={m} PQ subspaces; "
+            "pass an m that divides the embedding dimension"
+        )
+    return dim // m
+
+
 def _fit_opq_rotation(sample_vectors, coarse_centers, *, m: int):
     """OPQ-P rotation (Ge, He, Ke, Sun — "Optimized Product
     Quantization", CVPR 2013 — the parametric eigenvalue-allocation
@@ -378,12 +392,7 @@ def _fit_opq_rotation(sample_vectors, coarse_centers, *, m: int):
 
     res = _residuals(sample_vectors, coarse_centers)
     n, dim = res.shape
-    if dim % m != 0:
-        raise ValueError(
-            f"vector dim {dim} must be divisible by m={m} PQ subspaces; "
-            "pass an m that divides the embedding dimension"
-        )
-    sub = dim // m
+    sub = _pq_subdim(dim, m)
     cov = (res.T @ res) / max(n, 1)
     w, v = np.linalg.eigh(cov)  # ascending; columns are eigenvectors
     order = np.argsort(w)[::-1]
@@ -434,15 +443,7 @@ def _fit_pq_codebooks(
     if rotation is not None:
         res = res @ np.asarray(rotation, dtype=np.float64).T
     n, dim = res.shape
-    if dim % m != 0:
-        # ValueError, not assert: the contract must survive python -O
-        # and name the tunable at the ivf_pq_top_k call site instead
-        # of an opaque numpy reshape error (ADVICE r10, low).
-        raise ValueError(
-            f"vector dim {dim} must be divisible by m={m} PQ subspaces; "
-            "pass an m that divides the embedding dimension"
-        )
-    sub = dim // m
+    sub = _pq_subdim(dim, m)
     rng = np.random.default_rng(seed)
     codebooks = []
     for j in range(m):

@@ -1623,9 +1623,11 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dpp_partitioned_join",
     # The oracle is the PLAIN join/filter (salted_skew_join's
     # contract): the partitioned write + runtime-pruned read must be
-    # row-for-row the unpartitioned plan. The dim threshold 50.0 sits
-    # ≥0.37 from every per-type avg at every shipped SF — 11 orders
-    # above double-sum noise, so dim membership can't flip.
+    # row-for-row the unpartitioned plan. Measured |avg − 50.0| margins
+    # per shipped SF: 0.80 (sf0.001), 0.37 (sf0.01), 0.067 (sf0.1,
+    # 'error') — the tightest is still ~8 orders above double-sum
+    # reorder noise (~1e-10), so dim membership can't flip between
+    # engines; the margin is pinned in tests/test_feature_queries.py.
     """
     WITH dim AS (SELECT event_type FROM events
                  GROUP BY event_type HAVING avg(value) > 50.0)
@@ -2451,7 +2453,7 @@ def decontaminate_containment_fuzzy(spark: SparkSession, sf_dir: str) -> DataFra
     dedup family's ``_drop_hot_buckets`` anti-join. On every shipped
     corpus the max gram frequency is ≤4, so the cap is a no-op and
     the DuckDB oracle (uncapped) still matches — pinned in
-    tests/test_queries_llm.py."""
+    tests/test_feature_queries.py."""
     from .operators.dedup import _drop_hot_buckets, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2945,14 +2947,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero UDFs; the downstream join use (shared-fingerprint candidate
     pairs) is a fingerprint-keyed shuffle 3× smaller than the
     passage_dup gram stream."""
-    from .functions.textstats import winnowing_fingerprint_set
+    from .functions.textstats import with_winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     n = F.size(tokenize("text"))
-    f = docs.select(
+    f = with_winnowing_fingerprints(
+        docs.select("doc_id", "text"), "text", k=_WINNOW_K, w=_WINNOW_W, out="__fps"
+    ).select(
         "doc_id",
         F.greatest(n - _WINNOW_K + 1, F.lit(0)).cast("long").alias("n_grams"),
-        winnowing_fingerprint_set("text", k=_WINNOW_K, w=_WINNOW_W).alias("__fps"),
+        "__fps",
     )
     return f.select(
         "doc_id",
@@ -10225,7 +10229,7 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-11 accounting (227 entries: 205 oracle-backed, 22
+# Round-11 accounting (226 entries: 204 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the five
 #   round-11 oracle-backed additions are never-graded and lead (the DPP
 #   partitioned join, the CCNet bigram-LM filter, the T5 span-corruption

@@ -167,3 +167,23 @@ def test_span_corruption_mask_properties(spark):
             assert r["mask_hash"] == 0
     rate = tot_masked / tot_tokens
     assert 0.08 <= rate <= 0.22, f"corpus mask rate {rate:.3f} off target"
+
+
+def test_dpp_dim_threshold_margin(spark):
+    """Pins the precondition of dpp_partitioned_join's hash gate: the
+    runtime-derived dim (event types with avg value > 50.0) must keep
+    every per-type average far from the threshold, or a corpus regen
+    could flip a type's membership between the engines' float-sum
+    orderings with no loud failure (the hot-gram-cap pin's shape).
+    Measured margins: 0.80 at sf0.001, 0.37 at sf0.01, 0.067 at sf0.1
+    — double-sum reorder noise is ~1e-10, so require >= 1e-3."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    margins = [
+        abs(r["av"] - 50.0)
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("av")).collect()
+    ]
+    assert margins and min(margins) >= 1e-3, f"margins {sorted(margins)[:3]}"

@@ -196,7 +196,7 @@ def test_winnowing_guarantee_and_density(spark):
     selection density sits near the expected 2/(w+1) on long
     unstructured text."""
     from apache_spark_link_prediction_spark.functions.textstats import (
-        winnowing_fingerprint_set,
+        with_winnowing_fingerprints,
     )
 
     k, w = 3, 4
@@ -214,9 +214,9 @@ def test_winnowing_guarantee_and_density(spark):
     )
     rows = {
         r["doc_id"]: set(r["fps"])
-        for r in df.select(
-            "doc_id", winnowing_fingerprint_set("text", k=k, w=w).alias("fps")
-        ).collect()
+        for r in with_winnowing_fingerprints(df, "text", k=k, w=w)
+        .select("doc_id", "fps")
+        .collect()
     }
     assert rows[1] & rows[2], "shared k+w-1 run must share a fingerprint"
     assert not (rows[1] & rows[3]) and not (rows[2] & rows[3])
@@ -229,8 +229,8 @@ def test_winnowing_guarantee_and_density(spark):
     )
     got = {
         r["doc_id"]: r["fps"]
-        for r in tiny.select(
-            "doc_id", winnowing_fingerprint_set("text", k=k, w=w).alias("fps")
-        ).collect()
+        for r in with_winnowing_fingerprints(tiny, "text", k=k, w=w)
+        .select("doc_id", "fps")
+        .collect()
     }
     assert got[1] == [] and got[2] == [] and len(got[3]) == 1
