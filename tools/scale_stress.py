@@ -210,6 +210,10 @@ DOCS_QUERIES = (
     # like dedup_jaccard_prefix; soak it by name, judge the exponent
     # against the pair-count growth, not against 1.0)
     "p2_scale_path_jaccard_deep",
+    # round-11 additions (all map/vocab-bounded shapes)
+    "bigram_lm_perplexity",
+    "span_corruption_mask",
+    "winnowing_fingerprints",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -249,6 +253,10 @@ EVENTS_QUERIES = (
     "session_paths_topk",
     "map_hof_suite",
     "grouping_sets_report",
+    # round-11: partitioned write + runtime-pruned read (the temp
+    # write inside the query scales with the replica, as it would
+    # on a real lake)
+    "dpp_partitioned_join",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
