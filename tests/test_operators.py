@@ -2097,3 +2097,44 @@ def test_ivfpq_recall_table_and_opq_rotation(spark, emb):
     # once the budget stops being the binding constraint
     assert got[(16, 50, True)] >= got[(16, 50, False)] + 0.02
     assert got[(16, 100, True)] >= got[(16, 100, False)] + 0.02
+
+
+def test_jaccard_prefix_join_exact_boundary_sweep(spark):
+    """Generalizes the r10-advice counterexample across thresholds: for
+    each t, build a pair sitting at EXACTLY J = t (overlap o = t/(1-t)
+    of the union's unique remainder), give the smaller doc the globally
+    rarest token (doc C raises the df of A's uniques), and require the
+    pair to survive every pruning bound — prefix length, size filter,
+    positional filter — at sums where IEEE-double ceil() overshoots.
+    Randomized corpora never hit these exact-ratio points; this sweep
+    pins them for thresholds with inexact float representations (2/3,
+    0.8, 0.9) and exact ones (0.5, 0.75) alike."""
+    from apache_spark_link_prediction_spark.operators.dedup import jaccard_prefix_join
+
+    # (threshold, overlap o, A-unique count x, B-unique count y):
+    # J = o / (o + x + y) = t exactly.
+    cases = [
+        (0.5, 15, 14, 1),
+        (2.0 / 3.0, 18, 8, 1),
+        (0.75, 24, 7, 1),
+        (0.8, 28, 6, 1),
+        (0.9, 36, 3, 1),
+    ]
+    for t, o, x, y in cases:
+        assert abs(o / (o + x + y) - t) < 1e-12
+        shared = [f"s{i:02d}" for i in range(o)]
+        a_uni = [f"z{i:02d}" for i in range(x)]
+        b_uni = [f"a{i:02d}" for i in range(y)]  # sorts first among df-1
+        doc_a = " ".join(shared + a_uni)
+        doc_b = " ".join(b_uni + shared)
+        doc_c = " ".join(a_uni + [f"j{i:02d}" for i in range(x + 5)])
+        df = spark.createDataFrame(
+            [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+        )
+        got = {
+            (r["src_id"], r["dst_id"]): r["jaccard"]
+            for r in jaccard_prefix_join(df, threshold=t).collect()
+        }
+        want_j = round(o / (o + x + y), 6)
+        assert got.get((1, 2)) == want_j, f"t={t}: {got}"
+        assert (1, 3) not in got and (2, 3) not in got, f"t={t}: {got}"
