@@ -2971,6 +2971,138 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_candidate_pairs",
+    # Oracle recomputes the fingerprint selection with the same
+    # integer arithmetic, self-joins on fingerprint, and verifies
+    # token-set jaccard — the MOSS two-stage shape end to end. The
+    # candidate contract is shared-fingerprint pairs (local-overlap
+    # detection), NOT all J≥t pairs: winnowing guarantees a shared
+    # fingerprint for contiguous runs ≥ k+w−1 tokens, which is the
+    # operator's published recall contract.
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) >= {_WINNOW_K}
+                   THEN list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+                        p -> array_to_string(toks[p : p + {_WINNOW_K - 1}], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM d),
+    h AS (SELECT doc_id, toks,
+                 list_transform(grams, g -> {_rolling_hash_sql('g')}) AS hs
+          FROM g),
+    w AS (SELECT doc_id, toks,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                      WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                           p -> list_min(hs[p : p + {_WINNOW_W - 1}])) END AS mins
+          FROM h),
+    f AS (SELECT doc_id, toks, unnest(list_distinct(mins)) AS fp FROM w),
+    cand AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                    count(*) AS n_shared_fp
+             FROM f a JOIN f b USING (fp)
+             WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    t AS (SELECT doc_id, list_distinct(toks) AS ts FROM d)
+    SELECT c.src_id, c.dst_id, CAST(c.n_shared_fp AS BIGINT) AS n_shared_fp,
+           round(CASE WHEN len(list_distinct(ta.ts || tb.ts)) = 0 THEN 0.0
+                      ELSE len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))
+                           * 1.0 / len(list_distinct(ta.ts || tb.ts)) END,
+                 6) AS jaccard
+    FROM cand c JOIN t ta ON ta.doc_id = c.src_id
+                JOIN t tb ON tb.doc_id = c.dst_id
+    """,
+)
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS second stage (Schleimer et al. 2003 §4): documents
+    sharing ≥1 winnowing fingerprint become candidate pairs, verified
+    with exact token-set jaccard — local-overlap pair detection whose
+    candidate join carries the ~2/(w+1)-density fingerprint stream
+    instead of the full gram stream (the decontaminate/passage_dup
+    operators' shuffle, ~3× smaller at w=4). Emits (src_id, dst_id,
+    n_shared_fp, jaccard); the recall contract is winnowing's
+    guarantee — any pair sharing a contiguous run of ≥ k+w−1 tokens
+    appears — NOT all-pairs jaccard (dedup_jaccard_prefix is the
+    exact-threshold operator).
+
+    Plan shape at 100 TB: fingerprints come from the RELATIONAL
+    winnowing formulation — grams explode to rows, ONE rolling-hash
+    eval per gram row, window minima via a rolling ``min() OVER
+    (PARTITION BY doc ORDER BY pos ROWS 0..w−1)`` — not the per-doc
+    array expression: exploding the array form lets the optimizer
+    re-inline the whole hash pipeline per output row (the Catalyst
+    HOF-no-CSE trap again, measured 34s vs 0.4s for the fingerprint
+    stage at sf0.01; a Generate node collapses the named-column
+    defense that protects the per-doc query). Then one
+    fingerprint-keyed equi-join (8-byte keys, hot-fingerprint cap via
+    the dedup family's anti-join guard — a no-op on shipped corpora,
+    same contract as the decontamination cap); verification joins
+    token arrays back for candidate pairs only."""
+    from .functions.textstats import doc_rolling_hash
+    from .operators.dedup import _drop_hot_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", tokenize("text").alias("__t"))
+    n = F.size("__t")
+    grams_arr = F.when(
+        n >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _WINNOW_K + 1),
+            lambda p: F.concat_ws(" ", F.slice("__t", p, _WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("doc_id", F.posexplode(grams_arr).alias("__p", "__g"))
+    h = grams.select(
+        "doc_id", "__p", doc_rolling_hash(F.col("__g")).alias("__h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("__p").rowsBetween(0, _WINNOW_W - 1)
+    per_doc = Window.partitionBy("doc_id")
+    fps = (
+        h.select(
+            "doc_id",
+            "__p",
+            F.min("__h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(per_doc).alias("__ng"),
+        )
+        # full windows only; a doc shorter than one window keeps its
+        # global minimum (the p=0 window clips to the whole doc)
+        .filter(
+            (F.col("__p") <= F.col("__ng") - _WINNOW_W)
+            | ((F.col("__ng") < _WINNOW_W) & (F.col("__p") == 0))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = _drop_hot_buckets(fps, ["fp"], _DECON_HOT_GRAM_CAP)
+    a = fps.select(F.col("doc_id").alias("src_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("dst_id"), "fp")
+    cand = (
+        a.join(b, on="fp")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokenize("text")).alias("__ts")
+    )
+    return (
+        cand.join(
+            toks.select(F.col("doc_id").alias("src_id"), F.col("__ts").alias("__ta")),
+            on="src_id",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("dst_id"), F.col("__ts").alias("__tb")),
+            on="dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("n_shared_fp").cast("long").alias("n_shared_fp"),
+            F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),
@@ -10229,20 +10361,21 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-11 accounting (226 entries: 204 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the five
+# Round-11 accounting (227 entries: 205 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the six
 #   round-11 oracle-backed additions are never-graded and lead (the DPP
 #   partitioned join, the CCNet bigram-LM filter, the T5 span-corruption
-#   mask, the MOSS winnowing fingerprints, and the pHash golden-constant
-#   gate); the r10 first-evidence rows (incl. the two rows-only tiers)
-#   rotate out, followed by pure oldest-first rotation (r06 greens, then
-#   r07).
+#   mask, the MOSS winnowing fingerprints + candidate pairs, and the
+#   pHash golden-constant gate); the r10 first-evidence rows (incl. the
+#   two rows-only tiers) rotate out, followed by pure oldest-first
+#   rotation (r06 greens, then r07).
 _WINDOW_THIS_ROUND = [
     "dpp_partitioned_join",  # never graded
     "bigram_lm_perplexity",  # never graded
     "span_corruption_mask",  # never graded
     "winnowing_fingerprints",  # never graded
     "image_phash_class_gate",  # never graded
+    "winnowing_candidate_pairs",  # never graded
     "weighted_sample_ares",  # last green r06
     "ks_drift_sources",  # last green r06
     "gini_revenue_concentration",  # last green r06
@@ -10287,7 +10420,6 @@ _WINDOW_THIS_ROUND = [
     "curation_pipeline_e2e",  # last green r07
     "udtf_chunk_text",  # last green r07
     "pandas_udf_cosine",  # last green r07
-    "dq_constraint_audit",  # last green r07
 ]
 
 

@@ -214,6 +214,9 @@ DOCS_QUERIES = (
     "bigram_lm_perplexity",
     "span_corruption_mask",
     "winnowing_fingerprints",
+    # pair op: output-bound under cluster replication like the rest
+    # of the pair family — judge its exponent against pair growth
+    "winnowing_candidate_pairs",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
