@@ -6786,6 +6786,14 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "winsorize_by_group",
+    # The clipped value re-casts to DECIMAL before the SUM: DuckDB's
+    # LEAST/GREATEST promote DECIMAL arguments to DOUBLE (typeof
+    # measured), so without the cast the sum accumulates in float and
+    # picks up ~1e-8 order dust — invisible at sf0.01 under the
+    # checker's 9dp rounding, caught by the round-11 full-oracle sweep
+    # at sf0.1. The round-trip is exact: every clipped value is one of
+    # v/lo/hi, all 6dp decimals ≤ 1e6 (< 2^53 at scale 6). Spark's
+    # least/greatest stay DECIMAL, so only the oracle needed the cast.
     """
     WITH b AS (
       SELECT event_type,
@@ -6799,7 +6807,8 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(LEAST(GREATEST(v, lo), hi)) AS DOUBLE) AS winsorized_sum
+           CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(18,6)))
+                AS DOUBLE) AS winsorized_sum
     FROM c GROUP BY event_type
     """,
 )
