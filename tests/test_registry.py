@@ -142,26 +142,17 @@ def test_local_gate_fresher_than_registry_source():
     # VERDICT r09 item 1 hardening: the committed local-gate pair must
     # have been regenerated AFTER the last change to queries.py — a
     # registry edit after gate regeneration is exactly the debt rounds
-    # 7-9 shipped. Timestamps: max(last git commit touching the file,
-    # filesystem mtime). The mtime applies UNCONDITIONALLY, not only
-    # when git sees the file dirty (round 11): an oracle fix below the
-    # checker's 9dp rounding regenerates a byte-identical gate pair —
-    # git reports it clean, but the regeneration happened and its
-    # mtime is the only witness. A fresh checkout stamps source and
-    # gates with the same clock, so the >= comparison still holds
-    # there; editing queries.py after a regen still turns this red.
+    # 7-9 shipped. CONTENT causality, not clocks (round 11): the gate
+    # files carry a ``__registry_sha256__`` stamp written by
+    # tools/end_of_round.py — the sha256 of the queries.py the pair
+    # was generated from — and it must equal the CURRENT queries.py
+    # byte-for-byte. Timestamps cannot express this: a byte-identical
+    # regen (an oracle fix below the comparator's 9dp rounding) leaves
+    # git clean, and committing the unchanged source afterwards bumps
+    # its commit clock past the regeneration even though the content
+    # the gates were built from is exactly the current one.
+    import hashlib
     import re
-    import subprocess
-
-    def _last_change(path: pathlib.Path) -> int:
-        out = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--", str(path)],
-            cwd=REPO, capture_output=True, text=True,
-        ).stdout.strip()
-        ts = int(out) if out else 0
-        if path.exists():
-            ts = max(ts, int(path.stat().st_mtime))
-        return ts
 
     gates = sorted(REPO.glob("CORRECTNESS_local_r[0-9][0-9]*.json"))
     assert gates, "no local gate files committed"
@@ -170,13 +161,21 @@ def test_local_gate_fresher_than_registry_source():
         rnd = int(re.match(r"CORRECTNESS_local_r(\d+)", f.name).group(1))
         by_round.setdefault(rnd, []).append(f)
     newest_pair = by_round[max(by_round)]
-    gate_ts = max(_last_change(f) for f in newest_pair)
-    src_ts = _last_change(REPO / "apache_spark_link_prediction_spark" / "queries.py")
-    assert gate_ts >= src_ts, (
-        "local gate pair predates the last queries.py change — run "
-        "python tools/end_of_round.py and commit the regenerated pair "
-        "as the round's LAST commit"
-    )
+    src_sha = hashlib.sha256(
+        (REPO / "apache_spark_link_prediction_spark" / "queries.py").read_bytes()
+    ).hexdigest()
+    for f in newest_pair:
+        stamp = json.load(open(f)).get("__registry_sha256__")
+        assert stamp is not None, (
+            f"{f.name} has no __registry_sha256__ stamp — regenerate via "
+            "python tools/end_of_round.py (the stamp is written there)"
+        )
+        assert stamp == src_sha, (
+            f"{f.name} was generated from a different queries.py "
+            f"({stamp[:12]}… vs current {src_sha[:12]}…) — run "
+            "python tools/end_of_round.py and commit the regenerated "
+            "pair as the round's LAST commit"
+        )
 
 
 def test_local_gate_covers_every_registry_entry():
@@ -207,6 +206,7 @@ def test_local_gate_covers_every_registry_entry():
     assert len(latest) == 2, f"expected sf0.01 + sf0.001 local gates, got {latest}"
     for key, f in latest.items():
         rows = json.load(open(f))
+        rows.pop("__registry_sha256__", None)  # freshness stamp, not an entry
         missing = [n for n in QUERIES if n not in rows]
         assert not missing, f"{f.name} missing registry entries: {missing}"
         stale = [n for n in rows if n not in QUERIES]

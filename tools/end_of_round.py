@@ -44,6 +44,36 @@ def current_round() -> int:
     return max(rounds, default=0) + 1
 
 
+def stamp_registry_sha(gate: str, gate_small: str) -> None:
+    """Embed the sha256 of queries.py into each freshly-written gate
+    file (key ``__registry_sha256__``). Content causality, not clocks
+    (round 11): an oracle fix below the comparator's 9dp rounding
+    regenerates a byte-identical gate pair, which git sees as clean —
+    and once the source edit is committed, its commit timestamp
+    post-dates the regeneration even though the CONTENT the gates were
+    built from is exactly the current one. The stamp lets
+    tests/test_registry.py::test_local_gate_fresher_than_registry_source
+    assert the gates match the registry source byte-for-byte, immune
+    to commit ordering, fresh checkouts, and identical regens."""
+    import hashlib
+    import json
+
+    sha = hashlib.sha256(
+        open(
+            os.path.join(
+                REPO, "apache_spark_link_prediction_spark", "queries.py"
+            ),
+            "rb",
+        ).read()
+    ).hexdigest()
+    for path in (gate, gate_small):
+        data = json.load(open(path))
+        data["__registry_sha256__"] = sha
+        with open(path, "w") as fh:
+            json.dump(data, fh, indent=0)
+    print(f"ok registry-sha stamp ({sha[:12]}…)", flush=True)
+
+
 def verify_gate_pair(gate: str, gate_small: str) -> None:
     """Fail loudly if either freshly-written gate file's entry set
     differs from the registry at HEAD (VERDICT r09 item 1) — a cheap,
@@ -58,7 +88,7 @@ def verify_gate_pair(gate: str, gate_small: str) -> None:
     from apache_spark_link_prediction_spark.queries import QUERIES
 
     for path in (gate, gate_small):
-        rows = set(json.load(open(path)))
+        rows = set(json.load(open(path))) - {"__registry_sha256__"}
         missing = sorted(set(QUERIES) - rows)
         stale = sorted(rows - set(QUERIES))
         if missing or stale:
@@ -105,6 +135,7 @@ def main() -> int:
         "gate sf0.001",
         [py, "tools/check_oracle.py", "/root/testdata/sf0.001", "--json", gate_small],
     )
+    stamp_registry_sha(gate, gate_small)
     verify_gate_pair(gate, gate_small)
     run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     print(
