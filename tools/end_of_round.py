@@ -70,7 +70,7 @@ def stamp_registry_sha(gate: str, gate_small: str) -> None:
         data = json.load(open(path))
         data["__registry_sha256__"] = sha
         with open(path, "w") as fh:
-            json.dump(data, fh, indent=0)
+            json.dump(data, fh, indent=1)
     print(f"ok registry-sha stamp ({sha[:12]}…)", flush=True)
 
 
