@@ -766,16 +766,33 @@ def image_phash(media: DataFrame) -> DataFrame:
     the ONLY thing shuffled downstream — 8 bytes per image, never
     pixels; this is what makes image near-dup viable at 100 TB of
     media: the expensive decode+DCT is a map-only pass over the payload
-    partitions, and the pair-finding runs on longs."""
+    partitions, and the pair-finding runs on longs.
+
+    Byte-identical payloads within a task hit a bounded memo (keyed by
+    the payload's sha256, cleared at 8192 entries) — a dedup-bound
+    media corpus is duplicate-heavy by definition, and the pHash is a
+    pure function of the bytes, so re-running decode+DCT per copy is
+    pure waste (ADVICE r11: the class-testbed gate paid n_docs hashes
+    where 100 distinct payloads exist). Unique-payload corpora pay one
+    sha256 per image, noise next to the DCT."""
+    import hashlib
+
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[bytes, int | None] = {}
         for pdf in batches:
             ids, hashes = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                key = hashlib.sha256(raw).digest()
+                if key in memo:
+                    ids.append(int(media_id))
+                    hashes.append(memo[key])
+                    continue
                 ph = None
                 try:
-                    meta = decode_png(bytes(payload))
+                    meta = decode_png(raw)
                     px = meta.get("pixels")
                     if px is not None:
                         arr = np.frombuffer(px, dtype=np.uint8).reshape(
@@ -785,6 +802,9 @@ def image_phash(media: DataFrame) -> DataFrame:
                         ph = phash64_from_gray(gray)
                 except Exception:
                     ph = None
+                if len(memo) >= 8192:
+                    memo.clear()
+                memo[key] = ph
                 ids.append(int(media_id))
                 hashes.append(ph)
             yield pd.DataFrame(
@@ -872,18 +892,29 @@ def png_class_testbed(
     against per-class golden constants (queries.image_phash_class_gate)
     — the image analogue of audio_impulse_from_documents. The wiggled
     testbed stays the near-dup demo (sha256 misses its pairs); this one
-    pins the hash computation itself."""
+    pins the hash computation itself.
+
+    The payload is a pure function of ``doc_id % classes``, so each
+    task memoizes the ≤``classes`` encoded PNGs in the mapInPandas
+    closure (ADVICE r11: the unmemoized form paid n_docs PNG encodes
+    where ``classes`` suffice — at 100 TB that is the difference
+    between O(docs) and O(classes) encode work per task)."""
     n = width * height
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                cls = int(d) % classes
+        by_cls: dict[int, bytes] = {}
+
+        def payload_for(cls: int) -> bytes:
+            png = by_cls.get(cls)
+            if png is None:
                 base = bytes(
                     ((2 * cls + 3) * i + (i * i) // 7) % 256 for i in range(n)
                 )
-                payloads.append(encode_png(width, height, base, color_type=0))
+                png = by_cls[cls] = encode_png(width, height, base, color_type=0)
+            return png
+
+        for pdf in batches:
+            payloads = [payload_for(int(d) % classes) for d in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],

@@ -1633,7 +1633,8 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  GROUP BY event_type HAVING avg(value) > 50.0)
     SELECT e.event_type, count(*) AS n,
            CAST(SUM(e.user_id) AS BIGINT) AS sum_uid,
-           round(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))), 4) AS sum_value
+           CAST(round(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS sum_value
     FROM events e JOIN dim USING (event_type)
     GROUP BY e.event_type
     """,
@@ -1653,10 +1654,25 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the difference between scanning 2 of 5
     partitions and scanning the lake: partition-level data skipping
-    driven by the query itself, no manual predicate."""
+    driven by the query itself, no manual predicate.
+
+    The final column is pinned to DECIMAL(18,4) on BOTH sides (r11
+    verdict item 1): ``round(DECIMAL, k)``'s *return scale* is an
+    engine-version convention (DuckDB 1.0 keeps the input scale; later
+    engines return scale k), and the driver's hash is over the textual
+    rendering — an uncast round() is a silent future hash red even when
+    every value is exactly equal.
+
+    The partitioned copy is written to a deterministic per-sf_dir cache
+    path under the system temp dir and OVERWRITTEN on each run (ADVICE
+    r11: tempfile.mkdtemp leaked one full events copy per invocation
+    across gates, plan tests, and soaks)."""
+    import hashlib
+    import os
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="dpp_events_")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"dpp_events_cache_{tag}")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
@@ -1676,7 +1692,9 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("long").alias("sum_uid"),
             F.round(
                 F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")), 4
-            ).alias("sum_value"),
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_value"),
         )
     )
 
@@ -2450,10 +2468,16 @@ def decontaminate_containment_fuzzy(spark: SparkSession, sf_dir: str) -> DataFra
     grams occurring in more than ``_DECON_HOT_GRAM_CAP`` docs are
     dropped from the UNIVERSE (both sides AND the containment
     denominator — the consistent stopword-removal semantics) via the
-    dedup family's ``_drop_hot_buckets`` anti-join. On every shipped
-    corpus the max gram frequency is ≤4, so the cap is a no-op and
-    the DuckDB oracle (uncapped) still matches — pinned in
-    tests/test_feature_queries.py."""
+    dedup family's ``_drop_hot_buckets`` anti-join. ``_drop_hot_buckets``
+    counts exploded ROWS, and that equals DOCUMENT frequency at this
+    call site because ``word_shingles`` is per-doc distinct
+    (``array_distinct``, dedup.py:114) — each (doc_id, gram) pair
+    explodes exactly once, so a gram repeated 10,000× inside one doc
+    contributes 1, not 10,000 (ADVICE r11 flagged the occurrence/
+    doc-frequency split; the distinctness upstream is what makes them
+    the same number here). On every shipped corpus the max gram
+    frequency is ≤4, so the cap is a no-op and the DuckDB oracle
+    (uncapped) still matches — pinned in tests/test_feature_queries.py."""
     from .operators.dedup import _drop_hot_buckets, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -10378,6 +10402,13 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pHash golden-constant gate); the r10 first-evidence rows (incl. the
 #   two rows-only tiers) rotate out, followed by pure oldest-first
 #   rotation (r06 greens, then r07).
+# The round this window was pinned FOR (the driver artifact that will
+# grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
+# uses it to decide which artifacts predate the window — ADVICE r11: the
+# positional "newest file" exemption mis-attributes rows the moment the
+# window is rotated before the driver's artifact lands.
+_WINDOW_ROUND = 11
+
 _WINDOW_THIS_ROUND = [
     "dpp_partitioned_join",  # never graded
     "bigram_lm_perplexity",  # never graded

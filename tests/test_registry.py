@@ -13,7 +13,12 @@ import glob
 import json
 import pathlib
 
-from apache_spark_link_prediction_spark.queries import _WINDOW_THIS_ROUND, ORACLE, QUERIES
+from apache_spark_link_prediction_spark.queries import (
+    _WINDOW_ROUND,
+    _WINDOW_THIS_ROUND,
+    ORACLE,
+    QUERIES,
+)
 
 DRIVER_WINDOW = 50
 REPO = pathlib.Path(__file__).resolve().parent.parent
@@ -38,16 +43,22 @@ def test_every_oracle_key_is_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def _graded_before_newest() -> set:
-    """Names with a driver row in any artifact EXCEPT the newest one.
-    The newest artifact is excluded because it is the round that just
-    graded the current window: an entry whose ONLY row lives there took
-    its slot for its first-ever evidence, which the policy allows. A
-    row in any older artifact means the entry already had evidence
-    before this window was pinned — holding a slot now is a re-grade."""
-    files = sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json")))
+def _graded_before_window() -> set:
+    """Names with a driver row in any artifact from a round BEFORE the
+    one the current window was pinned for (``_WINDOW_ROUND`` in
+    queries.py). Rows in artifacts >= _WINDOW_ROUND are the window's
+    own grading (first-ever evidence taking its slot, which the policy
+    allows); a row in any earlier round means the entry already had
+    evidence when the window was pinned — holding a slot now is a
+    re-grade. ADVICE r11: keying on the ROUND NUMBER parsed from the
+    filename (not "all but the positionally newest file") keeps the
+    attribution right at the pre-driver commit, when the rotated
+    window's own artifact does not exist yet."""
     graded: set = set()
-    for f in files[:-1]:
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))):
+        rnd = int(pathlib.Path(f).name[len("CORRECTNESS_r"):-len(".json")])
+        if rnd >= _WINDOW_ROUND:
+            continue
         graded |= set(json.load(open(f)).keys())
     if "funnel_conversion" in graded:
         graded.add("funnel_view_click_purchase")
@@ -58,11 +69,12 @@ def test_rows_only_window_entries_are_never_graded():
     # A rows-only query may take a grading slot ONLY for its first-ever
     # driver row (the weak rows-only check adds nothing on repeat);
     # hash-oracle entries own every re-grade slot. Implemented as
-    # stated (VERDICT r10 wrong-item 1): an entry whose only driver row
-    # is in the NEWEST artifact is taking its first-ever evidence slot
-    # and is exempt — the suite must stay green the moment the driver
-    # drops a fresh artifact on disk, not only at the pre-driver commit.
-    graded = _graded_before_newest()
+    # stated (VERDICT r10 wrong-item 1): an entry whose only driver
+    # rows are from round >= _WINDOW_ROUND is taking its first-ever
+    # evidence slot and is exempt — the suite must stay green the
+    # moment the driver drops a fresh artifact on disk, not only at
+    # the pre-driver commit.
+    graded = _graded_before_window()
     offenders = [
         n for n in list(QUERIES)[:DRIVER_WINDOW]
         if n not in ORACLE and n in graded
@@ -77,6 +89,22 @@ def test_rows_only_entries_trail_outside_the_window():
     )
     assert all(n not in ORACLE for n in names[first_rows_only:]), (
         "oracle-backed query registered after a rows-only one outside the window"
+    )
+
+
+def test_window_round_tracks_artifacts():
+    # _WINDOW_ROUND must be bumped when the window is rotated: at the
+    # pre-driver commit the window is pinned for newest_artifact + 1;
+    # once the driver grades it, newest_artifact == _WINDOW_ROUND. Any
+    # other relation means the pin and the rotation went out of sync.
+    rounds = [
+        int(pathlib.Path(f).name[len("CORRECTNESS_r"):-len(".json")])
+        for f in glob.glob(str(REPO / "CORRECTNESS_r[0-9][0-9].json"))
+    ]
+    newest = max(rounds, default=0)
+    assert _WINDOW_ROUND in (newest, newest + 1), (
+        f"_WINDOW_ROUND={_WINDOW_ROUND} but newest driver artifact is "
+        f"r{newest} — bump _WINDOW_ROUND when rotating the window"
     )
 
 

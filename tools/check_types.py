@@ -5,11 +5,31 @@ flag — the round-1 driver failures were exactly this (DuckDB HUGEINT
 from an uncast SUM vs Spark LONG). This tool compares schemas directly
 and flags any column whose normalized type differs.
 
+Round 12 (VERDICT r11 item 2) adds two checks for the class of bug
+that made `dpp_partitioned_join` the round-11 driver red even though
+every VALUE was exactly equal:
+
+1. **Decimal-scale parity**: a Decimal's *textual rendering* (what the
+   hash comparator sees) depends on its scale — Decimal('1.1300') at
+   scale 4 vs scale 6 renders '1.1300' vs '1.130000'. Precision may
+   differ between engines (Spark decimal(38,6) vs DuckDB DECIMAL(18,6)
+   render identically) but SCALE must match, so decimal columns are
+   compared scale-exactly, not just as "decimal".
+2. **Engine-version-dependent scale lint**: `round(DECIMAL, k)`'s
+   return SCALE is an engine convention (DuckDB 1.0 keeps the input
+   scale; other versions return scale k) — a bare round() feeding a
+   DECIMAL output column is green on one engine pair and a silent hash
+   red on another. Any oracle with a DECIMAL output column whose SQL
+   contains a round() NOT immediately wrapped in CAST(... AS ...) is
+   flagged; the fix is the dpp pattern: pin both sides with an explicit
+   CAST / .cast("decimal(p,s)").
+
 Usage: python tools/check_types.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 import duckdb
@@ -49,6 +69,28 @@ def norm_spark(t: str) -> str:
     return _SPARK.get(base, base)
 
 
+def decimal_scale(t: str) -> int | None:
+    """Scale of a decimal type string ('decimal(18,4)' / 'DECIMAL(18,4)')
+    from either engine; None if not a decimal."""
+    m = re.match(r"\s*decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", t, re.IGNORECASE)
+    return int(m.group(1)) if m else None
+
+
+def bare_rounds(sql: str) -> int:
+    """Count round( occurrences NOT immediately wrapped in CAST( — the
+    engine-version-dependent-scale hazard when the query emits DECIMAL.
+    `CAST(round(x, k) AS DECIMAL(p,s))` pins the scale; a bare
+    `round(decimal_expr, k)` inherits the engine's round-return-scale
+    convention."""
+    n = 0
+    for m in re.finditer(r"round\s*\(", sql, re.IGNORECASE):
+        head = sql[: m.start()].rstrip()
+        if re.search(r"cast\s*\($", head, re.IGNORECASE):
+            continue
+        n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -75,11 +117,29 @@ def main() -> int:
             print(f"ERROR {name}: {e}")
             n_flagged += 1
             continue
+        has_decimal_out = False
         for col in sorted(set(sdtypes) & set(ddtypes)):
             s, d = norm_spark(sdtypes[col]), norm_duck(ddtypes[col])
             if s != d:
                 print(f"FLAG  {name}.{col}: spark={sdtypes[col]} ({s}) duckdb={ddtypes[col]} ({d})")
                 n_flagged += 1
+            if s == d == "decimal":
+                has_decimal_out = True
+                ss, ds = decimal_scale(sdtypes[col]), decimal_scale(ddtypes[col])
+                if ss != ds:
+                    print(
+                        f"FLAG  {name}.{col}: decimal SCALE mismatch "
+                        f"spark={sdtypes[col]} duckdb={ddtypes[col]} — "
+                        "renders differently under the hash comparator"
+                    )
+                    n_flagged += 1
+        if has_decimal_out and (nb := bare_rounds(oracles[name])):
+            print(
+                f"FLAG  {name}: {nb} bare round() with DECIMAL output — "
+                "round(DECIMAL)'s return scale is engine-version-dependent; "
+                "pin with CAST(round(...) AS DECIMAL(p,s)) on both sides"
+            )
+            n_flagged += 1
     print(f"\n{n_flagged} type divergences" if n_flagged else "\nall types parity")
     return 1 if n_flagged else 0
 
