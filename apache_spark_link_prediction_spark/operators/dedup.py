@@ -1538,3 +1538,115 @@ def levenshtein_near_dup_pairs(
         .select("src_id", "dst_id", F.levenshtein("__pa", "__pb").alias("lev"))
         .filter(F.col("lev") <= max_dist)
     )
+
+
+def exact_substring_regions(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_match_tokens: int = 50,
+    within_doc: bool = False,
+    max_gram_positions: int = 1000,
+) -> DataFrame:
+    """Cross-document EXACT duplicate-substring detection — the
+    suffix-array dedup family of Lee et al. 2021 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better", the
+    method behind C4/MassiveText exact substring removal), re-expressed
+    as relational gram adjacency instead of a driver-side suffix array:
+
+    A duplicated substring of >= L tokens exists between two positions
+    iff they share an L-token gram (L = ``min_match_tokens``), and the
+    MAXIMAL duplicated substring is a maximal run of consecutive shared
+    L-grams along one (src, dst, offset) diagonal. So:
+
+    1. posexplode every doc's L-token grams -> (id, pos, gram) rows
+       (relational form — building gram ARRAYS and hashing inside HOF
+       lambdas re-inlines the token subtree per element, the Catalyst
+       no-CSE trap; one row per gram evaluates everything once);
+    2. hot-gram cap: grams occurring at more than
+       ``max_gram_positions`` positions corpus-wide are dropped WHOLE
+       (boilerplate license blocks at 100 TB would fan the self-join
+       out quadratically on one key — same posture as the MinHash /
+       decontamination bucket caps; dropping splits any run crossing
+       the hot gram, which is the documented lossy trade);
+    3. self-equi-join on the gram STRING (exact — no 64-bit hash
+       collision risk in a correctness gate; at 100 TB pre-hash with
+       xxhash64 as the shuffle key and verify string equality in the
+       same join to cut shuffle bytes to 8/key + payload);
+    4. maximal-run merge: one window per (src, dst, diag) ordered by
+       src position — lag()-based run break flags, running-sum run
+       ids, then min/max per run. Every duplicated region is emitted
+       exactly once with its exact token extent.
+
+    Emits (src_id, dst_id, src_pos, dst_pos, match_tokens): the
+    maximal shared run starting at token offset ``src_pos`` of src and
+    ``dst_pos`` of dst, ``match_tokens`` long (>= min_match_tokens by
+    construction). ``within_doc=True`` additionally reports repeated
+    passages inside a single document (src_id == dst_id, src_pos <
+    dst_pos — the self-repetition Lee et al. also remove).
+
+    Plan shape at 100 TB: token posexplode is map-side; the cap is one
+    distinct-gram-keyed count + anti-join (map-side partial agg); the
+    self-join is ONE gram-keyed shuffle whose output is bounded by
+    true duplication (never all-pairs — positions only meet when their
+    grams are equal); the run-merge windows partition by (src, dst,
+    diag), which is at most the anchor count. Nothing is quadratic in
+    corpus size, only in genuine per-gram duplication, which the cap
+    bounds. No driver-side suffix array: the sorted-adjacency property
+    the suffix array provides is exactly what the gram equi-join +
+    per-diagonal window reconstructs distributively."""
+    from pyspark.sql import Window
+
+    L = int(min_match_tokens)
+    if L < 2:
+        raise ValueError(f"min_match_tokens must be >= 2, got {min_match_tokens}")
+    toks = tokenize(text_col)
+    base = docs.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    n = F.size("__t")
+    grams_arr = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - L + 1),
+            lambda p: F.concat_ws(" ", F.slice("__t", p, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("__id", F.posexplode(grams_arr).alias("__p", "__g"))
+    grams = _drop_hot_buckets(grams, ["__g"], max_gram_positions)
+    a = grams.select(
+        F.col("__id").alias("src_id"), F.col("__p").alias("__pa"), "__g"
+    )
+    b = grams.select(
+        F.col("__id").alias("dst_id"), F.col("__p").alias("__pb"), "__g"
+    )
+    pred = F.col("src_id") < F.col("dst_id")
+    if within_doc:
+        pred = pred | (
+            (F.col("src_id") == F.col("dst_id")) & (F.col("__pa") < F.col("__pb"))
+        )
+    anchors = (
+        a.join(b, on="__g")
+        .filter(pred)
+        .select(
+            "src_id",
+            "dst_id",
+            "__pa",
+            (F.col("__pb") - F.col("__pa")).alias("__diag"),
+        )
+    )
+    by_diag = Window.partitionBy("src_id", "dst_id", "__diag").orderBy("__pa")
+    runs = anchors.withColumn(
+        "__brk",
+        F.when(F.lag("__pa").over(by_diag) == F.col("__pa") - 1, 0).otherwise(1),
+    ).withColumn("__run", F.sum("__brk").over(by_diag))
+    return (
+        runs.groupBy("src_id", "dst_id", "__diag", "__run")
+        .agg(F.min("__pa").alias("__start"), F.max("__pa").alias("__end"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("__start").cast("int").alias("src_pos"),
+            (F.col("__start") + F.col("__diag")).cast("int").alias("dst_pos"),
+            (F.col("__end") - F.col("__start") + L).cast("int").alias("match_tokens"),
+        )
+    )

@@ -735,7 +735,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash")  # approx — hash functions not portable to SQL: rows-only
+@register("dedup_minhash")  # rows-only — promotion adjudicated: the
+# signature is min-over-shingles of Spark xxhash64(seed=i, shingle) (XXH64);
+# DuckDB exposes no XXH64 scalar (its hash() is a different, version-unstable
+# algorithm), so neither the recursive-CTE-replay precedent (the folded VALUES
+# are unreproducible) nor the golden-constant precedent (signatures are
+# corpus-dependent, oracle SQL is SF-blind) applies. The hash-gated scale
+# twins are dedup_clusters_exact and p2_scale_path_jaccard{,_deep}; banding
+# recall/precision properties are pinned in pytest.
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
     verify); verified-exact jaccard output, so recall<1 but precision=1
@@ -752,7 +759,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_incremental")  # rows-only: xxhash64 not portable to SQL
+@register("dedup_minhash_incremental")  # rows-only — same blocker as
+# dedup_minhash (XXH64 signatures have no DuckDB scalar; corpus-dependent, so
+# no golden literal either); pair-for-pair parity with the full rebuild is
+# pinned in pytest, and the full-rebuild form's exact twins are hash-gated.
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingest — the shape a 100 TB corpus actually
     runs: documents with doc_id % 5 == 0 play the new batch, the rest
@@ -769,7 +779,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 not portable to SQL
+@register("dedup_simhash")  # rows-only — same blocker family as
+# dedup_minhash: the 64-bit signature packs sign-sums of xxhash64(token) bits,
+# and XXH64 has no DuckDB scalar; corpus-dependent signatures rule out golden
+# literals. Hamming/banding exactness properties are pinned in pytest; the
+# banded-pair machinery itself is hash-gated via image_phash_class_gate's
+# end-to-end twin and the exact Jaccard family.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(
@@ -777,7 +792,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_incremental")  # rows-only: xxhash64 not portable to SQL
+@register("dedup_simhash_incremental")  # rows-only — same XXH64 blocker as
+# dedup_simhash; per-ingest parity with the full rebuild is pinned in pytest.
 def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental signature-family ingest (VERDICT r07 item 5):
     documents with doc_id % 5 == 0 play the new batch against a
@@ -854,7 +870,12 @@ def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_lsh")  # approx — rows-only
+@register("embedding_ann_lsh")  # rows-only — promotion adjudicated: the
+# sign-LSH hyperplanes are seeded JVM-side xxhash64-derived projections, so
+# bucket ids are unreproducible in DuckDB (no XXH64 scalar) and
+# corpus-independent golden literals cannot pin a corpus-DEPENDENT top-k.
+# The exact twin embedding_topk_bruteforce is hash-gated; the recall floor
+# vs that twin is pinned in pytest.
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-k (the 100 TB scale path; recall vs
     brute force asserted in tests)."""
@@ -864,7 +885,13 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_ivf")  # approx — rows-only (k-means not SQL-portable)
+@register("embedding_ann_ivf")  # rows-only — promotion adjudicated: the
+# quantizer is a seeded k-means fit whose assignment step is an argmin over
+# float dot products; summation order differs between numpy and any SQL
+# reformulation (list_reduce is strictly sequential, BLAS is blocked), and a
+# 1-ulp distance divergence flips an argmin DISCONTINUOUSLY — no rounding
+# absorbs it, and it cascades through iterations. Exact twin
+# embedding_topk_bruteforce is hash-gated; recall floors pinned in pytest.
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: k-means coarse quantizer, nprobe-cell probing,
     exact cosine within probed cells (recall vs brute force asserted in
@@ -877,7 +904,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("embedding_ann_ivfpq")  # approx — rows-only (k-means/PQ not SQL-portable)
+@register("embedding_ann_ivfpq")  # rows-only — the embedding_ann_ivf
+# argmin-instability blocker applies to BOTH the coarse quantizer and every
+# per-subspace PQ codebook (and the OPQ rotation adds an eigendecomposition);
+# recall/cost surface vs the hash-gated brute-force twin pinned in pytest.
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-k (VERDICT r08 item 6): coarse k-means cells +
     per-cell residual product-quantization codes + asymmetric-distance
@@ -892,7 +922,10 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_top_k(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-@register("embedding_near_dup")  # approx — rows-only
+@register("embedding_near_dup")  # rows-only — sign-LSH bucket blocker as
+# embedding_ann_lsh; the EXACT cosine pair twin embedding_pairs_exact is
+# hash-gated, and completeness vs it on collision-guaranteed fixtures is
+# pinned in pytest.
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via capped sign-LSH self-join.
     Threshold 0.4: the synthetic embeddings are near-orthogonal (max
@@ -904,7 +937,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4, tables=8, planes=4)
 
 
-@register("embedding_neardup_incremental")  # approx — rows-only
+@register("embedding_neardup_incremental")  # rows-only — same sign-LSH
+# blocker; pair-for-pair parity with the batch operator is pinned in pytest.
 def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding-cosine ingest (VERDICT r07 item 5):
     vectors with vec_id % 5 == 0 play the new batch against a persisted
@@ -924,7 +958,20 @@ def embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("semantic_dedup_semdedup")  # rows-only (seeded k-means not SQL-portable)
+@register("semantic_dedup_semdedup")  # rows-only — promotion adjudicated
+# (VERDICT r11 item 6, attempted this round): two independent blockers.
+# (a) Golden-literal precedent (image_phash_class_gate) fails structurally:
+# those constants work because the payload is a pure function of doc_id %
+# 100, corpus-INdependent — SemDeDup centroids are k-means over the corpus
+# embeddings, so literals captured at one SF are wrong at every other, and
+# one oracle string must hold at sf0.001/0.01/0.1 simultaneously.
+# (b) Recursive-CTE-replay precedent (streaming_stateful_ema) fails on the
+# folded values: each iteration's assignment is an argmin over float
+# distances; numpy's blocked BLAS summation and DuckDB's sequential
+# list_reduce diverge by ~1 ulp, an argmin flip is discontinuous (no dp
+# rounding absorbs it), and flips cascade through subsequent iterations.
+# The pure-python spec parity (same seeds, same iteration count, exact
+# keeper-set equality) is pinned in pytest instead.
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings
     corpus: √N k-means cells → within-cell exact cosine pairs →
@@ -942,7 +989,9 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, eps=0.6, fit_max_iter=8)
 
 
-@register("semantic_dedup_incremental")  # rows-only (seeded k-means index)
+@register("semantic_dedup_incremental")  # rows-only — inherits both
+# semantic_dedup_semdedup blockers through its frozen-history centroid index;
+# ingest-order invariance and batch parity are pinned in pytest.
 def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup ingest with frozen history — the semantic
     tier's member of the *_incremental family: vectors with
@@ -2157,7 +2206,11 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters")  # rows-only: iterative fixpoint not SQL-expressible
+@register("dedup_clusters")  # rows-only — the ITERATION is expressible
+# (the hash-gated dedup_clusters_exact twin replays the same fixpoint as a
+# DuckDB recursive CTE); what blocks THIS entry is the candidate edges:
+# MinHash-banded pairs built from XXH64 signatures (the dedup_minhash
+# blocker). Partition/keeper invariants vs the exact twin pinned in pytest.
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components (iterative min-label
     propagation with lineage checkpoints) → one keeper per duplicate
@@ -2170,7 +2223,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
-@register("dedup_clusters_incremental")  # rows-only: iterative CC not SQL-expressible
+@register("dedup_clusters_incremental")  # rows-only — same XXH64 candidate
+# blocker as dedup_clusters (the fixpoint itself is oracle-proven via the
+# exact twin); cross-batch cluster-id stability pinned in pytest.
 def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental keeper maintenance — the step a daily ingest runs
     after minhash_incremental_pairs: the persisted (doc_id, keeper_id)
@@ -2233,7 +2288,11 @@ def _curate_batch_tail(docs: DataFrame, kept_new: DataFrame) -> DataFrame:
     )
 
 
-@register("incremental_curation_e2e")  # rows-only: minhash banding + iterative CC
+@register("incremental_curation_e2e")  # rows-only — the composition
+# inherits the XXH64 minhash-banding blocker (its non-hash stages all have
+# hash-gated standalone twins: curation_pipeline_e2e, dedup_clusters_exact);
+# end-state parity with the batch pipeline (exponent 0.37 at 10x) pinned in
+# pytest.
 def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAILY-INGEST curation pipeline end-to-end (VERDICT r08 item
     7 / r09 item 6) — what a 100 TB corpus actually runs per batch,
@@ -3126,6 +3185,73 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring dedup gram length (Lee et al. 2021 use 50 tokens on
+# web-scale corpora; 20 matches the shipped corpus' duplicated-passage
+# lengths — regions of 22-95 tokens exist at every SF — while exercising
+# the identical machinery; the operator default stays 50).
+_SUBSTR_L = 20
+
+
+@register(
+    "dedup_exact_substring",
+    # Oracle recomputes the gram-adjacency formulation in SQL: L-gram
+    # posexplode -> gram self-join -> per-(pair, diagonal) maximal-run
+    # merge via lag()/running-sum windows. All-integer output; no cap
+    # on the oracle side (the Spark hot-gram cap is parity-pinned as a
+    # no-op on shipped corpora in tests/test_feature_queries.py).
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    ge AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {_SUBSTR_L}
+                    THEN list_transform(range(0, len(toks) - {_SUBSTR_L - 1}),
+                         i -> struct_pack(pos := i,
+                              gram := array_to_string(toks[i + 1 : i + {_SUBSTR_L}], ' ')))
+                    ELSE [] END AS gl
+           FROM d),
+    g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+          FROM (SELECT doc_id, unnest(gl) AS u FROM ge)),
+    anc AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                   a.pos AS pa, b.pos - a.pos AS diag
+            FROM g a JOIN g b USING (gram)
+            WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT src_id, dst_id, diag, pa,
+                    CASE WHEN lag(pa) OVER w = pa - 1 THEN 0 ELSE 1 END AS brk
+             FROM anc WINDOW w AS (PARTITION BY src_id, dst_id, diag ORDER BY pa)),
+    rid AS (SELECT *, SUM(brk) OVER (PARTITION BY src_id, dst_id, diag
+                                     ORDER BY pa) AS run_id FROM runs)
+    SELECT src_id, dst_id,
+           CAST(MIN(pa) AS INT) AS src_pos,
+           CAST(MIN(pa) + diag AS INT) AS dst_pos,
+           CAST(MAX(pa) - MIN(pa) + {_SUBSTR_L} AS INT) AS match_tokens
+    FROM rid GROUP BY src_id, dst_id, diag, run_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SUBSTRING detection across documents (Lee et al.
+    2021, arXiv:2107.06499 — the suffix-array method used for C4 /
+    MassiveText exact substring removal), the cross-document substring
+    eliminator next to the document-level MinHash/SimHash/winnowing/
+    PPJoin family: emits every MAXIMAL duplicated token run of >=
+    {_SUBSTR_L} tokens as (src_id, dst_id, src_pos, dst_pos,
+    match_tokens) — exact extents, not candidates, so the downstream
+    remove step can cut the bytes directly.
+
+    No driver-side suffix array: the sorted-adjacency property the
+    suffix array provides is reconstructed distributively as gram
+    equi-join + per-(pair, diagonal) window run-merge
+    (operators.dedup.exact_substring_regions — plan shape documented
+    there: one gram-keyed shuffle bounded by true duplication, windows
+    over anchor diagonals, hot-gram cap against boilerplate blowup)."""
+    from .operators.dedup import exact_substring_regions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_regions(
+        docs,
+        min_match_tokens=_SUBSTR_L,
+        max_gram_positions=_DECON_HOT_GRAM_CAP,
+    )
+
+
 @register(
     "repetition_ratio",
     f"""
@@ -3202,7 +3328,11 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media, max_side=256).select("media_id", "width", "height")
 
 
-@register("p2_lsh_reference_mode")  # rows-only: ML LSH + bug-compatible mode
+@register("p2_lsh_reference_mode")  # rows-only — pyspark.ml MinHashLSH
+# hash coefficients are private JVM state seeded at 12345 (not exposed, not
+# reproducible in SQL), and this mode is additionally bug-compatible with the
+# reference distCol quirk (SURVEY 2.7-1). The hash-gated scale twins
+# p2_scale_path_jaccard{,_deep} pin the same candidate semantics exactly.
 def p2_lsh_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p2 in ``mode="reference"`` — the literal Predictor.scala:404-409
     behavior reproduced bug-for-bug (join at distance 1.0, keep the most
@@ -10048,8 +10178,18 @@ def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_centroid")  # rows-only: FFT not SQL-expressible;
-# pure-tone closed form pinned in tests/test_multimodal.py
+@register("multimodal_audio_centroid")  # rows-only — promotion adjudicated
+# (VERDICT r11 item 6, attempted this round): the tone-twin precedent does
+# NOT transfer to the sawtooth corpus. The impulse train promotes because
+# every non-DC harmonic has EQUAL magnitude, so the centroid collapses to a
+# dyadic rational (exact at 4 dp, engine-independent). The sawtooth's DFT
+# magnitudes are P/(2*sin(pi*m/P)) — the centroid is a ratio of sin-weighted
+# sums, so a SQL oracle would need libm sin() plus its own float summation to
+# agree with numpy's rFFT butterfly rounding BELOW the 4 dp rounding: a
+# probabilistic guarantee, not a structural one (the dpp lesson says those
+# gates rot). The identical decode->rFFT->centroid binary path IS hash-gated
+# by multimodal_audio_centroid_tone; the sawtooth closed form is pinned in
+# tests/test_multimodal.py.
 def multimodal_audio_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio feature over REAL PCM WAV payloads:
     windowed spectral centroid (operators/multimodal.py:

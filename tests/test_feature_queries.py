@@ -187,3 +187,42 @@ def test_dpp_dim_threshold_margin(spark):
         for r in ev.groupBy("event_type").agg(F.avg("value").alias("av")).collect()
     ]
     assert margins and min(margins) >= 1e-3, f"margins {sorted(margins)[:3]}"
+
+
+def test_exact_substring_hot_gram_cap_is_noop_on_corpus(spark):
+    """Precondition pin for dedup_exact_substring's hash gate (the
+    decontaminate pattern): the DuckDB oracle is UNCAPPED, so the gate
+    stays green only while no L-token gram on the shipped corpus
+    occupies more positions than _DECON_HOT_GRAM_CAP. Positions, not
+    docs: exact-substring grams are NOT per-doc distinct (a passage
+    repeated inside one doc legitimately occupies several positions)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.functions.pairwise import tokenize
+    from apache_spark_link_prediction_spark.queries import (
+        _DECON_HOT_GRAM_CAP,
+        _SUBSTR_L,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = tokenize("text")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _SUBSTR_L,
+        F.transform(
+            F.sequence(F.lit(1), n - _SUBSTR_L + 1),
+            lambda p: F.concat_ws(" ", F.slice(toks, p, _SUBSTR_L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    max_pos = (
+        docs.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_pos <= _DECON_HOT_GRAM_CAP // 10, (
+        f"max gram position-count {max_pos} is within 10x of the cap "
+        f"{_DECON_HOT_GRAM_CAP}; the uncapped oracle may diverge"
+    )

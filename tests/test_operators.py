@@ -2138,3 +2138,74 @@ def test_jaccard_prefix_join_exact_boundary_sweep(spark):
         want_j = round(o / (o + x + y), 6)
         assert got.get((1, 2)) == want_j, f"t={t}: {got}"
         assert (1, 3) not in got and (2, 3) not in got, f"t={t}: {got}"
+
+
+def test_exact_substring_regions_extents(spark):
+    """Constructed-corpus exactness for exact_substring_regions (Lee et
+    al. 2021 gram-adjacency form): known shared passages come back with
+    exact (src_pos, dst_pos, match_tokens) extents, maximal runs are
+    emitted ONCE (no sub-runs), disjoint shared passages of the same
+    pair emit separate regions, and sub-threshold overlaps are absent."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_regions,
+    )
+
+    # Passage P: 7 tokens; Q: 5 tokens; filler unique per doc.
+    P = [f"p{i}" for i in range(7)]
+    Q = [f"q{i}" for i in range(5)]
+    doc1 = ["a0", "a1"] + P + ["a2", "a3", "a4"] + Q            # P at 2, Q at 12
+    doc2 = ["b0"] + P + ["b1", "b2"] + Q + ["b3"]               # P at 1, Q at 10
+    doc3 = ["c0", "p0", "p1", "p2", "c1"]                        # 3-token overlap only
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"], r["src_pos"], r["dst_pos"]): r["match_tokens"]
+        for r in exact_substring_regions(df, min_match_tokens=4).collect()
+    }
+    # Exactly the two maximal shared passages between docs 1 and 2;
+    # doc3's 3-token overlap is below min_match_tokens=4.
+    assert got == {(1, 2, 2, 1): 7, (1, 2, 12, 10): 5}, got
+
+
+def test_exact_substring_regions_within_doc_and_guards(spark):
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_regions,
+    )
+    import pytest as _pytest
+
+    # One doc repeating a 6-token passage (positions 0 and 9).
+    R = [f"r{i}" for i in range(6)]
+    doc = R + ["x0", "x1", "x2"] + R + ["x3"]
+    df = spark.createDataFrame([(7, " ".join(doc))], "doc_id long, text string")
+    assert exact_substring_regions(df, min_match_tokens=4).count() == 0
+    rows = exact_substring_regions(
+        df, min_match_tokens=4, within_doc=True
+    ).collect()
+    assert [(r["src_id"], r["dst_id"], r["src_pos"], r["dst_pos"], r["match_tokens"]) for r in rows] == [
+        (7, 7, 0, 9, 6)
+    ]
+    with _pytest.raises(ValueError):
+        exact_substring_regions(df, min_match_tokens=1)
+
+
+def test_exact_substring_hot_gram_cap_drops_boilerplate(spark):
+    """The cap's lossy contract, demonstrated: a gram family present at
+    more positions than max_gram_positions is dropped WHOLE, so the
+    boilerplate passage produces no quadratic pair fan-out, while a
+    passage shared by few docs is still found."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_regions,
+    )
+
+    B = [f"b{i}" for i in range(5)]  # boilerplate in 8 docs
+    S = [f"s{i}" for i in range(5)]  # shared by 2 docs
+    rows = [(i, " ".join([f"u{i}_0"] + B + [f"u{i}_1"])) for i in range(8)]
+    rows += [(100, " ".join(S + ["v0"])), (101, " ".join(["w0"] + S))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = exact_substring_regions(
+        df, min_match_tokens=5, max_gram_positions=4
+    ).collect()
+    assert {(r["src_id"], r["dst_id"]) for r in got} == {(100, 101)}
+    assert got[0]["match_tokens"] == 5

@@ -222,7 +222,7 @@ def test_local_gate_covers_every_registry_entry():
 
     latest: dict[str, pathlib.Path] = {}
     for f in REPO.glob("CORRECTNESS_local_r[0-9][0-9]*.json"):
-        m = re.match(r"CORRECTNESS_local_r(\d+)(_sf0001)?\.json", f.name)
+        m = re.match(r"CORRECTNESS_local_r(\d+)(_sf0001|_sf01)?\.json", f.name)
         if not m:
             continue
         key = m.group(2) or "_sf001"
@@ -231,7 +231,24 @@ def test_local_gate_covers_every_registry_entry():
             re.match(r"CORRECTNESS_local_r(\d+)", latest[key].name).group(1)
         ):
             latest[key] = f
-    assert len(latest) == 2, f"expected sf0.01 + sf0.001 local gates, got {latest}"
+    # The sf0.1 sweep is a standing third gate since round 12 (VERDICT
+    # r11 item 5 — it caught an oracle bug both smaller SFs hid).
+    assert len(latest) == 3, (
+        f"expected sf0.01 + sf0.001 + sf0.1 local gates, got {sorted(latest)}"
+    )
+    newest_rnd = max(
+        int(re.match(r"CORRECTNESS_local_r(\d+)", f.name).group(1))
+        for f in latest.values()
+    )
+    stale_keys = [
+        k
+        for k, f in latest.items()
+        if int(re.match(r"CORRECTNESS_local_r(\d+)", f.name).group(1)) != newest_rnd
+    ]
+    assert not stale_keys, (
+        f"gate SFs out of sync: {stale_keys} lag round {newest_rnd} — "
+        "run python tools/end_of_round.py (it writes all three)"
+    )
     for key, f in latest.items():
         rows = json.load(open(f))
         rows.pop("__registry_sha256__", None)  # freshness stamp, not an entry

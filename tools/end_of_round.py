@@ -11,9 +11,13 @@ runs, in order, failing fast with a non-zero exit on the first red step:
 3. ``tools/gen_queries_md.py``          — regenerate QUERIES.md
 4. ``tools/check_oracle.py`` at sf0.01  → ``CORRECTNESS_local_r{N}.json``
 5. ``tools/check_oracle.py`` at sf0.001 → ``CORRECTNESS_local_r{N}_sf0001.json``
-6. ``pytest tests/ -q``                 — full suite, 0 failed
+6. ``tools/check_oracle.py`` at sf0.1   → ``CORRECTNESS_local_r{N}_sf01.json``
+   (standing since round 12 — VERDICT r11 item 5: the first sf0.1
+   sweep caught a DuckDB LEAST/GREATEST DECIMAL→DOUBLE promotion bug
+   both smaller SFs hid under the comparator's 9dp rounding)
+7. ``pytest tests/ -q``                 — full suite, 0 failed
 
-The local gate pair (steps 4-5) is what
+The local gate trio (steps 4-6) is what
 tests/test_registry.py::test_local_gate_covers_every_registry_entry
 pins: the NEWEST committed pair must cover every registry entry, so
 these files must be part of the round's LAST commit — register no new
@@ -44,7 +48,7 @@ def current_round() -> int:
     return max(rounds, default=0) + 1
 
 
-def stamp_registry_sha(gate: str, gate_small: str) -> None:
+def stamp_registry_sha(*gates: str) -> None:
     """Embed the sha256 of queries.py into each freshly-written gate
     file (key ``__registry_sha256__``). Content causality, not clocks
     (round 11): an oracle fix below the comparator's 9dp rounding
@@ -66,7 +70,7 @@ def stamp_registry_sha(gate: str, gate_small: str) -> None:
             "rb",
         ).read()
     ).hexdigest()
-    for path in (gate, gate_small):
+    for path in gates:
         data = json.load(open(path))
         data["__registry_sha256__"] = sha
         with open(path, "w") as fh:
@@ -74,7 +78,7 @@ def stamp_registry_sha(gate: str, gate_small: str) -> None:
     print(f"ok registry-sha stamp ({sha[:12]}…)", flush=True)
 
 
-def verify_gate_pair(gate: str, gate_small: str) -> None:
+def verify_gate_files(*gates: str) -> None:
     """Fail loudly if either freshly-written gate file's entry set
     differs from the registry at HEAD (VERDICT r09 item 1) — a cheap,
     Spark-free check that catches the exact failure mode rounds 7-9 all
@@ -87,7 +91,7 @@ def verify_gate_pair(gate: str, gate_small: str) -> None:
     sys.path.insert(0, REPO)
     from apache_spark_link_prediction_spark.queries import QUERIES
 
-    for path in (gate, gate_small):
+    for path in gates:
         rows = set(json.load(open(path))) - {"__registry_sha256__"}
         missing = sorted(set(QUERIES) - rows)
         stale = sorted(rows - set(QUERIES))
@@ -124,6 +128,7 @@ def main() -> int:
     py = sys.executable
     gate = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}.json")
     gate_small = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}_sf0001.json")
+    gate_sf01 = os.path.join(REPO, f"CORRECTNESS_local_r{rnd:02d}_sf01.json")
     run("audit_plans", [py, "tools/audit_plans.py", "--all"])
     run("check_types", [py, "tools/check_types.py"])
     run("gen_queries_md", [py, "tools/gen_queries_md.py"])
@@ -135,14 +140,18 @@ def main() -> int:
         "gate sf0.001",
         [py, "tools/check_oracle.py", "/root/testdata/sf0.001", "--json", gate_small],
     )
-    stamp_registry_sha(gate, gate_small)
-    verify_gate_pair(gate, gate_small)
+    run(
+        "gate sf0.1",
+        [py, "tools/check_oracle.py", "/root/testdata/sf0.1", "--json", gate_sf01],
+    )
+    stamp_registry_sha(gate, gate_small, gate_sf01)
+    verify_gate_files(gate, gate_small, gate_sf01)
     run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     print(
         f"\nALL GREEN for round {rnd}. Now commit (as the round's LAST "
         f"commits — no new query registrations after this):\n"
         f"  git add {os.path.basename(gate)} {os.path.basename(gate_small)} "
-        f"QUERIES.md\n  git commit"
+        f"{os.path.basename(gate_sf01)} QUERIES.md\n  git commit"
     )
     return 0
 

@@ -217,6 +217,12 @@ DOCS_QUERIES = (
     # pair op: output-bound under cluster replication like the rest
     # of the pair family — judge its exponent against pair growth
     "winnowing_candidate_pairs",
+    # round-12: exact substring regions. Under per-copy replication
+    # every doc shares its near-full text with its 9 copies, so output
+    # regions grow ~ copies² × docs BY CONSTRUCTION (that full-corpus
+    # duplication is precisely what the operator exists to find) —
+    # judge the wall exponent against the region-count growth.
+    "dedup_exact_substring",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
