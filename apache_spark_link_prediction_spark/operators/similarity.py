@@ -360,6 +360,43 @@ def _pq_subdim(dim: int, m: int) -> int:
     return dim // m
 
 
+# opq_rotate="auto" fires when the top-8 residual eigenvalues carry at
+# least this multiple of their isotropic share (8/dim). Measured top-8
+# shares: shipped synthetic corpus 0.209 (1.67x isotropic — must NOT
+# fire), 1/sqrt(k)-spectrum anisotropic fixture 0.575 (4.6x — must
+# fire); 2.5x splits the two with ~50% margin on each side. For
+# dim <= 20 the threshold saturates at 1.0 and the probe never fires
+# (rotating a space PQ barely splits buys nothing).
+_OPQ_AUTO_RATIO = 2.5
+
+
+def _residual_top_share(sample_vectors, coarse_centers, *, top: int = 8) -> float:
+    """Fraction of residual variance carried by the ``top`` largest
+    principal directions — the anisotropy probe behind
+    ``opq_rotate="auto"``. Same bounded driver-side sample as the
+    codebook fit; one dim x dim eigh, microseconds at dim 64."""
+    import numpy as np
+
+    res = _residuals(sample_vectors, coarse_centers)
+    n, dim = res.shape
+    cov = (res.T @ res) / max(n, 1)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = float(w.sum())
+    if total <= 0.0:
+        return 0.0
+    return float(w[: min(top, dim)].sum()) / total
+
+
+def _opq_auto_enable(share: float, dim: int, *, top: int = 8) -> bool:
+    """Pinned auto-enable rule: fire when the sampled residual
+    spectrum's top-``top`` share exceeds ``_OPQ_AUTO_RATIO`` times the
+    isotropic expectation ``top/dim`` (capped at 1.0)."""
+    if dim <= 0:
+        return False
+    threshold = min(1.0, _OPQ_AUTO_RATIO * min(top, dim) / dim)
+    return share >= threshold
+
+
 def _fit_opq_rotation(sample_vectors, coarse_centers, *, m: int):
     """OPQ-P rotation (Ge, He, Ke, Sun — "Optimized Product
     Quantization", CVPR 2013 — the parametric eigenvalue-allocation
@@ -481,7 +518,7 @@ def ivf_pq_top_k(
     fit_sample_size: int = 50_000,
     fit_max_iter: int = 8,
     normalize: bool = False,
-    opq_rotate: bool = False,
+    opq_rotate: bool | str = False,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011): k-means coarse cells + per-cell
     RESIDUAL product-quantization codes + asymmetric-distance scoring
@@ -547,6 +584,17 @@ def ivf_pq_top_k(
     at rerank 20, +0.042 at rerank 50). Default off: the gain costs a
     denser encode expression, and on norm-informative corpora the raw
     space is already competitive.
+
+    ``opq_rotate="auto"`` (VERDICT r11 item 8) decides from the data:
+    the sampled residual spectrum's top-8 eigenvalue share is compared
+    against ``_OPQ_AUTO_RATIO`` x the isotropic expectation
+    (:func:`_opq_auto_enable`) — near-isotropic corpora (the shipped
+    synthetic one measures 0.209 vs threshold 0.3125 at dim 64) keep
+    the cheaper raw encode and return BIT-IDENTICAL results to
+    ``opq_rotate=False``; energy-concentrated corpora (transformer
+    embedding families; the 1/sqrt(k) fixture measures 0.575) get the
+    rotation and its equal-budget recall gain. Pinned in
+    tests/test_operators.py::test_opq_auto_probe.
     """
     if num_cells is None:
         n = corpus.count()
@@ -595,6 +643,11 @@ def ivf_pq_top_k(
     # energy is already spread near-uniformly across dims, so the
     # recall gain is small; it exists for real embedding families
     # (transformer embeddings concentrate energy in a few directions).
+    if opq_rotate == "auto":
+        dim0 = len(sample[0]) if sample else 0
+        opq_rotate = _opq_auto_enable(
+            _residual_top_share(sample, centers), dim0
+        )
     rot = (
         _fit_opq_rotation(sample, centers, m=m) if opq_rotate else None
     )

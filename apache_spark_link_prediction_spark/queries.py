@@ -1360,7 +1360,12 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter((h % 1000) < 200).select("doc_id", "source")
 
 
-@register("p1_link_prediction")
+@register("p1_link_prediction")  # rows-only — the blocker is the ML fit:
+# LogisticRegression(maxIter=100) coefficients come from an iterative LBFGS
+# optimization whose float reduction order is not reproducible in SQL (the
+# argmin-cascade class, like the k-means entries). Every pre-model stage has
+# hash-gated standalone twins (pair_features_flagship, left_existence_label,
+# split_part_type); the model's F1 is pinned to the published band in pytest.
 def p1_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p1 end-to-end on the documents testbed: citation-shaped node
     table synthesized from documents, train edges (i, i+1) labeled by
@@ -1402,7 +1407,12 @@ def p1_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.predictions.select("srcId", "dstId", "label", "prediction")
 
 
-@register("p2_lsh_similarity")
+@register("p2_lsh_similarity")  # rows-only — pyspark.ml MinHashLSH's hash
+# coefficients are private JVM state (seeded 12345 but not exposed), so the
+# bucket-colliding pair set is unreproducible in SQL; by reference-parity
+# contract (Predictor.scala:404-405) this entry must emit every colliding
+# pair, so it also stays the documented perf-weak one. The hash-gated exact
+# twins are p2_scale_path_jaccard{,_deep}.
 def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p2 (Predictor.scala:388-422) on the documents testbed: tf·idf →
     MinHashLSH(3 tables) → approx similarity self-join at Jaccard ≥ 0.8
