@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.pairwise import jaccard_tokens, tokenize
-from ..functions.textstats import doc_fingerprint
+from ..functions.textstats import doc_fingerprint, doc_rolling_hash
 
 
 def _drop_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
@@ -1649,4 +1649,100 @@ def exact_substring_regions(
             (F.col("__start") + F.col("__diag")).cast("int").alias("dst_pos"),
             (F.col("__end") - F.col("__start") + L).cast("int").alias("match_tokens"),
         )
+    )
+
+
+def exact_substring_remove(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_match_tokens: int = 50,
+    max_gram_positions: int = 1000,
+) -> DataFrame:
+    """The REMOVE step of exact substring dedup (Lee et al. 2021,
+    arXiv:2107.06499 §4 — after detection, one copy of each duplicated
+    span is cut from the corpus): keep-first policy — the occurrence in
+    the LOWER-id document stays, the higher-id document's span is
+    removed. Composes :func:`exact_substring_regions`' detected
+    regions into a corpus rewrite:
+
+    1. dst-side spans ``[dst_pos, dst_pos + match_tokens)`` become
+       per-doc removal intervals;
+    2. overlapping intervals merge into islands (gaps-and-islands: a
+       running ``max(e)`` window per doc ordered by (s, e) flags new
+       islands, a running sum numbers them, min/max per island) —
+       regions found on different diagonals may overlap, and removal
+       must not double-cut;
+    3. each doc's kept token stream is the original minus island-covered
+       positions — a per-doc ``filter`` with the positional lambda over
+       the (small) collected island array, map-side;
+    4. emits (doc_id, n_tokens, n_removed, kept_hash) where kept_hash
+       is the portable Rabin-Karp rolling hash of the space-joined kept
+       tokens (functions.textstats.doc_rolling_hash) — the gate pins
+       the actual post-removal BYTES, not just counts. Docs with
+       nothing removed hash their full token stream; fully-removed docs
+       hash the empty string (0).
+
+    Plan shape at 100 TB: detection is the bounded
+    exact_substring_regions plan; islands aggregate per doc (intervals
+    per doc ~ regions, small); the rewrite is ONE doc-keyed join of the
+    corpus against its island lists followed by a per-doc map — no
+    token-level shuffle, tokens never leave their partition."""
+    from pyspark.sql import Window
+
+    regions = exact_substring_regions(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_match_tokens=min_match_tokens,
+        within_doc=False,
+        max_gram_positions=max_gram_positions,
+    )
+    iv = regions.select(
+        F.col("dst_id").alias("__id"),
+        F.col("dst_pos").alias("__s"),
+        (F.col("dst_pos") + F.col("match_tokens")).alias("__e"),
+    )
+    by_doc = Window.partitionBy("__id").orderBy("__s", "__e")
+    prior_max_e = F.max("__e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        iv.withColumn(
+            "__new",
+            F.when(F.col("__s") <= F.coalesce(prior_max_e, F.lit(-1)), 0).otherwise(1),
+        )
+        .withColumn("__isl", F.sum("__new").over(by_doc))
+        .groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .groupBy("__id")
+        .agg(
+            F.collect_list(F.struct("__s", "__e")).alias("__islands"),
+            F.sum(F.col("__e") - F.col("__s")).alias("__covered"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+    )
+    joined = base.join(isl, on="__id", how="left").select(
+        "__id",
+        "__t",
+        F.coalesce("__islands", F.array().cast("array<struct<__s:int,__e:int>>")).alias(
+            "__islands"
+        ),
+        F.coalesce("__covered", F.lit(0)).alias("__covered"),
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda t, i: ~F.exists(
+            F.col("__islands"),
+            lambda st: (i >= st["__s"]) & (i < st["__e"]),
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.col("__covered").cast("long").alias("n_removed"),
+        doc_rolling_hash(F.concat_ws(" ", kept)).alias("kept_hash"),
     )

@@ -3263,6 +3263,94 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substring_remove",
+    # Oracle recomputes detection (the dedup_exact_substring CTE),
+    # merges dst-side intervals into islands with the same
+    # gaps-and-islands windows, anti-joins exploded token positions
+    # against islands, and folds the kept stream with the portable
+    # rolling hash. n_removed comes from island coverage (not kept-row
+    # counting), so fully-removed docs are exact, and kept_hash CASEs:
+    # covered=0 → full-text hash, all covered → 0 (empty string).
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    ge AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {_SUBSTR_L}
+                    THEN list_transform(range(0, len(toks) - {_SUBSTR_L - 1}),
+                         i -> struct_pack(pos := i,
+                              gram := array_to_string(toks[i + 1 : i + {_SUBSTR_L}], ' ')))
+                    ELSE [] END AS gl
+           FROM d),
+    g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+          FROM (SELECT doc_id, unnest(gl) AS u FROM ge)),
+    anc AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                   a.pos AS pa, b.pos - a.pos AS diag
+            FROM g a JOIN g b USING (gram)
+            WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT src_id, dst_id, diag, pa,
+                    CASE WHEN lag(pa) OVER w = pa - 1 THEN 0 ELSE 1 END AS brk
+             FROM anc WINDOW w AS (PARTITION BY src_id, dst_id, diag ORDER BY pa)),
+    rid AS (SELECT *, SUM(brk) OVER (PARTITION BY src_id, dst_id, diag
+                                     ORDER BY pa) AS run_id FROM runs),
+    reg AS (SELECT dst_id AS doc_id, MIN(pa) + diag AS s,
+                   MAX(pa) + diag + {_SUBSTR_L} AS e
+            FROM rid GROUP BY src_id, dst_id, diag, run_id),
+    iv AS (SELECT doc_id, s, e,
+                  CASE WHEN s <= COALESCE(MAX(e) OVER (
+                         PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 0 ELSE 1 END AS new_isl
+           FROM reg),
+    isl0 AS (SELECT doc_id, s, e,
+                    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+             FROM iv),
+    isl AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl0 GROUP BY doc_id, isl),
+    cov AS (SELECT doc_id, SUM(e - s) AS covered FROM isl GROUP BY doc_id),
+    tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks) + 1),
+                                i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+                  FROM d)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM tok t LEFT JOIN isl i
+               ON i.doc_id = t.doc_id AND t.pos >= i.s AND t.pos < i.e
+             WHERE i.doc_id IS NULL),
+    ka AS (SELECT doc_id,
+                  {_rolling_hash_sql("array_to_string(list(tok ORDER BY pos), ' ')")}
+                    AS kept_hash
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS n_removed,
+           CASE WHEN COALESCE(cov.covered, 0) = 0
+                  THEN {_rolling_hash_sql("array_to_string(d.toks, ' ')")}
+                WHEN ka.kept_hash IS NULL THEN 0
+                ELSE ka.kept_hash END AS kept_hash
+    FROM d LEFT JOIN cov ON cov.doc_id = d.doc_id
+           LEFT JOIN ka ON ka.doc_id = d.doc_id
+    """,
+)
+def dedup_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step completing the exact-substring family (Lee et
+    al. 2021 §4): duplicated spans detected by dedup_exact_substring
+    are CUT from the higher-id document (keep-first policy),
+    overlapping spans merged into islands first so nothing double-cuts.
+    One row per corpus document — (doc_id, n_tokens, n_removed,
+    kept_hash) — with kept_hash the rolling hash of the post-removal
+    token stream, so the gate pins the rewritten bytes end to end, not
+    just removal counts (operators.dedup.exact_substring_remove; plan
+    shape there: detection's bounded plan + per-doc island agg + ONE
+    doc-keyed join + map-side rewrite, tokens never shuffle)."""
+    from .operators.dedup import exact_substring_remove
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_remove(
+        docs,
+        min_match_tokens=_SUBSTR_L,
+        max_gram_positions=_DECON_HOT_GRAM_CAP,
+    )
+
+
+@register(
     "repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, unnest({_toks_sql('text')}) AS tok FROM documents),

@@ -366,29 +366,40 @@ def main() -> None:
     else:
         series_point_state = "ok"
     series_point_valid = series_point_state == "ok"
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": graded,
-                "sf": round(base_sf * (REPLICA_COPIES if with_10x else 1), 3),
-                "base_sf": base_sf,
-                "queries_sf01": timings_1x,
-                "total_sf01": round(sum(timings_1x.values()), 3),
-                "first_pass_sec": first_pass_10x,
-                "first_pass_sec_sf01": first_pass_1x,
-                "replica_build_sec": build_sec,
-                "regressions_vs_recorded": regressions,
-                "solo_adjudications": solo_times,
-                "load1_pre_run": load1,
-                "load_elevated": load_elevated,
-                "series_point_valid": series_point_valid,
-                "series_point_state": series_point_state,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": graded,
+        "sf": round(base_sf * (REPLICA_COPIES if with_10x else 1), 3),
+        "base_sf": base_sf,
+        "queries_sf01": timings_1x,
+        "total_sf01": round(sum(timings_1x.values()), 3),
+        "first_pass_sec": first_pass_10x,
+        "first_pass_sec_sf01": first_pass_1x,
+        "replica_build_sec": build_sec,
+        "regressions_vs_recorded": regressions,
+        "solo_adjudications": solo_times,
+        "load1_pre_run": load1,
+        "load_elevated": load_elevated,
+        "series_point_valid": series_point_valid,
+        "series_point_state": series_point_state,
+    }
+    print(json.dumps(payload))
+    # Persist every full run to the committed series log (VERDICT r11
+    # item 7): the r10/r11 clean points' PER-QUERY numbers were lost
+    # because only totals made it into BASELINE.md prose — the band
+    # table needs per-query distributions, so the log keeps them.
+    if with_10x:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SERIES.jsonl"),
+                "a",
+            ) as fh:
+                fh.write(json.dumps({"ts": round(time.time(), 1), **payload}) + "\n")
+        except OSError as e:  # never fail the driver artifact over the log
+            print(f"# series log append failed: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -2274,3 +2274,62 @@ def test_opq_auto_probe(spark, emb):
     got_auto = {(q, n) for q, _, n, _ in auto_rows}
     rec_auto = len(got_auto & exact) / len(exact)
     assert rec_auto >= 0.55, rec_auto
+
+
+def test_exact_substring_remove_rewrite(spark):
+    """The removal step's exactness on a constructed corpus: keep-first
+    policy (lower-id copy survives), overlapping regions on different
+    diagonals merge into one island (no double-cut), untouched docs
+    hash their full stream, a doc whose every token is covered hashes
+    the empty string, and the kept token stream is byte-exact."""
+    from apache_spark_link_prediction_spark.functions.textstats import (
+        doc_rolling_hash,
+    )
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_remove,
+    )
+
+    P = [f"p{i}" for i in range(6)]
+    doc1 = ["a0"] + P + ["a1", "a2"]            # source of P (kept)
+    doc2 = ["b0", "b1"] + P + ["b2"]            # P removed at 2..8
+    doc3 = P                                     # fully covered
+    doc4 = ["z0", "z1", "z2", "z3"]              # untouched
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3)),
+         (4, " ".join(doc4))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_hash"])
+        for r in exact_substring_remove(df, min_match_tokens=4).collect()
+    }
+
+    def h(s):
+        return (
+            spark.range(1).select(doc_rolling_hash(F.lit(s)).alias("h"))
+            .collect()[0]["h"]
+        )
+
+    assert got[1] == (9, 0, h(" ".join(doc1)))          # src side untouched
+    assert got[2] == (9, 6, h("b0 b1 b2"))              # span cut exactly
+    assert got[3] == (6, 6, 0)                          # fully removed -> ""
+    assert got[4] == (4, 0, h("z0 z1 z2 z3"))           # no regions at all
+
+    # Overlap merge: doc 20 contains tokens 0..9 of doc 10 twice-shifted
+    # so two regions overlap; covered must be the UNION, not the sum.
+    base = [f"m{i}" for i in range(10)]
+    doc10 = base + ["q0"]
+    # doc20: positions 0..9 = base, and 5..14 = base again (overlapping
+    # copies) -> regions [0,10) vs [5,15) on different diagonals
+    doc20 = base[:5] + base + ["q1"]
+    df2 = spark.createDataFrame(
+        [(10, " ".join(doc10)), (20, " ".join(doc20))],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in exact_substring_remove(df2, min_match_tokens=5).collect()
+    }
+    n20, rem20 = got2[20]
+    assert n20 == 16
+    assert rem20 <= 15 and rem20 >= 10  # union of overlapping spans, < sum
