@@ -1740,9 +1740,21 @@ def exact_substring_remove(
             lambda st: (i >= st["__s"]) & (i < st["__e"]),
         ),
     )
-    return joined.select(
-        F.col("__id").alias(id_col),
+    # Materialize the kept stream as a named column BEFORE hashing:
+    # doc_rolling_hash's internal empty-text CASE references its input
+    # twice, and Catalyst has no CSE inside expression trees — hashing
+    # the filter expression directly re-evaluates the whole
+    # filter+exists per reference (the winnowing HOF trap; plan
+    # verified to carry ONE filter after this split).
+    staged = joined.select(
+        "__id",
         F.size("__t").cast("long").alias("n_tokens"),
         F.col("__covered").cast("long").alias("n_removed"),
-        doc_rolling_hash(F.concat_ws(" ", kept)).alias("kept_hash"),
+        F.concat_ws(" ", kept).alias("__kept"),
+    )
+    return staged.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_removed",
+        doc_rolling_hash(F.col("__kept")).alias("kept_hash"),
     )

@@ -184,3 +184,21 @@ def test_dpp_partitioned_join_prunes_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_remove_single_kept_eval(spark, sf_dir):
+    """The kept-stream rewrite must evaluate its positional filter ONCE:
+    doc_rolling_hash's empty-text CASE references its input twice, and
+    hashing the filter expression directly would re-inline the whole
+    filter+exists tree per reference (the winnowing HOF-no-CSE trap).
+    The operator stages the kept string as a named column; this pins
+    that the executed plan carries exactly one filter(/exists( pair."""
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["dedup_exact_substring_remove"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("exists(") == 1, plan.count("exists(")
