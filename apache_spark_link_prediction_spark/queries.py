@@ -10632,72 +10632,71 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-11 accounting (227 entries: 205 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the six
-#   round-11 oracle-backed additions are never-graded and lead (the DPP
-#   partitioned join, the CCNet bigram-LM filter, the T5 span-corruption
-#   mask, the MOSS winnowing fingerprints + candidate pairs, and the
-#   pHash golden-constant gate); the r10 first-evidence rows (incl. the
-#   two rows-only tiers) rotate out, followed by pure oldest-first
-#   rotation (r06 greens, then r07).
+# Round-12 accounting (229 entries: 207 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: three
+#   never-graded oracle-backed entries lead (dpp_partitioned_join's
+#   re-grade after the r11 decimal-scale hash red — its fix is the
+#   round's item 1 — plus the two new exact-substring operators);
+#   the six r11 first-evidence entries rotate out, followed by pure
+#   oldest-first rotation (r07 greens, then r08).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 _WINDOW_THIS_ROUND = [
     "dpp_partitioned_join",  # never graded
-    "bigram_lm_perplexity",  # never graded
-    "span_corruption_mask",  # never graded
-    "winnowing_fingerprints",  # never graded
-    "image_phash_class_gate",  # never graded
-    "winnowing_candidate_pairs",  # never graded
-    "weighted_sample_ares",  # last green r06
-    "ks_drift_sources",  # last green r06
-    "gini_revenue_concentration",  # last green r06
-    "token_entropy",  # last green r06
-    "event_debounce",  # last green r06
-    "arrow_vec_norms",  # last green r06
-    "chi_square_independence",  # last green r06
-    "bigram_pmi",  # last green r06
-    "sql_recursive_cte",  # last green r06
-    "datetime_semantics_suite",  # last green r06
-    "string_semantics_suite",  # last green r06
-    "tpch_q2_min_cost_supplier",  # last green r06
-    "tpch_q9_product_profit",  # last green r06
-    "tpch_q11_important_stock",  # last green r06
-    "tpch_q20_excess_inventory",  # last green r06
-    "tpch_q16_supplier_count",  # last green r06
-    "crossvalidate_counts",  # last green r07
-    "distinct_agg",  # last green r07
-    "set_except",  # last green r07
-    "sample_bernoulli",  # last green r07
-    "salted_skew_join",  # last green r07
-    "streaming_text_curation",  # last green r07
-    "streaming_embedding_ingest",  # last green r07
-    "cube_agg",  # last green r07
-    "dedup_clusters_exact",  # last green r07
-    "multimodal_audio_energy",  # last green r07
-    "asof_join_events",  # last green r07
-    "doc_rolling_hash",  # last green r07
-    "rolling_range_window",  # last green r07
-    "approx_distinct_agg",  # last green r07
-    "approx_quantile_agg",  # last green r07
-    "set_except_all",  # last green r07
-    "set_intersect_all",  # last green r07
-    "scd2_history",  # last green r07
-    "unpivot_measures",  # last green r07
-    "tpch_q7_volume_shipping",  # last green r07
-    "funnel_view_click_purchase",  # last green r07
-    "event_anomaly_mad",  # last green r07
-    "rolling_distinct_users_hll",  # last green r07
-    "python_datasource_agg",  # last green r07
-    "multimodal_png_roundtrip",  # last green r07
-    "curation_pipeline_e2e",  # last green r07
-    "udtf_chunk_text",  # last green r07
-    "pandas_udf_cosine",  # last green r07
+    "dedup_exact_substring",  # never graded
+    "dedup_exact_substring_remove",  # never graded
+    "dq_constraint_audit",  # last green r07
+    "sql_parameterized",  # last green r07
+    "association_rules",  # last green r07
+    "streaming_stream_join_outer",  # last green r07
+    "embedding_scalar_quantization",  # last green r07
+    "hard_negative_mining",  # last green r07
+    "scd2_point_in_time_join",  # last green r07
+    "attribution_linear",  # last green r07
+    "pareto_skyline_parts",  # last green r07
+    "numeric_round_halfaway_suite",  # last green r07
+    "numeric_trunc_cast_suite",  # last green r07
+    "numeric_intdiv_mod_suite",  # last green r07
+    "numeric_extrema_suite",  # last green r07
+    "map_hof_suite",  # last green r07
+    "session_paths_topk",  # last green r07
+    "grouping_sets_report",  # last green r07
+    "pandas_api_on_spark",  # last green r07
+    "time_decay_user_score",  # last green r07
+    "graph_degree_assortativity",  # last green r07
+    "target_encode_loo",  # last green r07
+    "confusion_matrix_macro_f1",  # last green r07
+    "cdc_apply_deletes",  # last green r07
+    "s1_scan_project_filter",  # last green r08
+    "pair_features_flagship",  # last green r08
+    "pair_multiset_common_tokens",  # last green r08
+    "left_existence_label",  # last green r08
+    "global_count",  # last green r08
+    "tpch_q1_agg",  # last green r08
+    "window_topk_per_group",  # last green r08
+    "window_running_sum",  # last green r08
+    "set_intersect",  # last green r08
+    "sessionize_events",  # last green r08
+    "tumbling_window_agg",  # last green r08
+    "dedup_exact",  # last green r08
+    "dedup_token_jaccard",  # last green r08
+    "dedup_ngram_jaccard",  # last green r08
+    "embedding_topk_bruteforce",  # last green r08
+    "embedding_pairs_exact",  # last green r08
+    "domain_temperature_sample",  # last green r08
+    "doc_fingerprints",  # last green r08
+    "graph_degrees",  # last green r08
+    "streaming_window_agg",  # last green r08
+    "streaming_sessionize",  # last green r08
+    "streaming_dedup",  # last green r08
+    "streaming_media_ingest",  # last green r08
+    "range_join_bands",  # last green r08
+    "array_agg_per_group",  # last green r08
 ]
 
 
