@@ -76,9 +76,17 @@ def replicate_emb(emb: DataFrame, copies: int) -> DataFrame:
 
 
 def timed(df: DataFrame) -> tuple[float, int]:
+    """Force the FULL plan with the noop sink (bench.py's contract),
+    then count. ``count()`` alone lets Catalyst prune every column —
+    round 12 caught dedup_exact_substring_remove "soaking" at 0.2s
+    because its aggregate-keyed left joins and the whole per-doc
+    rewrite were eliminated under the count-only projection; an op
+    whose output is one row per INPUT row measures nothing without
+    this. The count pass after the noop write is metadata-cheap."""
     t0 = time.time()
-    n = df.count()
-    return time.time() - t0, n
+    df.write.format("noop").mode("overwrite").save()
+    el = time.time() - t0
+    return el, df.count()
 
 
 def build_events_replica(
@@ -223,6 +231,10 @@ DOCS_QUERIES = (
     # duplication is precisely what the operator exists to find) —
     # judge the wall exponent against the region-count growth.
     "dedup_exact_substring",
+    # ...and the rewrite step: output is one row per DOC (linear), but
+    # the internal region volume is the quadratic one above, so this
+    # soaks detection + island merge + rewrite under the same blowup.
+    "dedup_exact_substring_remove",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
