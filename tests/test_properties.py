@@ -448,3 +448,130 @@ def test_halfaway_suite_closed_form_cross_engine(spark, sf_dir):
     for eid, g in got.items():
         for c in ("r0_scaled", "rneg_deci", "r2_centi", "signed_centi", "dec3_milli"):
             assert g[c] == want[eid][c], (eid, c, g[c], want[eid][c])
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup vs an independent pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _py_substring_regions(docs: dict[int, list[str]], L: int, within: bool):
+    """Independent reference for exact_substring_regions: per (pair,
+    diagonal), scan token equality runs DIRECTLY (no grams) — a maximal
+    duplicated substring of length m >= L is a maximal equality run of
+    m tokens along one diagonal. Emits the same (src, dst, src_pos,
+    dst_pos, match_tokens) tuples."""
+    out = set()
+    ids = sorted(docs)
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    if within:
+        pairs += [(a, a) for a in ids]
+    for a, b in pairs:
+        ta, tb = docs[a], docs[b]
+        diags = range(-(len(ta)), len(tb) + 1)
+        for d in diags:
+            if a == b and d <= 0:
+                continue  # within-doc: src_pos < dst_pos means diag > 0
+            run = 0
+            lo = max(0, -d)
+            hi = min(len(ta), len(tb) - d)
+            for i in range(lo, hi + 1):
+                if i < hi and ta[i] == tb[i + d]:
+                    run += 1
+                else:
+                    if run >= L:
+                        out.add((a, b, i - run, i - run + d, run))
+                    run = 0
+    return out
+
+
+small_tokens = st.sampled_from(["x", "y", "z"])  # tiny alphabet → dense dups
+
+
+@given(
+    st.lists(
+        st.lists(small_tokens, min_size=0, max_size=14), min_size=2, max_size=5
+    ),
+    st.sampled_from([2, 3]),
+    st.booleans(),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_exact_substring_regions_matches_reference(spark, docs, L, within):
+    """Random tiny-alphabet corpora (periodic runs, shared prefixes,
+    empty docs — the suffix-family edge cases) must agree with a
+    diagonal-equality-scan reference that never builds a gram."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_regions,
+    )
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["src_id"], r["dst_id"], r["src_pos"], r["dst_pos"], r["match_tokens"])
+        for r in exact_substring_regions(
+            df, min_match_tokens=L, within_doc=within
+        ).collect()
+    }
+    want = _py_substring_regions(corpus, L, within)
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+@given(
+    st.lists(
+        st.lists(small_tokens, min_size=0, max_size=14), min_size=2, max_size=5
+    ),
+    st.sampled_from([2, 3]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_exact_substring_remove_matches_reference(spark, docs, L):
+    """The rewrite against the same reference: dst-side intervals from
+    the reference regions, python island merge, python cut — kept
+    streams must match token-for-token (compared via the same rolling
+    hash the operator emits, plus exact removal counts)."""
+    from apache_spark_link_prediction_spark.functions.textstats import (
+        doc_rolling_hash,
+    )
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        exact_substring_remove,
+    )
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    regions = _py_substring_regions(corpus, L, within=False)
+    intervals: dict[int, list[tuple[int, int]]] = {}
+    for _, dst, _, dpos, m in regions:
+        intervals.setdefault(dst, []).append((dpos, dpos + m))
+    kept_ref, removed_ref = {}, {}
+    for i, toks in corpus.items():
+        ivs = sorted(intervals.get(i, []))
+        merged: list[list[int]] = []
+        for s0, e0 in ivs:
+            if merged and s0 <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e0)
+            else:
+                merged.append([s0, e0])
+        covered = set()
+        for s0, e0 in merged:
+            covered.update(range(s0, e0))
+        kept_ref[i] = [t for p, t in enumerate(toks) if p not in covered]
+        removed_ref[i] = len(covered)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_hash"])
+        for r in exact_substring_remove(df, min_match_tokens=L).collect()
+    }
+    want_hash_inputs = [(i, " ".join(kept_ref[i])) for i in corpus]
+    hdf = spark.createDataFrame(want_hash_inputs, "i long, s string")
+    want_hash = {
+        r["i"]: r["h"]
+        for r in hdf.select("i", doc_rolling_hash("s").alias("h")).collect()
+    }
+    for i, toks in corpus.items():
+        assert got[i] == (len(toks), removed_ref[i], want_hash[i]), (
+            i, got[i], (len(toks), removed_ref[i], want_hash[i]), kept_ref[i]
+        )
