@@ -3203,6 +3203,157 @@ _SUBSTR_L = 20
 
 
 @register(
+    "doc_novelty_score",
+    # All-integer counts + one small-ratio round; grams are per-doc
+    # DISTINCT (word_shingles), "seen before" = some strictly smaller
+    # doc_id carries the same gram (min-doc_id per gram, one shuffle).
+    f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(toks) >= {_DECON_N}
+                   THEN list_transform(range(0, len(toks) - {_DECON_N - 1}),
+                        i -> array_to_string(toks[i + 1 : i + {_DECON_N}], ' '))
+                   ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM d),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+    per_doc AS (SELECT g.doc_id,
+                       count(*) AS n_grams,
+                       count(*) FILTER (WHERE f.first_doc < g.doc_id) AS n_seen
+                FROM g JOIN first_seen f USING (gram)
+                GROUP BY g.doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_seen AS BIGINT) AS n_seen_before,
+           round(1.0 - n_seen * 1.0 / n_grams, 6) AS novelty
+    FROM per_doc
+    """,
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY against everything ingested before it (the
+    RETRO/streaming-curation admission signal, and the quality heuristic
+    behind 'prefer documents that add new content'): the fraction of a
+    doc's distinct {_DECON_N}-token grams never seen in any
+    strictly-earlier document (doc_id order = ingest order). A doc
+    whose content is fully covered by prior ingest scores 0; fully
+    fresh scores 1. Complements the pairwise dedup family — novelty is
+    a PER-DOC one-pass signal (no pair enumeration), cheap enough to
+    gate admission at ingest time.
+
+    Plan shape at 100 TB: per-doc-distinct grams explode map-side; ONE
+    gram-keyed shuffle computes min(doc_id) per gram (map-side partial
+    min); the verdict join is gram-keyed on the same partitioning
+    (exchange reuse), then a per-doc count. Nothing pairwise, nothing
+    quadratic; the gram stream is the decontaminate shuffle shape."""
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", _DECON_N)).alias("gram")
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        grams.join(first_seen, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_seen").cast("long").alias("n_seen_before"),
+        F.round(
+            F.lit(1.0) - F.col("n_seen") * F.lit(1.0) / F.col("n_grams"), 6
+        ).alias("novelty"),
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    # OLS slope of ln(freq) on ln(rank) over the corpus unigram
+    # distribution. Cross-engine exactness: ln() terms are rounded at
+    # 9dp and summed as DECIMAL(28,9) (the time_decay pattern — absorbs
+    # <=1-ulp libm divergence, keeps sums exact); the xy/xx products
+    # multiply the ALREADY-ROUNDED doubles and re-round at 9dp before
+    # the decimal sum (identical doubles -> identical products); the
+    # closing algebra casts the exact decimal sums to DOUBLE and stays
+    # in double ops (a DECIMAL(28,9)^2 product would trip Spark's
+    # precision-38 scale-truncation — the decimal-product trap).
+    # Rank ties break on the token string, pinned in both engines.
+    f"""
+    WITH t AS (SELECT unnest({_toks_sql('text')}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+    r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+          FROM c),
+    pt AS (SELECT CAST(round(ln(rank), 9) AS DECIMAL(28,9)) AS x,
+                  CAST(round(ln(freq), 9) AS DECIMAL(28,9)) AS y
+           FROM r),
+    s AS (SELECT count(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+          FROM pt)
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution — the
+    corpus-health diagnostic curation pipelines track (natural text
+    sits near slope −1; templated/spammy corpora flatten, truncated
+    vocabularies steepen): OLS of ln(freq) on ln(rank), closed form.
+    Emits one row (n_types, zipf_slope, zipf_intercept).
+
+    Plan shape at 100 TB: one explode scan -> token-keyed count (map-
+    side partial), a single-partition window ONLY over the distinct
+    vocabulary (types, not tokens — bounded by construction: vocab
+    grows sub-linearly and the rank window never sees corpus-sized
+    data), then a scalar aggregate. The per-type ln/round/multiply
+    terms follow the decimal-exact summation pattern documented in the
+    oracle comment."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    r = c.select("freq", F.row_number().over(w).alias("rank"))
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(28,9)")
+    y = F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(28,9)")
+    pt = r.select(x.alias("x"), y.alias("y"))
+    s = pt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 9)
+            .cast("decimal(28,9)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 9)
+            .cast("decimal(28,9)")
+        ).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+@register(
     "dedup_exact_substring",
     # Oracle recomputes the gram-adjacency formulation in SQL: L-gram
     # posexplode -> gram self-join -> per-(pair, diagonal) maximal-run
@@ -10632,13 +10783,14 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-12 accounting (229 entries: 207 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: three
+# Round-12 accounting (231 entries: 209 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: five
 #   never-graded oracle-backed entries lead (dpp_partitioned_join's
 #   re-grade after the r11 decimal-scale hash red — its fix is the
-#   round's item 1 — plus the two new exact-substring operators);
-#   the six r11 first-evidence entries rotate out, followed by pure
-#   oldest-first rotation (r07 greens, then r08).
+#   round's item 1 — plus the two exact-substring operators, the
+#   novelty score, and the Zipf fit); the six r11 first-evidence
+#   entries rotate out, followed by pure oldest-first rotation (r07
+#   greens, then r08).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -10650,6 +10802,8 @@ _WINDOW_THIS_ROUND = [
     "dpp_partitioned_join",  # never graded
     "dedup_exact_substring",  # never graded
     "dedup_exact_substring_remove",  # never graded
+    "doc_novelty_score",  # never graded
+    "corpus_zipf_fit",  # never graded
     "dq_constraint_audit",  # last green r07
     "sql_parameterized",  # last green r07
     "association_rules",  # last green r07
@@ -10695,8 +10849,6 @@ _WINDOW_THIS_ROUND = [
     "streaming_sessionize",  # last green r08
     "streaming_dedup",  # last green r08
     "streaming_media_ingest",  # last green r08
-    "range_join_bands",  # last green r08
-    "array_agg_per_group",  # last green r08
 ]
 
 

@@ -226,3 +226,56 @@ def test_exact_substring_hot_gram_cap_is_noop_on_corpus(spark):
         f"max gram position-count {max_pos} is within 10x of the cap "
         f"{_DECON_HOT_GRAM_CAP}; the uncapped oracle may diverge"
     )
+
+
+def test_doc_novelty_semantics(spark, tmp_path):
+    """Ingest-order novelty on a constructed corpus: the first doc is
+    fully novel, an exact later copy scores 0, a half-overlapping doc
+    scores its fresh-gram fraction exactly."""
+    from apache_spark_link_prediction_spark.queries import QUERIES, _DECON_N
+
+    assert _DECON_N == 5
+    A = [f"a{i}" for i in range(8)]          # doc 1: 4 distinct 5-grams
+    B = [f"b{i}" for i in range(4)]
+    doc1, doc2, doc3 = A, A, A[3:] + B       # doc3: 9 tokens -> 5 grams,
+    # grams of doc3: a3..a7 (seen, = doc1's last gram) + 4 fresh ones
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_seen_before"], r["novelty"])
+        for r in QUERIES["doc_novelty_score"](spark, sf).collect()
+    }
+    assert got[1] == (4, 0, 1.0)
+    assert got[2] == (4, 4, 0.0)
+    assert got[3] == (5, 1, 0.8)
+
+
+def test_corpus_zipf_fit_matches_numpy(spark):
+    """The OLS closed form against numpy.polyfit on the same (ln rank,
+    ln freq) points from the real corpus — agreement to 1e-5 shows the
+    decimal-staged summation changes nothing but cross-engine safety."""
+    import math
+
+    import numpy as np
+
+    from apache_spark_link_prediction_spark.functions.pairwise import tokenize
+    from apache_spark_link_prediction_spark.queries import QUERIES
+    from apache_spark_link_prediction_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    row = QUERIES["corpus_zipf_fit"](spark, SF_DIR).collect()[0]
+    freqs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok").count().orderBy(F.col("count").desc(), F.col("tok"))
+        .collect()
+    )
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log([r["count"] for r in freqs])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_types"] == len(freqs)
+    assert math.isclose(row["zipf_slope"], slope, abs_tol=1e-5)
+    assert math.isclose(row["zipf_intercept"], intercept, abs_tol=1e-5)
