@@ -784,6 +784,14 @@ def image_phash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                # The media schema declares payload nullable and every
+                # other operator quarantines NULL payloads to null
+                # output; hashing one here raised TypeError and killed
+                # the whole job (ADVICE r12).
+                if payload is None:
+                    ids.append(int(media_id))
+                    hashes.append(None)
+                    continue
                 raw = bytes(payload)
                 key = hashlib.sha256(raw).digest()
                 if key in memo:

@@ -1692,8 +1692,8 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  GROUP BY event_type HAVING avg(value) > 50.0)
     SELECT e.event_type, count(*) AS n,
            CAST(SUM(e.user_id) AS BIGINT) AS sum_uid,
-           CAST(round(SUM(CAST(round(e.value, 6) AS DECIMAL(18,6))), 4)
-                AS DECIMAL(18,4)) AS sum_value
+           CAST(SUM(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_centi
     FROM events e JOIN dim USING (event_type)
     GROUP BY e.event_type
     """,
@@ -1715,23 +1715,31 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions and scanning the lake: partition-level data skipping
     driven by the query itself, no manual predicate.
 
-    The final column is pinned to DECIMAL(18,4) on BOTH sides (r11
-    verdict item 1): ``round(DECIMAL, k)``'s *return scale* is an
-    engine-version convention (DuckDB 1.0 keeps the input scale; later
-    engines return scale k), and the driver's hash is over the textual
-    rendering — an uncast round() is a silent future hash red even when
-    every value is exactly equal.
+    The value aggregate is emitted as BIGINT centi-units via the
+    repo's closed-form half-away pin (``floor(v*100+0.5)``, the
+    numeric_round_halfaway_suite dialect). The r12 DECIMAL(18,4) pin
+    was NOT enough: the oracle still ran ``round(DOUBLE, 6)`` and a
+    double→DECIMAL cast, and both are engine-version conventions
+    (DuckDB round(DOUBLE, n) internals changing across releases was the
+    r06 driver-red cause; local 1.0.0 stayed green at all three SFs
+    while the driver hashed red twice, r11+r12). ``value`` is exactly
+    2-decimal on every shipped SF (pinned below in
+    tests/test_feature_queries.py::test_dpp_value_is_exact_centi), so
+    the centi sum is lossless, integer-exact, and rendering-free.
 
-    The partitioned copy is written to a deterministic per-sf_dir cache
-    path under the system temp dir and OVERWRITTEN on each run (ADVICE
-    r11: tempfile.mkdtemp leaked one full events copy per invocation
-    across gates, plan tests, and soaks)."""
+    The partitioned copy is written to a deterministic per-(uid,
+    sf_dir) cache path under the system temp dir and OVERWRITTEN on
+    each run (ADVICE r11: tempfile.mkdtemp leaked one full events copy
+    per invocation; ADVICE r12: a uid-free path is poisonable /
+    race-prone on multi-user hosts)."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"dpp_events_cache_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dpp_events_cache_u{os.getuid()}_{tag}"
+    )
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
@@ -1749,11 +1757,9 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("user_id").cast("long").alias("sum_uid"),
-            F.round(
-                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")), 4
-            )
-            .cast("decimal(18,4)")
-            .alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_value_centi"),
         )
     )
 

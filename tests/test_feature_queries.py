@@ -189,6 +189,28 @@ def test_dpp_dim_threshold_margin(spark):
     assert margins and min(margins) >= 1e-3, f"margins {sorted(margins)[:3]}"
 
 
+def test_dpp_value_is_exact_centi(spark):
+    """Pins the precondition of dpp_partitioned_join's BIGINT centi
+    aggregate (the r13 fix for the r11+r12 driver hash reds): every
+    events.value is exactly 2-decimal, so floor(v*100+0.5) is a
+    lossless integer encoding and no round()/decimal-cast convention
+    can enter the hash. If a corpus regen ever ships >2-decimal
+    values, this fails loudly instead of the gate going silently
+    engine-dependent. Also bounds the centi sum far below 2^53 (the
+    double-exact integer ceiling) and 2^63 (BIGINT)."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    off_grid = ev.filter(F.round(F.col("value"), 2) != F.col("value")).count()
+    assert off_grid == 0
+    tot = ev.agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert 0 < tot < 2**52
+
+
 def test_exact_substring_hot_gram_cap_is_noop_on_corpus(spark):
     """Precondition pin for dedup_exact_substring's hash gate (the
     decontaminate pattern): the DuckDB oracle is UNCAPPED, so the gate

@@ -239,6 +239,27 @@ def test_corrupt_png_payload_through_pipeline(spark):
     assert row.sha256 == hashlib.sha256(png_header_only).hexdigest()
 
 
+def test_null_payload_phash_quarantined_not_crashed(spark):
+    """A NULL payload (nullable by schema; every other operator guards
+    it) must quarantine to phash=None, not raise TypeError in the
+    executor — the r12 memoization moved bytes(payload)/sha256 outside
+    the try and an all-null partition killed the whole job (ADVICE
+    r12). One real PNG rides along to prove non-null rows still hash."""
+    from apache_spark_link_prediction_spark.operators.multimodal import (
+        encode_png,
+        image_phash,
+    )
+
+    png = encode_png(8, 8, bytes(range(192)), color_type=2)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", None), (2, "image", "image/png", bytearray(png))],
+        "media_id long, modality string, mime string, payload binary",
+    )
+    rows = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None
+
+
 def test_png_stdlib_decoder_real_path(spark):
     """Real PNG decode with NO image library: encode_png → decode_png
     round-trips dimensions AND pixel content (mean sample proves the

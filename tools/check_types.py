@@ -134,12 +134,17 @@ def main() -> int:
                     )
                     n_flagged += 1
         if has_decimal_out and (nb := bare_rounds(oracles[name])):
+            # WARN, not FLAG (ADVICE r12): the count is query-wide, so a
+            # round() feeding an unrelated DOUBLE column alongside a
+            # decimal sum would false-positive and block end_of_round on
+            # a correctly pinned query. Scale mismatches on the decimal
+            # columns themselves (the real hash hazard) are still FLAGs
+            # above; this heuristic only nudges a human to look.
             print(
-                f"FLAG  {name}: {nb} bare round() with DECIMAL output — "
-                "round(DECIMAL)'s return scale is engine-version-dependent; "
-                "pin with CAST(round(...) AS DECIMAL(p,s)) on both sides"
+                f"WARN  {name}: {nb} bare round() with DECIMAL output — "
+                "if the round() produces the decimal column, pin with "
+                "CAST(round(...) AS DECIMAL(p,s)) on both sides"
             )
-            n_flagged += 1
     print(f"\n{n_flagged} type divergences" if n_flagged else "\nall types parity")
     return 1 if n_flagged else 0
 

@@ -76,17 +76,27 @@ def replicate_emb(emb: DataFrame, copies: int) -> DataFrame:
 
 
 def timed(df: DataFrame) -> tuple[float, int]:
-    """Force the FULL plan with the noop sink (bench.py's contract),
-    then count. ``count()`` alone lets Catalyst prune every column —
-    round 12 caught dedup_exact_substring_remove "soaking" at 0.2s
-    because its aggregate-keyed left joins and the whole per-doc
-    rewrite were eliminated under the count-only projection; an op
-    whose output is one row per INPUT row measures nothing without
-    this. The count pass after the noop write is metadata-cheap."""
+    """Force the FULL plan with the noop sink (bench.py's contract).
+    ``count()`` alone lets Catalyst prune every column — round 12
+    caught dedup_exact_substring_remove "soaking" at 0.2s because its
+    aggregate-keyed left joins and the whole per-doc rewrite were
+    eliminated under the count-only projection; an op whose output is
+    one row per INPUT row measures nothing without this.
+
+    The row count rides the SAME pass as an ``observe()`` metric
+    (CollectMetrics node, negligible): a noop sink caches nothing, so
+    the previous trailing ``df.count()`` re-executed the whole plan —
+    for the quadratic exact-substring family every soak paid its most
+    expensive query roughly twice (ADVICE r12)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    observed.write.format("noop").mode("overwrite").save()
     el = time.time() - t0
-    return el, df.count()
+    return el, int(obs.get["n"])
 
 
 def build_events_replica(
