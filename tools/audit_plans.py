@@ -128,6 +128,14 @@ ALLOW = {
     # into the dequantize HOF, plus the brute-force exact tier it
     # composes (embedding_topk_bruteforce's allowlisted shape)
     "embedding_pipeline_e2e": {"nested-loop join"},
+    # stage-1 shortlist is brute_force_top_k over the 32-dim prefix
+    # (embedding_topk_bruteforce's allowlisted |Q|x|C| broadcast
+    # shape); the stage-2 rerank is a plain neighbor-id equi join
+    "embedding_mrl_topk": {"nested-loop join"},
+    # 1-row (B, W) totals broadcast cross-joined into the per-doc
+    # repeat rule — same driver-collect-free global-scalar pattern as
+    # heavy_hitters_tokens
+    "mixture_token_budget": {"nested-loop join"},
 }
 
 
