@@ -11157,6 +11157,205 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOCAL_CC_ORACLE = f"""
+    WITH {_PAGERANK_EDGES},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pn AS (SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM pn GROUP BY node),
+    dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src)
+    SELECT dg.node AS node_id,
+           CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS triangles,
+           dg.deg AS degree,
+           round(CASE WHEN dg.deg >= 2
+                      THEN 2.0 * coalesce(tcnt.tri, 0) / (dg.deg * (dg.deg - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM dg LEFT JOIN tcnt ON dg.node = tcnt.node
+"""
+
+
+@register("graph_clustering_coefficient", _LOCAL_CC_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts-Strogatz): closed
+    wedges at v over deg(v)·(deg(v)−1)/2 possible, on the part
+    co-purchase projection. Completes the graph tier's per-node
+    statistics (degree, pagerank, community, now transitivity) — the
+    feature a link-prediction or fraud model joins in next to the
+    pairwise CN/AA/RA scores the reference's p1 computes.
+
+    Shape: graph_triangle_count's canonical u<v<w wedge join finds
+    each triangle ONCE; exploding it to its three corners and counting
+    per node gives per-node triangle counts without ever orienting
+    per-corner joins (3 joins total, not 9). The coefficient is a
+    single exact-integer division rounded at 6dp — the dialect every
+    graph ratio here uses (adamic_adar, assortativity). At 100 TB the
+    wedge join is the cost; the same degree-ordered canonicalization
+    caps hub fan-out, and the final per-node aggs are map-side
+    combinable."""
+    e = _copurchase_edges(spark, sf_dir)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = pn.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    ed = e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
+    )
+    dg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    joined = dg.join(tcnt, on="node", how="left").na.fill({"tri": 0})
+    cc = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("node").alias("node_id"),
+        F.col("tri").alias("triangles"),
+        F.col("deg").alias("degree"),
+        F.round(cc, 6).alias("clustering_coeff"),
+    )
+
+
+_BQ_SHORTLIST = 100
+
+
+def _sign_bits_sql(lo: int, hi: int) -> str:
+    """DuckDB MSB-first sign-bit fold of embedding dims [lo..hi]."""
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_slice(embedding, {lo}, {hi}),
+                     x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END)),
+      (acc, b) -> acc * 2 + b)"""
+
+
+_BQ_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_sign_bits_sql(1, 32)} AS hi, {_sign_bits_sql(33, 64)} AS lo,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) AS hamming,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) ASC,
+                          c.vec_id ASC) AS rk
+        FROM sig q, sig c WHERE q.vec_id < 8 AND q.vec_id != c.vec_id)
+      WHERE rk <= {_BQ_SHORTLIST}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, CAST(s.hamming AS INTEGER) AS hamming,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cosine
+      FROM short s JOIN sig q ON q.vec_id = s.query_id
+                   JOIN sig c ON c.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM rer)
+    WHERE rank <= 5
+"""
+
+
+@register("embedding_binary_quant_topk", _BQ_ORACLE)
+def embedding_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval funnel: each 64-dim float vector
+    collapses to its 64 SIGN BITS (two 32-bit halves packed MSB-first
+    into longs — DuckDB BIGINT arithmetic is overflow-strict, so a
+    single 64-bit fold would error at bit 64); stage 1 shortlists the
+    top-100 per query by Hamming distance (pure bit_count(xor) — 32×
+    fewer bytes than the float corpus and codegen-friendly integer
+    ops); stage 2 reranks the shortlist with full-precision cosine.
+    This is the 1-bit end of the quantization spectrum next to
+    embedding_scalar_quantization (8-bit) and IVF-PQ (coded), and the
+    sign step is sign-LSH with identity hyperplanes — which is why it
+    is exactly reproducible cross-engine where the seeded-hyperplane
+    ANN tier is not. Funnel recall@5 (measured 1.0 at sf0.001, 0.85 at
+    sf0.01) is pinned in tests/test_stats.py::test_bq_funnel_recall.
+
+    At 100 TB: signatures are 16 bytes/vector and live as their own
+    columns; the Hamming pass never touches floats, and the rerank
+    reads full vectors for |queries|×100 rows via an equi join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sign_bits(lo: int, hi: int):
+        bits = F.transform(
+            F.slice("embedding", lo, hi - lo + 1),
+            lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    sig = emb.select(
+        "vec_id",
+        sign_bits(1, 32).alias("hi"),
+        sign_bits(33, 64).alias("lo"),
+        F.col("embedding").alias("v"),
+    )
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("hi").alias("qhi"),
+            F.col("lo").alias("qlo"),
+        )
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("hi").alias("chi"),
+        F.col("lo").alias("clo"),
+    )
+    hamming = F.bit_count(
+        F.col("qhi").bitwiseXOR(F.col("chi"))
+    ) + F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo")))
+    wsh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("rk", F.row_number().over(wsh))
+        .filter(F.col("rk") <= _BQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qf = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+        )
+    )
+    cf = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    rer = (
+        short.join(qf, "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), 4))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

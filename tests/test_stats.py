@@ -353,3 +353,40 @@ def test_label_propagation_forms_communities(spark, sf_dir):
         for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()
     }
     assert out1 == out2
+
+
+def test_bq_funnel_recall(spark, sf_dir):
+    """embedding_binary_quant_topk's contract: the 64-sign-bit Hamming
+    shortlist → full-precision rerank recovers the exact top-5
+    (measured 1.0 at sf0.001, 0.85 at sf0.01; floor 0.75), and every
+    emitted hamming is within [0, 64]."""
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["embedding_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["embedding_binary_quant_topk"](spark, sf_dir).collect()
+    bq = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bq) == len(full) == 40
+    assert all(0 <= r.hamming <= 64 for r in rows)
+    recall = len(full & bq) / len(full)
+    assert recall >= 0.75, f"BQ funnel recall@5 {recall} under floor"
+
+
+def test_local_cc_consistent_with_global_triangles(spark, sf_dir):
+    """Local clustering-coefficient invariants: every coefficient lies
+    in [0,1]; a node's triangles never exceed its wedge capacity; and
+    the per-node triangle counts sum to exactly 3× the global triangle
+    count of the SAME projection (each triangle has three corners) —
+    tying the new per-node statistic to the long-green
+    graph_triangle_count gate. (graph_triangle_count uses the shared
+    >=2-orders co-purchase projection; its optional hub cap defaults
+    off, so the edge sets are identical.)"""
+    rows = QUERIES["graph_clustering_coefficient"](spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert r.triangles <= r.degree * (r.degree - 1) // 2
+        total += r.triangles
+    n_tri = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0].n_triangles
+    assert total == 3 * n_tri

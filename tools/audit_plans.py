@@ -136,6 +136,11 @@ ALLOW = {
     # repeat rule — same driver-collect-free global-scalar pattern as
     # heavy_hitters_tokens
     "mixture_token_budget": {"nested-loop join"},
+    # stage-1 Hamming scoring broadcasts the 8-signature query set
+    # against the corpus signatures with a != predicate —
+    # embedding_topk_bruteforce's allowlisted |Q|x|C| shape on 16-byte
+    # rows; the stage-2 rerank is a plain neighbor-id equi join
+    "embedding_binary_quant_topk": {"nested-loop join"},
 }
 
 
