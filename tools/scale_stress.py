@@ -245,6 +245,11 @@ DOCS_QUERIES = (
     # the internal region volume is the quadratic one above, so this
     # soaks detection + island merge + rewrite under the same blowup.
     "dedup_exact_substring_remove",
+    # round-13 additions: one segment-keyed agg + reassembly (linear);
+    # two pure per-doc maps with a broadcast scalar tier
+    "boilerplate_segment_removal",
+    "fim_transform",
+    "mixture_token_budget",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -288,6 +293,12 @@ EVENTS_QUERIES = (
     # write inside the query scales with the replica, as it would
     # on a real lake)
     "dpp_partitioned_join",
+    # round-13 graph tier: lineitem replication keeps l_partkey fixed
+    # while orders grow 10x, so the co-purchase graph DENSIFIES (more
+    # edges over the same nodes) — judge these exponents against edge
+    # growth, not rows
+    "graph_label_propagation",
+    "graph_clustering_coefficient",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
@@ -298,6 +309,11 @@ EMB_QUERIES = (
     "embedding_neardup_incremental",
     "semantic_dedup_semdedup",
     "semantic_dedup_incremental",
+    # round-13 funnels: |Q| fixed at 8, shortlist 100/query fixed, so
+    # stage 1 scans 10x signatures/prefixes and stage 2 is constant —
+    # expect ~linear stage-1-bound behavior
+    "embedding_mrl_topk",
+    "embedding_binary_quant_topk",
 )
 
 
