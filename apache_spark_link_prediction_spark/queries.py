@@ -11356,6 +11356,18 @@ def embedding_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT @register'ed: streaming.events.streaming_tws_running_stats covers
+# Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
+# API superseding applyInPandasWithState), but its state protocol runs a
+# protobuf-based Python driver worker and this container ships NO
+# google.protobuf (pip installs are off-limits) — the query would error
+# at plan time, so it is env-gated to a skipping pytest
+# (tests/test_streaming.py::test_tws_running_stats_matches_batch) instead
+# of a registry row. Its batch twin would be the plain GROUP BY of
+# (count, centi-sum, centi-max) per event_type: every fold is
+# order-insensitive integer arithmetic, so the final per-key emission is
+# micro-batch-boundary-independent.
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver's CORRECTNESS gate grades the FIRST 50
 # ``queries()`` entries in registration order (observed: r01-r04 each

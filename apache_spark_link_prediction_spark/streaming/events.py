@@ -779,3 +779,75 @@ def write_kafka_stream(
         .outputMode(output_mode)
         .start()
     )
+
+
+def streaming_tws_running_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type running (n, sum_centi, max_centi) via Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-stateful API that
+    supersedes ``applyInPandasWithState`` (SPARK-40434 →
+    transformWithState, Spark 4.0): state is a named, schema'd
+    ``ValueState`` on a ``StatefulProcessor`` handle instead of one
+    positional tuple, so operators compose state variables and evolve
+    their schemas. This operator exercises the new surface end to end
+    next to the five applyInPandasWithState ops above.
+
+    Per micro-batch each key folds its rows into (count, centi-sum,
+    centi-max) and emits the RUNNING totals (update mode). All three
+    folds are commutative+associative, so the final emission is exactly
+    the batch GROUP BY — independent of micro-batch boundaries — which
+    is what lets the registry query share a plain SQL oracle. ``value``
+    enters the state as BIGINT centi-units via the repo's closed-form
+    half-away pin (floor(v*100+0.5)); no float ever sits in state, so
+    accumulation order cannot produce engine-visible drift. State per
+    key is three longs — O(|event types|) forever."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n long, sum_centi long, max_centi long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            n, s, m = (
+                tuple(self._stats.get()) if self._stats.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                centi = np.floor(
+                    pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+                ).astype("int64")
+                if len(centi):
+                    n += int(len(centi))
+                    s += int(centi.sum())
+                    bmax = int(centi.max())
+                    m = bmax if m is None else max(m, bmax)
+            self._stats.update((n, s, m))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n": [n],
+                    "sum_centi": [s],
+                    "max_centi": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=(
+                "event_type string, n long, sum_centi long, max_centi long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

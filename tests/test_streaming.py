@@ -756,3 +756,49 @@ def test_streaming_ema_stream_drains_in_one_batch(spark, sf_dir):
         .count()
     )
     assert dup == 0, f"{dup} duplicate (user_id, ts, value) triples"
+
+
+def test_tws_running_stats_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas coverage
+    (streaming.events.streaming_tws_running_stats): the running
+    (count, centi-sum, centi-max) stream's final per-key emission must
+    equal the batch GROUP BY — every fold is order-insensitive integer
+    arithmetic, so the result is micro-batch-boundary-independent.
+
+    ENV-GATED: the TWS state protocol runs a protobuf-based Python
+    driver worker; this container ships no google.protobuf and pip is
+    off-limits, so the test skips here and runs wherever protobuf
+    exists (any standard pyspark 4 install)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state server needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.queries import _events_as_stream
+    from apache_spark_link_prediction_spark.sources.readers import load_table
+    from apache_spark_link_prediction_spark.streaming.events import (
+        run_stream_last_emission_per_group,
+        streaming_tws_running_stats,
+    )
+
+    got = {
+        r.event_type: (r.n, r.sum_centi, r.max_centi)
+        for r in run_stream_last_emission_per_group(
+            streaming_tws_running_stats(_events_as_stream(spark, sf_dir)),
+            group_cols=["event_type"],
+        ).collect()
+    }
+    centi = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    want = {
+        r.event_type: (r.n, r.sum_centi, r.max_centi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(centi).alias("sum_centi"),
+            F.max(centi).alias("max_centi"),
+        )
+        .collect()
+    }
+    assert got == want
