@@ -11383,72 +11383,73 @@ def embedding_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-12 accounting (231 entries: 209 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: five
+# Round-13 accounting (238 entries: 216 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: eight
 #   never-graded oracle-backed entries lead (dpp_partitioned_join's
-#   re-grade after the r11 decimal-scale hash red — its fix is the
-#   round's item 1 — plus the two exact-substring operators, the
-#   novelty score, and the Zipf fit); the six r11 first-evidence
-#   entries rotate out, followed by pure oldest-first rotation (r07
-#   greens, then r08).
+#   re-grade after the r11+r12 decimal/round hash reds — its centi-unit
+#   fix is the round's item 1 — plus the seven round-13 operators:
+#   label propagation, the MRL and binary-quantization funnels,
+#   boilerplate removal, FIM, the mixture allocator, and the local
+#   clustering coefficient); the five r12 first-evidence entries rotate
+#   out, followed by pure oldest-first rotation (r08 greens, then r09).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 _WINDOW_THIS_ROUND = [
     "dpp_partitioned_join",  # never graded
-    "dedup_exact_substring",  # never graded
-    "dedup_exact_substring_remove",  # never graded
-    "doc_novelty_score",  # never graded
-    "corpus_zipf_fit",  # never graded
-    "dq_constraint_audit",  # last green r07
-    "sql_parameterized",  # last green r07
-    "association_rules",  # last green r07
-    "streaming_stream_join_outer",  # last green r07
-    "embedding_scalar_quantization",  # last green r07
-    "hard_negative_mining",  # last green r07
-    "scd2_point_in_time_join",  # last green r07
-    "attribution_linear",  # last green r07
-    "pareto_skyline_parts",  # last green r07
-    "numeric_round_halfaway_suite",  # last green r07
-    "numeric_trunc_cast_suite",  # last green r07
-    "numeric_intdiv_mod_suite",  # last green r07
-    "numeric_extrema_suite",  # last green r07
-    "map_hof_suite",  # last green r07
-    "session_paths_topk",  # last green r07
-    "grouping_sets_report",  # last green r07
-    "pandas_api_on_spark",  # last green r07
-    "time_decay_user_score",  # last green r07
-    "graph_degree_assortativity",  # last green r07
-    "target_encode_loo",  # last green r07
-    "confusion_matrix_macro_f1",  # last green r07
-    "cdc_apply_deletes",  # last green r07
-    "s1_scan_project_filter",  # last green r08
-    "pair_features_flagship",  # last green r08
-    "pair_multiset_common_tokens",  # last green r08
-    "left_existence_label",  # last green r08
-    "global_count",  # last green r08
-    "tpch_q1_agg",  # last green r08
-    "window_topk_per_group",  # last green r08
-    "window_running_sum",  # last green r08
-    "set_intersect",  # last green r08
-    "sessionize_events",  # last green r08
-    "tumbling_window_agg",  # last green r08
-    "dedup_exact",  # last green r08
-    "dedup_token_jaccard",  # last green r08
-    "dedup_ngram_jaccard",  # last green r08
-    "embedding_topk_bruteforce",  # last green r08
-    "embedding_pairs_exact",  # last green r08
-    "domain_temperature_sample",  # last green r08
-    "doc_fingerprints",  # last green r08
-    "graph_degrees",  # last green r08
-    "streaming_window_agg",  # last green r08
-    "streaming_sessionize",  # last green r08
-    "streaming_dedup",  # last green r08
-    "streaming_media_ingest",  # last green r08
+    "graph_label_propagation",  # never graded
+    "embedding_mrl_topk",  # never graded
+    "boilerplate_segment_removal",  # never graded
+    "fim_transform",  # never graded
+    "mixture_token_budget",  # never graded
+    "graph_clustering_coefficient",  # never graded
+    "embedding_binary_quant_topk",  # never graded
+    "range_join_bands",  # last green r08
+    "array_agg_per_group",  # last green r08
+    "tpch_q5_multijoin",  # last green r08
+    "graph_pagerank",  # last green r08
+    "bloom_filter_join",  # last green r08
+    "dedup_keeper_quality",  # last green r08
+    "zorder_key_part",  # last green r08
+    "heavy_hitters_tokens",  # last green r08
+    "streaming_stream_join",  # last green r08
+    "tpch_q17_avg_qty",  # last green r08
+    "graph_common_neighbors_capped",  # last green r08
+    "hybrid_rank_fusion_rrf",  # last green r08
+    "null_fill_group",  # last green r09
+    "conditional_label_agg",  # last green r09
+    "split_part_type",  # last green r09
+    "tpch_q3_topk",  # last green r09
+    "rollup_agg",  # last green r09
+    "pivot_linestatus",  # last green r09
+    "lang_id",  # last green r09
+    "text_quality",  # last green r09
+    "token_counts",  # last green r09
+    "multimodal_payload_meta",  # last green r09
+    "graph_common_neighbors",  # last green r09
+    "graph_triangle_count",  # last green r09
+    "p2_scale_path_jaccard",  # last green r09
+    "streaming_heavy_hitters_topk",  # last green r09
+    "json_props_extract_agg",  # last green r09
+    "semi_anti_existence",  # last green r09
+    "doc_chunking",  # last green r09
+    "pack_sequences",  # last green r09
+    "decontaminate_ngram",  # last green r09
+    "repetition_ratio",  # last green r09
+    "multimodal_resize_meta",  # last green r09
+    "multimodal_frame_sample",  # last green r09
+    "graph_adamic_adar",  # last green r09
+    "train_test_split_hash",  # last green r09
+    "stratified_sample_mixture",  # last green r09
+    "percentile_agg",  # last green r09
+    "streaming_custom_sessions",  # last green r09
+    "zscore_by_group_pandas",  # last green r09
+    "window_functions_suite",  # last green r09
+    "sql_correlated_exists",  # last green r09
 ]
 
 
