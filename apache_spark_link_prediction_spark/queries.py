@@ -11356,6 +11356,273 @@ def embedding_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MODULARITY_ORACLE = f"""
+    WITH {_PAGERANK_EDGES},
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+    {_LPA_ROUND_SQL.format(k=1, p=0)},
+    {_LPA_ROUND_SQL.format(k=2, p=1)},
+    {_LPA_ROUND_SQL.format(k=3, p=2)},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    within AS (
+      SELECT CAST(count(*) AS BIGINT) AS ew
+      FROM e JOIN l3 a ON e.u = a.node
+             JOIN l3 b ON e.v = b.node AND a.lbl = b.lbl),
+    -- _PAGERANK_EDGES already defines a CTE named deg (deg per src as
+    -- DOUBLE for the rank division); this one needs BIGINT degrees
+    degi AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+    dc AS (SELECT l.lbl, SUM(degi.d) AS dsum
+           FROM degi JOIN l3 l ON l.node = degi.node GROUP BY l.lbl),
+    s AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sum_d2,
+                 CAST(count(*) AS BIGINT) AS ncomm FROM dc)
+    SELECT m.m AS n_edges, s.ncomm AS n_communities,
+           round(CAST(4 * m.m * within.ew - s.sum_d2 AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity
+    FROM m, within, s
+"""
+
+
+@register("graph_modularity", _MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 3-round label-propagation partition
+    (the quality metric community detection is judged by): Q =
+    Σ_c [e_c/m − (d_c/2m)²], computed as one exact-integer expression
+    (4m·Σe_c − Σd_c²)/(4m²) so only the final division is floating —
+    integer degrees and edge counts make both moments bit-identical
+    cross-engine (assortativity's idiom). Composes the LPA operator
+    end-to-end: the partition being scored IS graph_label_propagation's
+    output, so this row hash-gates the pipeline community-detect →
+    evaluate, not just the score formula.
+
+    Shape at 100 TB: the within-community edge count is one
+    node-keyed label join per endpoint (labels are |V| rows, the
+    broadcast side); Σd_c² is a two-level agg. Nothing touches pairs
+    beyond the edge list itself."""
+    e = _copurchase_edges(spark, sf_dir)
+    labels = QUERIES["graph_label_propagation"](spark, sf_dir).select(
+        F.col("node_id").alias("node"), F.col("community").alias("lbl")
+    )
+    m_df = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
+    within = (
+        e.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ew"))
+    )
+    ed = e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
+    )
+    deg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dc = deg.join(F.broadcast(labels), "node").groupBy("lbl").agg(
+        F.sum("d").alias("dsum")
+    )
+    s = dc.agg(
+        F.sum(F.col("dsum") * F.col("dsum")).cast("long").alias("sum_d2"),
+        F.count(F.lit(1)).cast("long").alias("ncomm"),
+    )
+    num = (4 * F.col("m") * F.col("ew") - F.col("sum_d2")).cast("double")
+    den = (4 * F.col("m") * F.col("m")).cast("double")
+    return (
+        m_df.crossJoin(within)
+        .crossJoin(s)
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("ncomm").alias("n_communities"),
+            F.round(num / den, 6).alias("modularity"),
+        )
+    )
+
+
+# fasttext-style fixed-weight quality scorer: integer milli-features,
+# documented weights (stopword presence and lexical diversity up-weight
+# natural prose; long average tokens penalize code/id blobs — the
+# C4/CCNet heuristic direction), integer threshold. The weights are a
+# pinned spec, not a fit — what matters operationally is the SHAPE
+# (feature extraction + linear score + keep flag in one scan).
+_QSCORE_STOPS = ("the", "and", "of", "to", "in", "is", "that", "with")
+_QSCORE_W_STOP, _QSCORE_W_TTR, _QSCORE_W_LEN = 2, 3, -1
+# Threshold sits at the corpus score median (measured −3114/−3070/−3044
+# milli at sf0.001/0.01/0.1), so the keep flag actually partitions every
+# shipped SF — both classes nonempty is pinned in
+# tests/test_stats.py::test_quality_scorer_partitions_corpus.
+_QSCORE_THRESHOLD = -3000
+
+_QSCORE_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, t,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(t, x -> list_contains(
+               {list(_QSCORE_STOPS)}, x))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x -> CAST(len(x) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS sum_chars
+      FROM (SELECT doc_id, {_toks_sql('text')} AS t FROM documents)),
+    milli AS (
+      SELECT doc_id, n_tok,
+             (1000 * n_stop) // n_tok AS stop_milli,
+             (1000 * n_distinct) // n_tok AS ttr_milli,
+             (1000 * sum_chars) // n_tok AS len_milli
+      FROM f WHERE n_tok > 0)
+    SELECT doc_id, n_tok, stop_milli, ttr_milli, len_milli,
+           CAST({_QSCORE_W_STOP} * stop_milli + {_QSCORE_W_TTR} * ttr_milli
+                + ({_QSCORE_W_LEN}) * len_milli AS BIGINT) AS score_milli,
+           ({_QSCORE_W_STOP} * stop_milli + {_QSCORE_W_TTR} * ttr_milli
+            + ({_QSCORE_W_LEN}) * len_milli) >= {_QSCORE_THRESHOLD} AS keep
+    FROM milli
+"""
+
+
+@register("quality_linear_scorer", _QSCORE_ORACLE)
+def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier — the fasttext-scorer
+    shape CCNet (Wenzek et al. 2019 §4.3) and the GPT-3/LLaMA quality
+    filters apply at corpus scale: engineered per-doc features
+    (stopword rate, type-token ratio, mean token length — each an
+    exact integer milli-ratio via BIGINT floor division, so no float
+    ever enters the score), one dot product with pinned integer
+    weights, one threshold. Emits features + score + keep so
+    downstream mixture steps can re-threshold without re-scanning.
+
+    Shape at 100 TB: a single map-only scan (every feature is a
+    per-row HOF over the token array, no shuffle at all) — this is
+    the cheapest filter class in the curation stack and the reason
+    linear scorers, not transformers, gate the first trillion
+    tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize("text")
+    f = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(t, lambda x: x.isin(*_QSCORE_STOPS))
+        ).cast("long").alias("n_stop"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_chars"),
+    ).filter(F.col("n_tok") > 0)
+
+    def int_div(num, den):
+        return ((num - num % den) / den).cast("long")
+
+    milli = f.select(
+        "doc_id",
+        "n_tok",
+        int_div(1000 * F.col("n_stop"), F.col("n_tok")).alias("stop_milli"),
+        int_div(1000 * F.col("n_distinct"), F.col("n_tok")).alias("ttr_milli"),
+        int_div(1000 * F.col("sum_chars"), F.col("n_tok")).alias("len_milli"),
+    )
+    score = (
+        _QSCORE_W_STOP * F.col("stop_milli")
+        + _QSCORE_W_TTR * F.col("ttr_milli")
+        + _QSCORE_W_LEN * F.col("len_milli")
+    ).cast("long")
+    return milli.select(
+        "doc_id",
+        "n_tok",
+        "stop_milli",
+        "ttr_milli",
+        "len_milli",
+        score.alias("score_milli"),
+        (score >= _QSCORE_THRESHOLD).alias("keep"),
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day, t.n_days,
+             d.c * t.n_days - t.total AS dv
+      FROM daily d JOIN tot t USING (event_type)),
+    pre AS (
+      SELECT event_type, day, n_days,
+             SUM(dv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS p
+      FROM dev),
+    cus AS (
+      SELECT event_type, day, n_days,
+             p - least(CAST(0 AS BIGINT),
+                       MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING)) AS s
+      FROM pre)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS max_cusum_scaled, day AS peak_day
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY s DESC, day ASC) AS rk FROM cus)
+    WHERE rk = 1
+"""
+
+
+@register("event_rate_cusum", _CUSUM_ORACLE)
+def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM change-point statistic over per-type daily event
+    rates — the SEQUENTIAL drift detector next to the repo's
+    distributional ones (KS/JS) and pointwise one (MAD): s_i =
+    max(0, s_{i-1} + (c_i − mean)), peak location = the day the rate
+    regime shifted. Two exactness moves make it hash-gateable:
+    deviations are scaled by n_days (c_i·N − total — integers, no
+    mean division), and the recursive fold is replaced by its closed
+    form s_i = P_i − min(0, min_{j≤i} P_j) over the deviation prefix
+    sums — pure windows, no recursion, no float. Emits per type the
+    max CUSUM (scaled) and the earliest day attaining it.
+
+    Shape at 100 TB: one (type, day) count (map-side combined to
+    |types|×|days| rows), then windows over that tiny frame — the
+    heavy data is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("c") * F.col("n_days") - F.col("total")).alias("dv"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.withColumn("p", F.sum("dv").over(wcum))
+    cus = pre.withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(wcum)),
+    )
+    wtop = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("day").asc()
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s").cast("long").alias("max_cusum_scaled"),
+            F.col("day").alias("peak_day"),
+        )
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -11383,15 +11650,17 @@ def embedding_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-13 accounting (238 entries: 216 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: eight
+# Round-13 accounting (241 entries: 219 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: eleven
 #   never-graded oracle-backed entries lead (dpp_partitioned_join's
 #   re-grade after the r11+r12 decimal/round hash reds — its centi-unit
-#   fix is the round's item 1 — plus the seven round-13 operators:
-#   label propagation, the MRL and binary-quantization funnels,
-#   boilerplate removal, FIM, the mixture allocator, and the local
-#   clustering coefficient); the five r12 first-evidence entries rotate
-#   out, followed by pure oldest-first rotation (r08 greens, then r09).
+#   fix is the round's item 1 — plus the ten round-13 operators:
+#   label propagation + its modularity score, the MRL and
+#   binary-quantization funnels, boilerplate removal, FIM, the mixture
+#   allocator, the local clustering coefficient, the linear quality
+#   scorer, and the CUSUM change-point detector); the five r12
+#   first-evidence entries rotate out, followed by pure oldest-first
+#   rotation (r08 greens, then r09).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -11408,6 +11677,9 @@ _WINDOW_THIS_ROUND = [
     "mixture_token_budget",  # never graded
     "graph_clustering_coefficient",  # never graded
     "embedding_binary_quant_topk",  # never graded
+    "graph_modularity",  # never graded
+    "quality_linear_scorer",  # never graded
+    "event_rate_cusum",  # never graded
     "range_join_bands",  # last green r08
     "array_agg_per_group",  # last green r08
     "tpch_q5_multijoin",  # last green r08
@@ -11447,9 +11719,6 @@ _WINDOW_THIS_ROUND = [
     "stratified_sample_mixture",  # last green r09
     "percentile_agg",  # last green r09
     "streaming_custom_sessions",  # last green r09
-    "zscore_by_group_pandas",  # last green r09
-    "window_functions_suite",  # last green r09
-    "sql_correlated_exists",  # last green r09
 ]
 
 

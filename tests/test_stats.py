@@ -390,3 +390,67 @@ def test_local_cc_consistent_with_global_triangles(spark, sf_dir):
         total += r.triangles
     n_tri = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0].n_triangles
     assert total == 3 * n_tri
+
+
+def test_quality_scorer_partitions_corpus(spark, sf_dir):
+    """quality_linear_scorer's threshold must actually split the
+    corpus (a filter that keeps or drops EVERYTHING tests nothing —
+    the boilerplate-removal pin's shape), the score must equal the
+    pinned dot product of the emitted milli-features for every row,
+    and milli-ratios must be in-range."""
+    rows = QUERIES["quality_linear_scorer"](spark, sf_dir).collect()
+    assert rows
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), f"degenerate split: {kept}/{len(rows)}"
+    for r in rows:
+        assert r.score_milli == 2 * r.stop_milli + 3 * r.ttr_milli - r.len_milli
+        assert 0 <= r.stop_milli <= 1000
+        assert 0 < r.ttr_milli <= 1000
+        assert r.len_milli > 0
+
+
+def test_cusum_detects_planted_change_point(spark, tmp_path):
+    """event_rate_cusum on a planted regime shift: 10 days at 2
+    events/day then 10 days at 8 events/day — the CUSUM peak of the
+    scaled deviations must land exactly on the last low-regime day
+    (the prefix-sum minimum), with the known closed-form magnitude:
+    after k low days, P_k = k*(2*20-100) = -60k, so s is 0 through
+    day 10 and climbs by 60/day after; max at day 20 = 600... but the
+    emitted peak is the EARLIEST argmax, which for a monotone climb is
+    the final day. Magnitude: P_20 = 0, min prefix = -600 (day 10), so
+    s_20 = 600."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1)
+    for day in range(20):
+        n = 2 if day < 10 else 8
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, hours=i), 1, "shift", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = QUERIES["event_rate_cusum"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 20
+    assert r.max_cusum_scaled == 600
+    assert str(r.peak_day) == "2024-03-20"
+
+
+def test_modularity_invariants(spark, sf_dir):
+    """graph_modularity bounds and consistency: Q in [-0.5, 1] by
+    definition; the community count matches the LPA operator's own
+    distinct-label count (the score really evaluates THAT partition);
+    n_edges matches the shared projection."""
+    r = QUERIES["graph_modularity"](spark, sf_dir).collect()[0]
+    assert -0.5 <= r.modularity <= 1.0
+    lpa = QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    assert r.n_communities == len({x.community for x in lpa})
+    assert r.n_edges > 0

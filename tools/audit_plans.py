@@ -141,6 +141,10 @@ ALLOW = {
     # embedding_topk_bruteforce's allowlisted |Q|x|C| shape on 16-byte
     # rows; the stage-2 rerank is a plain neighbor-id equi join
     "embedding_binary_quant_topk": {"nested-loop join"},
+    # three 1-row scalar aggregates (m, within-edges, Σd²/ncomm)
+    # cross-joined into the final modularity row — the same bounded
+    # global-scalar pattern as crossvalidate_counts
+    "graph_modularity": {"nested-loop join"},
 }
 
 

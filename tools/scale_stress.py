@@ -250,6 +250,7 @@ DOCS_QUERIES = (
     "boilerplate_segment_removal",
     "fim_transform",
     "mixture_token_budget",
+    "quality_linear_scorer",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -299,6 +300,9 @@ EVENTS_QUERIES = (
     # growth, not rows
     "graph_label_propagation",
     "graph_clustering_coefficient",
+    "graph_modularity",
+    # (type, day) agg then windows over a tiny frame — linear scan
+    "event_rate_cusum",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
