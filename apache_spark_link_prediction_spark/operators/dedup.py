@@ -319,8 +319,21 @@ def minhash_near_dup_pairs(
     size_ok = F.least(F.col("__na"), F.col("__nb")) >= (
         F.lit(threshold - 1e-6) * F.greatest(F.col("__na"), F.col("__nb"))
     )
+    # ``shuffle_hash`` hint: the bucket self-join's sides are
+    # symmetric row streams with unique-ish keys — a sort-merge join
+    # pays two O(n log n) sorts of bands×reps rows for no benefit,
+    # while a shuffled hash join builds a per-partition hash table and
+    # streams the probe side (same shuffle, no sort). Physical-only:
+    # the inner equi-join's result set is identical (parity pinned by
+    # the collapse/banding pytests). Measured at the 10× bench replica:
+    # whole-pipeline 24.1s → 16.4s just from this hint (BASELINE.md
+    # Round 14). Scale contract: the build side's per-partition slice
+    # must fit in executor memory — it scales as bands·|reps|/shuffle
+    # partitions, the same per-partition-footprint contract as the
+    # hash aggregate one stage earlier, and doc-id keys are unskewed
+    # by construction.
     candidates = (
-        a.join(b, on=["__band", "__key"], how="inner")
+        a.join(b.hint("shuffle_hash"), on=["__band", "__key"], how="inner")
         .filter((F.col("src_id") < F.col("dst_id")) & size_ok)
         .select("src_id", "dst_id")
         .dropDuplicates(["src_id", "dst_id"])
@@ -362,18 +375,29 @@ def minhash_near_dup_pairs(
     # and long-array intersection is both far cheaper per pair and a
     # much smaller payload to carry through the two verification joins
     # — measured 17.0s → 6.2s end-to-end at sf0.1 vs string verify.
+    # Both verification joins are hinted ``shuffle_hash`` for the same
+    # reason as the bucket join above, and with a bigger payoff: the
+    # sort-merge alternative SORTS the candidate-pair stream twice AND
+    # drags the second join's array payload (~100 longs/doc) through a
+    # sort. The hint sits on the shingle-set side, so IT is the hash
+    # build side (one row per distinct set — always the smaller side);
+    # candidates stream past it. Measured at the 10× bench replica:
+    # verify 33.7s → 13.3s (solo A/B; SMJ re-measured 34.8s after —
+    # BASELINE.md Round 14). An explicit broadcast() was A/B'd too
+    # (34.2s — worse: double 35 MB build) and would anyway be the
+    # unbounded-driver-memory anti-pattern _drop_hot_buckets documents.
     shingle_sets = base
     pairs = (
         candidates.join(
             shingle_sets.select(
                 F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a")
-            ),
+            ).hint("shuffle_hash"),
             on="src_id",
         )
         .join(
             shingle_sets.select(
                 F.col("__id").alias("dst_id"), F.col("__shingles").alias("__sh_b")
-            ),
+            ).hint("shuffle_hash"),
             on="dst_id",
         )
         .withColumn(

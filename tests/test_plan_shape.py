@@ -202,3 +202,20 @@ def test_exact_substring_remove_single_kept_eval(spark, sf_dir):
         .toString()
     )
     assert plan.count("exists(") == 1, plan.count("exists(")
+
+
+def test_minhash_verify_joins_are_shuffled_hash(spark, sf_dir):
+    """dedup_minhash's bucket self-join and both exact-verify joins are
+    hinted ``shuffle_hash`` (Round 14): sort-merge sorted the 7.7M-row
+    candidate stream twice and dragged the shingle-array payload
+    through a sort — measured 33.7s vs 13.3s for the verify stage at
+    the 10x bench replica. Pins the physical strategy so a hint
+    regression (or a Catalyst change that starts ignoring it) shows up
+    as a plan diff, not a silent 2.5x bench slide. Output parity is
+    separately pinned by the banding/collapse pytests — the hint is
+    physical-only."""
+    plan = plan_of(QUERIES["dedup_minhash"](spark, sf_dir))
+    # bucket join + 2 verify joins (the expansion/intra joins stay
+    # planner-chosen); SMJ must not reappear anywhere in the pipeline
+    assert plan.count("ShuffledHashJoin") >= 3, plan[:3000]
+    assert "SortMergeJoin" not in plan
