@@ -10836,12 +10836,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
     ed = e.selectExpr("u AS src", "v AS dst").unionAll(
         e.selectExpr("v AS src", "u AS dst")
-    ).cache()
+    )
+    labels = _lpa_labels(ed)
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("lbl").cast("long").alias("community")
+    )
+
+
+def _lpa_labels(ed: DataFrame, rounds: int = 3) -> DataFrame:
+    """3-round synchronous LPA over a directed-both-ways (src, dst)
+    edge frame; returns (node, lbl). Shared by graph_label_propagation
+    and graph_modularity so the modularity composition scores the SAME
+    edge frame it builds instead of re-deriving the projection.
+
+    The edge frame is referenced rounds+1 times in the final plan, so
+    it is localCheckpoint(eager=False)'d — materialized once at first
+    use, shared by every reference, and reclaimed by the
+    ContextCleaner as soon as the returned plan is garbage-collected
+    (the dedup collapse-tier pattern, ADVICE r06/r07). The previous
+    ``.cache()`` here had no unpersist anybody could place (the
+    consumer collects after this function returns), so every bench or
+    soak invocation leaked one cached edge frame for the life of the
+    session (ADVICE r13)."""
+    ed = ed.localCheckpoint(eager=False)
     labels = ed.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    for _ in range(3):
+    for _ in range(rounds):
         votes = (
             ed.join(labels, ed["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node2"), "lbl")
@@ -10853,9 +10875,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("node", "lbl")
         )
-    return labels.select(
-        F.col("node").alias("node_id"), F.col("lbl").cast("long").alias("community")
-    )
+    return labels
 
 
 _MRL_DIM = 32  # shortlist distances use 32 of 64 dims (2× fewer bytes)
@@ -11150,7 +11170,11 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = d.join(F.broadcast(sw), on="source").crossJoin(F.broadcast(tot))
     den = F.col("wsum") * F.col("tok_s")
     num = F.col("b") * F.col("w")
-    full = ((num - num % den) / den).cast("long")
+    # True integral division (never passes through a DOUBLE): the old
+    # ((num - num%den)/den).cast('long') emulation was only exact while
+    # num stayed below 2^53 (ADVICE r13) — `div` is Spark's BIGINT
+    # division, bit-identical to the oracle's // on nonnegatives.
+    full = F.expr("(b * w) div (wsum * tok_s)")
     extra = F.when(F.col("hd") % den < num % den, 1).otherwise(0)
     return j.select(
         "doc_id", "source", (full + extra).cast("long").alias("n_repeats")
@@ -11171,9 +11195,10 @@ _LOCAL_CC_ORACLE = f"""
     SELECT dg.node AS node_id,
            CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS triangles,
            dg.deg AS degree,
-           round(CASE WHEN dg.deg >= 2
-                      THEN 2.0 * coalesce(tcnt.tri, 0) / (dg.deg * (dg.deg - 1))
-                      ELSE 0.0 END, 6) AS clustering_coeff
+           CAST(CASE WHEN dg.deg >= 2
+                     THEN (2000000 * coalesce(tcnt.tri, 0))
+                          // (dg.deg * (dg.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_micro
     FROM dg LEFT JOIN tcnt ON dg.node = tcnt.node
 """
 
@@ -11190,12 +11215,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: graph_triangle_count's canonical u<v<w wedge join finds
     each triangle ONCE; exploding it to its three corners and counting
     per node gives per-node triangle counts without ever orienting
-    per-corner joins (3 joins total, not 9). The coefficient is a
-    single exact-integer division rounded at 6dp — the dialect every
-    graph ratio here uses (adamic_adar, assortativity). At 100 TB the
-    wedge join is the cost; the same degree-ordered canonicalization
-    caps hub fan-out, and the final per-node aggs are map-side
-    combinable."""
+    per-corner joins (3 joins total, not 9). The coefficient is
+    emitted as exact BIGINT micro-units — (10⁶·2·tri) div
+    (deg·(deg−1)), nonnegative integral division both engines compute
+    bit-identically — never as round(DOUBLE, 6), the
+    engine-rounding-convention class the dpp centi-unit fix removed
+    (ADVICE r13). At 100 TB the wedge join is the cost; the same
+    degree-ordered canonicalization caps hub fan-out, and the final
+    per-node aggs are map-side combinable."""
     e = _copurchase_edges(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -11214,15 +11241,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     joined = dg.join(tcnt, on="node", how="left").na.fill({"tri": 0})
-    cc = F.when(
+    cc_micro = F.when(
         F.col("deg") >= 2,
-        F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)),
-    ).otherwise(F.lit(0.0))
+        F.expr("(2000000 * tri) div (deg * (deg - 1))"),
+    ).otherwise(F.lit(0).cast("long"))
     return joined.select(
         F.col("node").alias("node_id"),
         F.col("tri").alias("triangles"),
         F.col("deg").alias("degree"),
-        F.round(cc, 6).alias("clustering_coeff"),
+        cc_micro.cast("long").alias("cc_micro"),
     )
 
 
@@ -11375,8 +11402,8 @@ _MODULARITY_ORACLE = f"""
     s AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sum_d2,
                  CAST(count(*) AS BIGINT) AS ncomm FROM dc)
     SELECT m.m AS n_edges, s.ncomm AS n_communities,
-           round(CAST(4 * m.m * within.ew - s.sum_d2 AS DOUBLE)
-                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity
+           CAST(4 * m.m * within.ew - s.sum_d2 AS BIGINT) AS q_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS q_den
     FROM m, within, s
 """
 
@@ -11385,22 +11412,29 @@ _MODULARITY_ORACLE = f"""
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q of the 3-round label-propagation partition
     (the quality metric community detection is judged by): Q =
-    Σ_c [e_c/m − (d_c/2m)²], computed as one exact-integer expression
-    (4m·Σe_c − Σd_c²)/(4m²) so only the final division is floating —
-    integer degrees and edge counts make both moments bit-identical
-    cross-engine (assortativity's idiom). Composes the LPA operator
-    end-to-end: the partition being scored IS graph_label_propagation's
-    output, so this row hash-gates the pipeline community-detect →
-    evaluate, not just the score formula.
+    Σ_c [e_c/m − (d_c/2m)²] = (4m·Σe_c − Σd_c²)/(4m²), emitted as the
+    exact BIGINT pair (q_num, q_den) — NO division ever happens, so
+    nothing floating enters the hash (ADVICE r13: round(DOUBLE, 6) is
+    the same engine-rounding-convention class the dpp centi-unit fix
+    removed; Q = q_num/q_den is one driver-side divide away for a
+    human). Composes the LPA operator end-to-end: the partition being
+    scored IS graph_label_propagation's output, so this row hash-gates
+    the pipeline community-detect → evaluate, not just the score
+    formula.
 
-    Shape at 100 TB: the within-community edge count is one
-    node-keyed label join per endpoint (labels are |V| rows, the
-    broadcast side); Σd_c² is a two-level agg. Nothing touches pairs
-    beyond the edge list itself."""
-    e = _copurchase_edges(spark, sf_dir)
-    labels = QUERIES["graph_label_propagation"](spark, sf_dir).select(
-        F.col("node_id").alias("node"), F.col("community").alias("lbl")
+    Shape at 100 TB: the edge projection is built ONCE and
+    localCheckpoint-shared between the LPA rounds, the
+    within-community join, and the degree agg (ADVICE r13: the old
+    composition re-invoked the whole LPA operator, recomputing the
+    projection); the within count is one node-keyed label join per
+    endpoint (labels are |V| rows, the broadcast side); Σd_c² is a
+    two-level agg. Nothing touches pairs beyond the edge list
+    itself."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    ed = e.selectExpr("u AS src", "v AS dst").unionAll(
+        e.selectExpr("v AS src", "u AS dst")
     )
+    labels = _lpa_labels(ed)
     m_df = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
     la = labels.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
@@ -11409,9 +11443,6 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lb), "v")
         .filter(F.col("la") == F.col("lb"))
         .agg(F.count(F.lit(1)).cast("long").alias("ew"))
-    )
-    ed = e.selectExpr("u AS src", "v AS dst").unionAll(
-        e.selectExpr("v AS src", "u AS dst")
     )
     deg = ed.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -11423,15 +11454,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dsum") * F.col("dsum")).cast("long").alias("sum_d2"),
         F.count(F.lit(1)).cast("long").alias("ncomm"),
     )
-    num = (4 * F.col("m") * F.col("ew") - F.col("sum_d2")).cast("double")
-    den = (4 * F.col("m") * F.col("m")).cast("double")
     return (
         m_df.crossJoin(within)
         .crossJoin(s)
         .select(
             F.col("m").alias("n_edges"),
             F.col("ncomm").alias("n_communities"),
-            F.round(num / den, 6).alias("modularity"),
+            (4 * F.col("m") * F.col("ew") - F.col("sum_d2"))
+            .cast("long")
+            .alias("q_num"),
+            (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
         )
     )
 
@@ -11508,15 +11540,16 @@ def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_chars"),
     ).filter(F.col("n_tok") > 0)
 
-    def int_div(num, den):
-        return ((num - num % den) / den).cast("long")
-
+    # True integral division via `div` (ADVICE r13: the old
+    # ((num - num%den)/den).cast('long') emulation routes through a
+    # DOUBLE, silently inexact past 2^53 despite the docstring's
+    # all-BIGINT claim).
     milli = f.select(
         "doc_id",
         "n_tok",
-        int_div(1000 * F.col("n_stop"), F.col("n_tok")).alias("stop_milli"),
-        int_div(1000 * F.col("n_distinct"), F.col("n_tok")).alias("ttr_milli"),
-        int_div(1000 * F.col("sum_chars"), F.col("n_tok")).alias("len_milli"),
+        F.expr("(1000 * n_stop) div n_tok").alias("stop_milli"),
+        F.expr("(1000 * n_distinct) div n_tok").alias("ttr_milli"),
+        F.expr("(1000 * sum_chars) div n_tok").alias("len_milli"),
     )
     score = (
         _QSCORE_W_STOP * F.col("stop_milli")

@@ -385,7 +385,13 @@ def test_local_cc_consistent_with_global_triangles(spark, sf_dir):
     assert rows
     total = 0
     for r in rows:
-        assert 0.0 <= r.clustering_coeff <= 1.0
+        # cc_micro = (10^6 * 2 * tri) div (deg*(deg-1)) — exact BIGINT
+        # micro-units (round 14; no float in the hash path)
+        assert 0 <= r.cc_micro <= 1_000_000
+        if r.degree >= 2:
+            assert r.cc_micro == (2_000_000 * r.triangles) // (
+                r.degree * (r.degree - 1)
+            )
         assert r.triangles <= r.degree * (r.degree - 1) // 2
         total += r.triangles
     n_tri = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0].n_triangles
@@ -450,7 +456,45 @@ def test_modularity_invariants(spark, sf_dir):
     distinct-label count (the score really evaluates THAT partition);
     n_edges matches the shared projection."""
     r = QUERIES["graph_modularity"](spark, sf_dir).collect()[0]
-    assert -0.5 <= r.modularity <= 1.0
+    # q emitted as the exact BIGINT pair (round 14: no division in the
+    # hash path); Q = q_num/q_den must stay in the definitional bounds
+    assert r.q_den == 4 * r.n_edges * r.n_edges
+    assert -0.5 <= r.q_num / r.q_den <= 1.0
     lpa = QUERIES["graph_label_propagation"](spark, sf_dir).collect()
     assert r.n_communities == len({x.community for x in lpa})
     assert r.n_edges > 0
+
+
+def test_lpa_and_modularity_leave_no_persistent_rdds(spark, sf_dir):
+    """ADVICE r13: graph_label_propagation used to .cache() its edge
+    frame with no reachable unpersist point, leaking one cached
+    DataFrame per invocation for the life of the session (bench/soak
+    loops invoke it dozens of times). Both operators now share a
+    localCheckpoint(eager=False)'d edge frame, which the
+    ContextCleaner reclaims once the plan refs are gone. This pins:
+    after running both operators and dropping the Python refs, the
+    JVM's persistent-RDD map drains back to its baseline."""
+    import gc
+    import time
+
+    sc = spark.sparkContext
+    gc.collect()
+    baseline = sc._jsc.sc().getPersistentRDDs().size()
+    out = QUERIES["graph_modularity"](spark, sf_dir).collect()
+    assert out
+    out2 = QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    assert out2
+    del out, out2
+    # ContextCleaner reclaim is async AND keyed to JVM weak refs: the
+    # Python gc releases the py4j handles, System.gc() makes the JVM
+    # enqueue the now-unreachable RDD wrappers for the cleaner.
+    deadline = time.time() + 20
+    n = None
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        n = sc._jsc.sc().getPersistentRDDs().size()
+        if n <= baseline:
+            break
+        time.sleep(0.5)
+    assert n <= baseline, f"leaked persistent RDDs: {n} > baseline {baseline}"
