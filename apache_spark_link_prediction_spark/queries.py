@@ -10997,12 +10997,25 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-order reassembly) are exactly the published operator's.
 
     Shape at 100 TB: one segment-keyed count (map-side combined; the
-    hot table is tiny — boilerplate is by definition few DISTINCT
-    strings) broadcast back against the segment stream, then one
-    doc-keyed reassembly agg. Nothing pairwise, nothing quadratic —
-    this is the frequency-table complement to dedup_exact_substring's
-    adjacency family. Docs reduced to nothing survive as empty strings
-    (kept rows == input rows; the downstream length filter decides)."""
+    hot table is SMALL on real corpora — boilerplate is by definition
+    few DISTINCT strings) joined back against the segment stream, then
+    one doc-keyed reassembly agg. The hot side carries no broadcast
+    hint (VERDICT r13 item 5): an adversarial corpus with millions of
+    distinct just-over-threshold segments would blow an unconditional
+    driver broadcast — AQE converts the join to broadcast at runtime
+    exactly when the measured hot size is small (pinned by
+    tests/test_plan_shape.py::test_boilerplate_hot_join_broadcasts_via_aqe).
+    Nothing pairwise, nothing quadratic — this is the frequency-table
+    complement to dedup_exact_substring's adjacency family.
+
+    Row contract: docs reduced to nothing by the CUT survive as empty
+    strings, but a doc whose tokenization is already empty yields no
+    segment rows (posexplode of []) and drops from the output — on
+    both engines identically. The no-empty-docs PRECONDITION on the
+    corpus (kept rows == input rows exactly when every doc has ≥1
+    token) is pinned in
+    tests/test_stats.py::test_boilerplate_no_empty_docs_precondition
+    (ADVICE r13)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     nseg = F.ceil(F.size("t") / F.lit(float(_SEG_LEN))).cast("int")
@@ -11019,7 +11032,7 @@ def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") >= _SEG_HOT_DOCS)
         .select("seg", F.lit(True).alias("__hot"))
     )
-    kept = segs.join(F.broadcast(hot), on="seg", how="left")
+    kept = segs.join(hot, on="seg", how="left")
     dropped = F.col("__hot").isNotNull()
     return kept.groupBy("doc_id").agg(
         F.concat_ws(

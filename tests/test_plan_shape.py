@@ -219,3 +219,20 @@ def test_minhash_verify_joins_are_shuffled_hash(spark, sf_dir):
     # planner-chosen); SMJ must not reappear anywhere in the pipeline
     assert plan.count("ShuffledHashJoin") >= 3, plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_hot_join_broadcasts_via_aqe(spark, sf_dir):
+    """boilerplate_segment_removal carries NO broadcast hint on its
+    hot-segment side (VERDICT r13 item 5: an adversarial
+    many-distinct-boilerplate corpus would blow an unconditional
+    driver broadcast). On the testbed the hot table IS tiny, so AQE
+    must still pick a broadcast join at runtime from measured shuffle
+    stats — this executes the query and inspects the FINAL adaptive
+    plan (the static plan legitimately shows SMJ before stats exist)."""
+    df = QUERIES["boilerplate_segment_removal"](spark, sf_dir)
+    # collect() (not count()) so the inspected QueryExecution is the
+    # one that actually ran — count() wraps df in a fresh agg plan
+    assert len(df.collect()) > 0
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "BroadcastHashJoin" in final, final[:3000]

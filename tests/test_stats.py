@@ -335,6 +335,29 @@ def test_boilerplate_removal_invariants(spark, sf_dir):
             assert len(r.kept_text) < len(norm[r.doc_id])
 
 
+def test_boilerplate_no_empty_docs_precondition(spark, sf_dir):
+    """ADVICE r13: a doc whose tokenization is empty yields no segment
+    rows (posexplode of [] / unnest(range(0)) — both engines agree),
+    so it would silently drop from boilerplate_segment_removal's
+    output instead of surviving as an empty-string row. The operator's
+    row contract (kept rows == input rows) therefore carries a
+    NO-EMPTY-DOCS precondition on the corpus; this pins that the
+    shipped testdata satisfies it, so a corpus regen that introduces
+    an empty/whitespace-only doc fails HERE with a named reason
+    instead of as an unexplained row-count mismatch downstream."""
+    from pyspark.sql import functions as F
+
+    from apache_spark_link_prediction_spark.functions.pairwise import tokenize
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_empty = docs.filter(F.size(tokenize("text")) == 0).count()
+    assert n_empty == 0, (
+        f"{n_empty} zero-token docs violate boilerplate_segment_removal's "
+        "kept-rows==input-rows precondition (see its docstring)"
+    )
+
+
 def test_label_propagation_forms_communities(spark, sf_dir):
     """LPA semantics: after 3 rounds (a) every node holds a label that
     IS some node's id, (b) the label count strictly shrank from the
