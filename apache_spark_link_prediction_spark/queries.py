@@ -15,6 +15,7 @@ comparison is exact):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas  # module-level: pandas_udf type hints resolve here
@@ -11667,6 +11668,55 @@ def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("peak_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 additions: the sharded training-data sink — the last pipeline
+# stage (curated corpus → fixed-shard training files + manifest).
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 16
+
+_SHARD_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ({_rolling_hash_sql("'shard:' || CAST(doc_id AS VARCHAR)")})
+               % {_SHARD_N} AS shard_id,
+             {_rolling_hash_sql("CAST(doc_id AS VARCHAR) || ':' || text")} AS hc
+      FROM documents)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(bit_xor(hc) AS BIGINT) AS content_hash
+    FROM d GROUP BY shard_id
+"""
+
+
+@register("training_shard_write", _SHARD_ORACLE)
+def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-data sink + read-back manifest (VERDICT r13
+    item 3 — the one pipeline stage without a registry row): every doc
+    gets a deterministic salted shard (cross-engine rolling hash of
+    'shard:'||doc_id, mod 16), one hash Exchange repartitions to the
+    fixed shard count (NO sort — pinned in
+    tests/test_plan_shape.py::test_training_shard_write_no_sort),
+    parquet lands partitionBy(shard_id), and the emitted manifest
+    (shard_id, n_rows, n_bytes, content_hash) is computed from the
+    files AS RE-READ — so the hash gate certifies the write→read round
+    trip, not just the assignment arithmetic. content_hash = bit_xor
+    of per-doc rolling hashes (order-independent across files,
+    overflow-free); the DuckDB oracle recomputes assignment + hashes
+    from the raw table without seeing the files. This is what a
+    tokenizer/training loader consumes downstream of the
+    dedup/quality/mixture stages; the fixed shard count is the loader
+    contract (sources/readers.py:write_training_shards for the 100 TB
+    shape notes)."""
+    from .sources.readers import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/spark_graft_training_shards_{tag}"
+    return write_training_shards(docs, path, n_shards=_SHARD_N)
 
 
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers

@@ -236,3 +236,20 @@ def test_boilerplate_hot_join_broadcasts_via_aqe(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final, final[:500]
     assert "BroadcastHashJoin" in final, final[:3000]
+
+
+def test_training_shard_write_no_sort(spark, sf_dir):
+    """The sharded training sink's shuffle is ONE hash Exchange on the
+    shard key — never a range partitioning or a sort (VERDICT r13
+    item 3: a repartitionByRange/sortWithinPartitions formulation
+    would impose an O(n log n) global ordering no training loader
+    needs). Pins the pre-write frame's plan shape."""
+    from apache_spark_link_prediction_spark.sources import load_table
+    from apache_spark_link_prediction_spark.sources.readers import shard_for_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(shard_for_write(docs, n_shards=16))
+    norm = plan.lower()
+    assert "hashpartitioning" in norm, plan[:2000]
+    assert "rangepartitioning" not in norm
+    assert "sort" not in norm, plan[:2000]

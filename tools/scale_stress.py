@@ -251,6 +251,9 @@ DOCS_QUERIES = (
     "fim_transform",
     "mixture_token_budget",
     "quality_linear_scorer",
+    # round-14: sharded training sink — one hash Exchange + parquet
+    # write + read-back agg; wall should track bytes written (linear)
+    "training_shard_write",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
