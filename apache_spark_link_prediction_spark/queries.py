@@ -1256,8 +1256,13 @@ def graph_common_neighbors(
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
+    # shuffle_hash: the SMJ alternative sorts the distinct edge list
+    # twice for a join whose output feeds an UNSORTED hash aggregate —
+    # pure waste. Solo A/B at the 10× replica: min 4.53s → 1.92s
+    # (round-14 adjudication, BASELINE.md). Physical-only; the entry
+    # stays hash-gated.
     return (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .filter(F.col("dst_id") > F.col("src_id"))
         .groupBy("src_id", "dst_id")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
@@ -1303,8 +1308,10 @@ def graph_triangle_count(
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    # shuffle_hash: same rationale as graph_common_neighbors (no sort
+    # feeding a hash agg; round-14 adjudication)
     e = (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .filter(F.col("v") > F.col("u"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__w"))
@@ -4560,8 +4567,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    # shuffle_hash: same rationale as graph_common_neighbors (no sort
+    # feeding a hash agg; round-14 adjudication)
     return (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .filter(F.col("v") > F.col("u"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__w"))  # triples unique post-distinct
@@ -5376,11 +5385,13 @@ def _bipartite_edges(
 
 def _candidate_pairs(e: DataFrame) -> DataFrame:
     """Canonical src<dst part pairs sharing ≥2 orders, with the shared-
-    order count. One shuffle on l_orderkey; AQE splits skewed orders."""
+    order count. One shuffle on l_orderkey; AQE splits skewed orders.
+    shuffle_hash hint: no sort before a hash aggregate (see
+    graph_common_neighbors — min 4.53s → 1.92s at the 10× replica)."""
     a = e.select(F.col("l_orderkey"), F.col("l_partkey").alias("src_id"))
     b = e.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst_id"))
     return (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .filter(F.col("dst_id") > F.col("src_id"))
         .groupBy("src_id", "dst_id")
         .agg(F.count(F.lit(1)).alias("common"))
