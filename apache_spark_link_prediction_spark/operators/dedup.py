@@ -915,8 +915,10 @@ def signature_band_pairs(
     banded = _drop_hot_buckets(banded, ["__block", "__key"], max_bucket_size)
     a = banded.select("__block", "__key", F.col("__id").alias("src_id"), F.col("__sh").alias("__sh_a"))
     b = banded.select("__block", "__key", F.col("__id").alias("dst_id"), F.col("__sh").alias("__sh_b"))
+    # shuffle_hash: same rationale as the minhash bucket join (no sort
+    # for a join feeding an unsorted dedup agg; round 14)
     pairs = (
-        a.join(b, on=["__block", "__key"], how="inner")
+        a.join(b.hint("shuffle_hash"), on=["__block", "__key"], how="inner")
         .filter(F.col("src_id") < F.col("dst_id"))
         .select(
             "src_id",

@@ -11757,75 +11757,72 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-13 accounting (241 entries: 219 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: eleven
-#   never-graded oracle-backed entries lead (dpp_partitioned_join's
-#   re-grade after the r11+r12 decimal/round hash reds — its centi-unit
-#   fix is the round's item 1 — plus the ten round-13 operators:
-#   label propagation + its modularity score, the MRL and
-#   binary-quantization funnels, boilerplate removal, FIM, the mixture
-#   allocator, the local clustering coefficient, the linear quality
-#   scorer, and the CUSUM change-point detector); the five r12
-#   first-evidence entries rotate out, followed by pure oldest-first
-#   rotation (r08 greens, then r09).
+# Round-14 accounting (242 entries: 220 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: ONE
+#   never-graded oracle-backed entry leads (training_shard_write, the
+#   round-14 sharded training sink); with dpp green in r13 every other
+#   oracle-backed entry already has driver evidence, so the remaining
+#   49 slots are pure oldest-first rotation — the r09 green cohort
+#   leads, then the r10 cohort (first-evidence phase of the window
+#   policy is complete as of r13).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 _WINDOW_THIS_ROUND = [
-    "dpp_partitioned_join",  # never graded
-    "graph_label_propagation",  # never graded
-    "embedding_mrl_topk",  # never graded
-    "boilerplate_segment_removal",  # never graded
-    "fim_transform",  # never graded
-    "mixture_token_budget",  # never graded
-    "graph_clustering_coefficient",  # never graded
-    "embedding_binary_quant_topk",  # never graded
-    "graph_modularity",  # never graded
-    "quality_linear_scorer",  # never graded
-    "event_rate_cusum",  # never graded
-    "range_join_bands",  # last green r08
-    "array_agg_per_group",  # last green r08
-    "tpch_q5_multijoin",  # last green r08
-    "graph_pagerank",  # last green r08
-    "bloom_filter_join",  # last green r08
-    "dedup_keeper_quality",  # last green r08
-    "zorder_key_part",  # last green r08
-    "heavy_hitters_tokens",  # last green r08
-    "streaming_stream_join",  # last green r08
-    "tpch_q17_avg_qty",  # last green r08
-    "graph_common_neighbors_capped",  # last green r08
-    "hybrid_rank_fusion_rrf",  # last green r08
-    "null_fill_group",  # last green r09
-    "conditional_label_agg",  # last green r09
-    "split_part_type",  # last green r09
-    "tpch_q3_topk",  # last green r09
-    "rollup_agg",  # last green r09
-    "pivot_linestatus",  # last green r09
-    "lang_id",  # last green r09
-    "text_quality",  # last green r09
-    "token_counts",  # last green r09
-    "multimodal_payload_meta",  # last green r09
-    "graph_common_neighbors",  # last green r09
-    "graph_triangle_count",  # last green r09
-    "p2_scale_path_jaccard",  # last green r09
-    "streaming_heavy_hitters_topk",  # last green r09
-    "json_props_extract_agg",  # last green r09
-    "semi_anti_existence",  # last green r09
-    "doc_chunking",  # last green r09
-    "pack_sequences",  # last green r09
-    "decontaminate_ngram",  # last green r09
-    "repetition_ratio",  # last green r09
-    "multimodal_resize_meta",  # last green r09
-    "multimodal_frame_sample",  # last green r09
-    "graph_adamic_adar",  # last green r09
-    "train_test_split_hash",  # last green r09
-    "stratified_sample_mixture",  # last green r09
-    "percentile_agg",  # last green r09
-    "streaming_custom_sessions",  # last green r09
+    "training_shard_write",  # never graded
+    "zscore_by_group_pandas",  # last green r09
+    "window_functions_suite",  # last green r09
+    "sql_correlated_exists",  # last green r09
+    "pii_scrub",  # last green r09
+    "html_strip",  # last green r09
+    "vocab_topk",  # last green r09
+    "tfidf_keywords",  # last green r09
+    "gopher_quality_filter",  # last green r09
+    "passage_dup_spans",  # last green r09
+    "tpch_q18_large_orders",  # last green r09
+    "cohort_retention",  # last green r09
+    "sliding_window_agg",  # last green r09
+    "graph_pref_attachment",  # last green r09
+    "graph_jaccard_neighbors",  # last green r09
+    "graph_resource_allocation",  # last green r09
+    "tpch_q6_forecast_revenue",  # last green r09
+    "tpch_q10_returned_items",  # last green r09
+    "tpch_q13_order_counts",  # last green r09
+    "tpch_q14_promo_effect",  # last green r09
+    "tpch_q19_discounted_revenue",  # last green r09
+    "ntile_feature_binning",  # last green r09
+    "join_key_skew_probe",  # last green r09
+    "bpe_tokenize_stats",  # last green r09
+    "p2_scale_path_jaccard_deep",  # last green r10
+    "streaming_stateful_ema",  # last green r10
+    "decontaminate_containment_fuzzy",  # last green r10
+    "dsir_importance_select",  # last green r10
+    "gopher_repetition_ngram",  # last green r10
+    "histogram_fixed_bins",  # last green r10
+    "tpch_q8_market_share",  # last green r10
+    "tpch_q15_top_supplier",  # last green r10
+    "activity_streaks",  # last green r10
+    "event_transition_counts",  # last green r10
+    "cdc_upsert_latest",  # last green r10
+    "streaming_cdc_upsert",  # last green r10
+    "time_weighted_avg_daily",  # last green r10
+    "dedup_levenshtein_banded",  # last green r10
+    "sample_k_per_group",  # last green r10
+    "funnel_conversion",  # last green r10
+    "retention_cohorts",  # last green r10
+    "concurrent_sessions",  # last green r10
+    "dedup_jaccard_prefix",  # last green r10
+    "gap_fill_daily",  # last green r10
+    "unigram_logprob_score",  # last green r10
+    "token_drift_js",  # last green r10
+    "pagerank_parts",  # last green r10
+    "tpch_q4_priority_exists",  # last green r10
+    "tpch_q12_late_shipments",  # last green r10
+    "tpch_q21_waiting_supplier",  # last green r10
 ]
 
 
