@@ -1516,6 +1516,126 @@ def jaccard_prefix_join(
     return cross.unionByName(intra)
 
 
+def containment_prefix_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT directed token-set CONTAINMENT join (Broder 1997's
+    C(A,B) = |A∩B| / |A| ≥ t) — the quote/subset detector next to
+    :func:`jaccard_prefix_join`'s symmetric near-dup tier: a short doc
+    fully quoted inside a long one has containment ~1.0 but Jaccard
+    ~|A|/|B| → 0, so the Jaccard family structurally cannot find it.
+    This is the curation pass that catches excerpt/boilerplate
+    inclusion and train-on-test contamination by inclusion.
+
+    Prefix filter (PPJoin adapted to the asymmetric predicate):
+    C(A,B) ≥ t ⟹ |A∩B| ≥ t·|A|, so A must share a token with B among
+    A's first |A| − ⌈t·|A|⌉ + 1 tokens in the GLOBAL rarest-first
+    order — but B, unlike the Jaccard case, must index ALL its tokens
+    (B's matching token may rank arbitrarily late in B: nothing bounds
+    |B| from above). Size bound: |B| ≥ ⌈t·|A|⌉ (the intersection can't
+    exceed |B|); no upper bound exists, again unlike Jaccard.
+    Positional filter: for a shared token at rarest-first rank i of A
+    and j of B, overlap ≤ min(i−1, j−1) + 1 + min(|A|−i, |B|−j) —
+    sound per pair because the pair's globally-earliest common token
+    row dominates its true overlap (jaccard_prefix_join's argument,
+    unchanged by asymmetry). All three bounds carry the same
+    ε-guards as the Jaccard twin (t_eff for the round(·,6) ≥ t verify
+    floor, _EPS against IEEE ceil overshoot).
+
+    Emits DIRECTED (src_id, dst_id, containment): src's tokens are
+    ≥ t contained in dst; both directions can appear, src ≠ dst;
+    zero-token docs are excluded (containment undefined). Verification
+    is the exact intersection over the token arrays. shuffle_hash on
+    the candidate and verify joins — the round-14 no-sort-before-
+    hash-agg discipline.
+
+    Plan shape at 100 TB: the candidate join's key distribution is
+    driven by A-prefix tokens, which are the corpus-RAREST by
+    construction — the full B index only joins on keys some prefix
+    emits, so stopword keys never enter. Candidate volume tracks
+    Σ_tok df_prefix(tok)·df(tok), near the true-pair volume."""
+    # ``shingle_n`` > 1 runs containment over word n-gram shingles —
+    # far more discriminative on template-heavy corpora (shared
+    # VOCABULARY no longer suffices; shared SPANS are required): the
+    # registered query uses 3-grams, where the testbed yields ~50 true
+    # inclusions at sf0.01 vs ~145k under unigram containment. Docs
+    # below shingle_n tokens degrade to their whole text as one gram
+    # (word_shingles' contract); zero-token docs are excluded
+    # (containment undefined on an empty set).
+    grams = (
+        word_shingles(text_col, shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(tokenize(text_col))
+    )
+    base = docs.filter(F.size(tokenize(text_col)) > 0).select(
+        F.col(id_col).alias("__id"), grams.alias("__toks")
+    )
+    toks = base.select(
+        "__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok")
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    ranked = toks.join(freq, on="__tok").withColumn("__rn", F.row_number().over(w))
+    t_eff = threshold - 1e-6
+    _EPS = 1e-9
+    prefix_len = F.col("__sz") - F.ceil(F.lit(t_eff) * F.col("__sz") - F.lit(_EPS)) + 1
+    a = ranked.filter(F.col("__rn") <= prefix_len).select(
+        "__tok", F.col("__id").alias("src_id"),
+        F.col("__sz").alias("__sa"), F.col("__rn").alias("__ra"),
+    )
+    b = ranked.select(
+        "__tok", F.col("__id").alias("dst_id"),
+        F.col("__sz").alias("__sb"), F.col("__rn").alias("__rb"),
+    )
+    overlap_needed = F.ceil(F.lit(t_eff) * F.col("__sa") - F.lit(_EPS))
+    overlap_bound = (
+        F.least(F.col("__ra"), F.col("__rb"))
+        - 1
+        + F.least(F.col("__sa") - F.col("__ra"), F.col("__sb") - F.col("__rb"))
+        + 1
+    )
+    candidates = (
+        a.join(b.hint("shuffle_hash"), on="__tok")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter(F.col("__sb") >= overlap_needed)
+        .filter(overlap_bound >= overlap_needed)
+        .select("src_id", "dst_id")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    sets = base.select("__id", "__toks")
+    return (
+        candidates.join(
+            sets.select(
+                F.col("__id").alias("src_id"), F.col("__toks").alias("__ta")
+            ).hint("shuffle_hash"),
+            on="src_id",
+        )
+        .join(
+            sets.select(
+                F.col("__id").alias("dst_id"), F.col("__toks").alias("__tb")
+            ).hint("shuffle_hash"),
+            on="dst_id",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__ta", "__tb"))
+                / F.size("__ta").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
 def levenshtein_near_dup_pairs(
     docs: DataFrame,
     *,

@@ -38,6 +38,7 @@ from .functions.textstats import (
 from .functions.timeutils import epoch_seconds
 from .functions.vectors import cosine_similarity
 from .operators.dedup import (
+    containment_prefix_join,
     dedup_exact,
     jaccard_prefix_join,
     minhash_incremental_pairs,
@@ -11738,6 +11739,40 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_training_shards(docs, path, n_shards=_SHARD_N)
 
 
+_CONTAINMENT_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+               ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS t
+      FROM d WHERE len(toks) > 0)
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6)
+             AS containment
+    FROM g a JOIN g b ON a.doc_id != b.doc_id
+    WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6)
+          >= 0.8
+"""
+
+
+@register("dedup_containment_prefix", _CONTAINMENT_ORACLE)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-3-gram CONTAINMENT ≥ 0.8 over the corpus (Broder
+    1997's C(A,B) = |A∩B|/|A|) via the asymmetric prefix-filter join
+    (operators.dedup.containment_prefix_join) — the quote/excerpt/
+    subset detector the symmetric Jaccard tier structurally misses (a
+    short doc fully quoted in a long one has C ≈ 1 but J ≈ |A|/|B|).
+    The contamination-by-inclusion pass next to decontaminate_ngram's
+    gram-overlap tier. Checked against the unrestricted all-pairs
+    DuckDB oracle; brute-force parity and a planted quote fixture are
+    pinned in tests/test_operators.py::test_containment_prefix_join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_prefix_join(docs, threshold=0.8, shingle_n=3)
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -11765,7 +11800,7 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-14 accounting (242 entries: 220 oracle-backed, 22
+# Round-14 accounting (243 entries: 221 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: ONE
 #   never-graded oracle-backed entry leads (training_shard_write, the
 #   round-14 sharded training sink); with dpp green in r13 every other

@@ -2333,3 +2333,65 @@ def test_exact_substring_remove_rewrite(spark):
     n20, rem20 = got2[20]
     assert n20 == 16
     assert rem20 <= 15 and rem20 >= 10  # union of overlapping spans, < sum
+
+
+def test_containment_prefix_join(spark, sf_dir):
+    """containment_prefix_join (round 14): (a) pair-for-pair parity
+    with the all-pairs brute force on the testdata corpus — the
+    asymmetric prefix+size+positional filters are LOSSLESS; (b) a
+    planted quote fixture: a short doc fully excerpted inside a long
+    one is found in the quote→host direction with containment 1.0 and
+    NOT in the reverse direction (the asymmetry that distinguishes
+    this operator from the Jaccard tier)."""
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        containment_prefix_join,
+        word_shingles,
+    )
+    from apache_spark_link_prediction_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_prefix_join(
+            docs, threshold=0.8, shingle_n=3
+        ).collect()
+    }
+    g = docs.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("t")
+    )
+    a = g.select(F.col("doc_id").alias("sa"), F.col("t").alias("ta"))
+    b = g.select(F.col("doc_id").alias("sb"), F.col("t").alias("tb"))
+    brute = {
+        (r.sa, r.sb): r.c
+        for r in a.crossJoin(b)
+        .filter(F.col("sa") != F.col("sb"))
+        .withColumn(
+            "c",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size("ta").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "corpus has no containment pairs — operator untested"
+
+    host = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    quote = "golf hotel india juliet kilo lima"
+    fix = spark.createDataFrame(
+        [(1, host), (2, quote), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_prefix_join(
+            fix, threshold=0.8, shingle_n=3
+        ).collect()
+    }
+    assert out == {(2, 1): 1.0}

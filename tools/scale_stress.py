@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, ".")
 
 from apache_spark_link_prediction_spark.operators.dedup import (  # noqa: E402
+    containment_prefix_join,
     dedup_exact,
     jaccard_prefix_join,
     levenshtein_near_dup_pairs,
@@ -356,6 +357,12 @@ def main() -> None:
         ),
         "dedup_simhash": lambda d, e: simhash_near_dup_pairs(d),
         "dedup_jaccard_prefix": lambda d, e: jaccard_prefix_join(d, threshold=0.8),
+        # opt-in like dedup_jaccard_prefix: replica copies CONTAIN each
+        # other, so the true directed-pair output is quadratic per
+        # near-dup cluster — output-bound by construction
+        "dedup_containment_prefix": lambda d, e: containment_prefix_join(
+            d, threshold=0.8, shingle_n=3
+        ),
         "dedup_levenshtein": lambda d, e: levenshtein_near_dup_pairs(
             d, block_col="source"
         ),
@@ -378,7 +385,8 @@ def main() -> None:
     # but it would dominate the harness. Production posture for such
     # corpora: collapse exact dups first, or use minhash.
     wanted = sys.argv[1:] or [
-        *(n for n in ops if n != "dedup_jaccard_prefix"),
+        *(n for n in ops
+          if n not in ("dedup_jaccard_prefix", "dedup_containment_prefix")),
         *EVENTS_QUERIES,
         *DOCS_QUERIES,
         *EMB_QUERIES,
