@@ -142,7 +142,12 @@ def lsh_bucketed_top_k(
             on="query_id",
         )
         .join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+            # shuffle_hash (round 14): the corpus-vector rejoin feeds an
+            # unsorted row_number window partitioned by query_id — the
+            # sort-merge sort of candidates+vector payload buys nothing
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            ).hint("shuffle_hash"),
             on="neighbor_id",
         )
         .withColumn("cosine", F.round(cosine_similarity("__qv", "__cv"), round_to))
