@@ -11830,6 +11830,7 @@ _WINDOW_ROUND = 14
 
 _WINDOW_THIS_ROUND = [
     "training_shard_write",  # never graded
+    "dedup_containment_prefix",  # never graded
     "zscore_by_group_pandas",  # last green r09
     "window_functions_suite",  # last green r09
     "sql_correlated_exists",  # last green r09
@@ -11878,7 +11879,6 @@ _WINDOW_THIS_ROUND = [
     "pagerank_parts",  # last green r10
     "tpch_q4_priority_exists",  # last green r10
     "tpch_q12_late_shipments",  # last green r10
-    "tpch_q21_waiting_supplier",  # last green r10
 ]
 
 
