@@ -1544,15 +1544,21 @@ def containment_prefix_join(
     sound per pair because the pair's globally-earliest common token
     row dominates its true overlap (jaccard_prefix_join's argument,
     unchanged by asymmetry). All three bounds carry the same
-    ε-guards as the Jaccard twin (t_eff for the round(·,6) ≥ t verify
-    floor, _EPS against IEEE ceil overshoot).
+    ε-guards as the Jaccard twin (t_eff slack below the exact ≥ t
+    verify floor — candidate-side only, so strictly lossless — and
+    _EPS against IEEE ceil overshoot).
 
-    Emits DIRECTED (src_id, dst_id, containment): src's tokens are
-    ≥ t contained in dst; both directions can appear, src ≠ dst;
+    Emits DIRECTED (src_id, dst_id, containment_micro): src's tokens
+    are ≥ t contained in dst; both directions can appear, src ≠ dst;
     zero-token docs are excluded (containment undefined). Verification
-    is the exact intersection over the token arrays. shuffle_hash on
-    the candidate and verify joins — the round-14 no-sort-before-
-    hash-agg discipline.
+    is the exact intersection over the token arrays; the score is
+    BIGINT micro-units ``(10^6 · |A∩B|) div |A|`` — integral on both
+    engines, so the hash gate never depends on an engine's
+    double-rounding convention (the r11/r12 dpp lesson; VERDICT r14
+    item 2). The ``>= t`` predicate is EXACT: for integral t·10^6,
+    ``floor(10^6·c) >= t·10^6 ⟺ c >= t``. shuffle_hash on the
+    candidate and verify joins — the round-14 no-sort-before-hash-agg
+    discipline.
 
     Plan shape at 100 TB: the candidate join's key distribution is
     driven by A-prefix tokens, which are the corpus-RAREST by
@@ -1624,15 +1630,14 @@ def containment_prefix_join(
             on="dst_id",
         )
         .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect("__ta", "__tb"))
-                / F.size("__ta").cast("double"),
-                6,
+            "containment_micro",
+            F.expr(
+                "(1000000L * size(array_intersect(__ta, __tb)))"
+                " div size(__ta)"
             ),
         )
-        .filter(F.col("containment") >= threshold)
-        .select("src_id", "dst_id", "containment")
+        .filter(F.col("containment_micro") >= int(round(threshold * 1_000_000)))
+        .select("src_id", "dst_id", "containment_micro")
     )
 
 

@@ -10878,7 +10878,16 @@ def _lpa_labels(ed: DataFrame, rounds: int = 3) -> DataFrame:
     ``.cache()`` here had no unpersist anybody could place (the
     consumer collects after this function returns), so every bench or
     soak invocation leaked one cached edge frame for the life of the
-    session (ADVICE r13)."""
+    session (ADVICE r13).
+
+    Fault-tolerance trade-off (ADVICE r14): localCheckpoint truncates
+    lineage NON-reliably — the checkpointed blocks live only in
+    executor storage, so losing an executor mid-job fails the job
+    instead of recomputing (no lineage left to replay). Acceptable
+    here: the LPA job is seconds-to-minutes and a failed job simply
+    reruns. On a cluster with dynamic allocation / spot preemption,
+    use reliable ``checkpoint()`` against the cluster checkpoint dir
+    (HDFS/S3) instead — same plan shape, durable blocks."""
     ed = ed.localCheckpoint(eager=False)
     labels = ed.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -11730,12 +11739,34 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer/training loader consumes downstream of the
     dedup/quality/mixture stages; the fixed shard count is the loader
     contract (sources/readers.py:write_training_shards for the 100 TB
-    shape notes)."""
+    shape notes).
+
+    Scratch path (ADVICE r14): keyed by Spark applicationId + a hash
+    of the FULL sf_dir path, so (a) two sf_dirs sharing a basename
+    can't collide, (b) concurrent gate/test/bench sessions each get a
+    private directory and never race overwrite-vs-read-back; stale
+    sibling run dirs (mtime > 2h, i.e. dead sessions) are best-effort
+    pruned on entry so /tmp doesn't accumulate."""
+    import hashlib
+    import shutil
+    import time as _time
+
     from .sources.readers import write_training_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/spark_graft_training_shards_{tag}"
+    root = "/tmp/spark_graft_training_shards"
+    os.makedirs(root, exist_ok=True)
+    now = _time.time()
+    app_id = spark.sparkContext.applicationId
+    for d in os.listdir(root):  # prune dirs from dead sessions only
+        p = os.path.join(root, d)
+        try:
+            if not d.startswith(app_id) and now - os.path.getmtime(p) > 7200:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    tag = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    path = os.path.join(root, f"{app_id}_{tag}")
     return write_training_shards(docs, path, n_shards=_SHARD_N)
 
 
@@ -11751,11 +11782,10 @@ _CONTAINMENT_ORACLE = f"""
                ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS t
       FROM d WHERE len(toks) > 0)
     SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6)
-             AS containment
+           CAST((1000000 * len(list_intersect(a.t, b.t))) // len(a.t)
+                AS BIGINT) AS containment_micro
     FROM g a JOIN g b ON a.doc_id != b.doc_id
-    WHERE round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6)
-          >= 0.8
+    WHERE (1000000 * len(list_intersect(a.t, b.t))) // len(a.t) >= 800000
 """
 
 
@@ -11767,14 +11797,16 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset detector the symmetric Jaccard tier structurally misses (a
     short doc fully quoted in a long one has C ≈ 1 but J ≈ |A|/|B|).
     The contamination-by-inclusion pass next to decontaminate_ngram's
-    gram-overlap tier. Registry entry runs on the portable 20% sample
-    50% sample (rolling hash % 2 == 0, the p2_scale_path convention)
-    so the all-pairs DuckDB oracle stays gate-cheap at every SF
-    (unsampled it costs ~14 min at sf0.1 — measured round 14, ~4× that
-    sampled away); the OPERATOR is
-    unsampled, and full-corpus brute-force parity plus a planted quote
-    fixture are pinned in
-    tests/test_operators.py::test_containment_prefix_join."""
+    gram-overlap tier. Registry entry runs on the portable 50% sample
+    (rolling hash % 2 == 0, the p2_scale_path convention) so the
+    all-pairs DuckDB oracle stays gate-cheap at every SF (unsampled it
+    costs ~14 min at sf0.1 — measured round 14, ~4× that sampled
+    away); the OPERATOR is unsampled, and full-corpus brute-force
+    parity plus a planted quote fixture are pinned in
+    tests/test_operators.py::test_containment_prefix_join. The score
+    column is BIGINT micro-units (10^6·|A∩B| div |A|) on BOTH sides —
+    never round(DOUBLE, n) in a hash path (r11/r12 dpp lesson;
+    VERDICT/ADVICE r14)."""
     from .functions.textstats import doc_rolling_hash
 
     docs = load_table(spark, sf_dir, "documents").filter(

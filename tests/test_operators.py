@@ -2340,9 +2340,10 @@ def test_containment_prefix_join(spark, sf_dir):
     with the all-pairs brute force on the testdata corpus — the
     asymmetric prefix+size+positional filters are LOSSLESS; (b) a
     planted quote fixture: a short doc fully excerpted inside a long
-    one is found in the quote→host direction with containment 1.0 and
-    NOT in the reverse direction (the asymmetry that distinguishes
-    this operator from the Jaccard tier)."""
+    one is found in the quote→host direction with containment_micro
+    1_000_000 (exact BIGINT micro-units — round 15's float-free hash
+    path) and NOT in the reverse direction (the asymmetry that
+    distinguishes this operator from the Jaccard tier)."""
     from apache_spark_link_prediction_spark.operators.dedup import (
         containment_prefix_join,
         word_shingles,
@@ -2351,7 +2352,7 @@ def test_containment_prefix_join(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     got = {
-        (r.src_id, r.dst_id): r.containment
+        (r.src_id, r.dst_id): r.containment_micro
         for r in containment_prefix_join(
             docs, threshold=0.8, shingle_n=3
         ).collect()
@@ -2367,13 +2368,9 @@ def test_containment_prefix_join(spark, sf_dir):
         .filter(F.col("sa") != F.col("sb"))
         .withColumn(
             "c",
-            F.round(
-                F.size(F.array_intersect("ta", "tb"))
-                / F.size("ta").cast("double"),
-                6,
-            ),
+            F.expr("(1000000L * size(array_intersect(ta, tb))) div size(ta)"),
         )
-        .filter(F.col("c") >= 0.8)
+        .filter(F.col("c") >= 800000)
         .collect()
     }
     assert got == brute
@@ -2389,9 +2386,9 @@ def test_containment_prefix_join(spark, sf_dir):
         "doc_id long, text string",
     )
     out = {
-        (r.src_id, r.dst_id): r.containment
+        (r.src_id, r.dst_id): r.containment_micro
         for r in containment_prefix_join(
             fix, threshold=0.8, shingle_n=3
         ).collect()
     }
-    assert out == {(2, 1): 1.0}
+    assert out == {(2, 1): 1_000_000}
