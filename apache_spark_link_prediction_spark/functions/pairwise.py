@@ -113,3 +113,59 @@ def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def micro_threshold(t: float) -> int:
+    """Micro-unit filter bound equivalent to the exact ``score ≥ t``:
+    for t whose t·10^6 is integral (0.8 → 800000 — every registered
+    query), ``floor(10^6·s) ≥ t·10^6 ⟺ s ≥ t`` exactly. For
+    non-decimal t (e.g. 2/3), floor the bound so a score EXACTLY at t
+    still passes (666666 ≥ 666666) — the residual is a ≤1e-6 inclusion
+    slack below t, the same order as the old ``round(s, 6) ≥ t``
+    convention this replaces. The 1e-9 nudge absorbs binary-float
+    droop (0.7·10^6 computes as 699999.99999999995)."""
+    import math
+
+    m = t * 1_000_000
+    nearest = round(m)
+    return nearest if abs(m - nearest) < 1e-6 else math.floor(m + 1e-9)
+
+
+def micro_div(num: Column, den: Column) -> Column:
+    """Exact BIGINT integral division ``(10^6 · num) div den`` for
+    non-negative count columns — the float-free hash-path primitive
+    (see :func:`jaccard_micro_tokens` for why). Implemented as
+    ``(n − n mod d) / d`` so the quotient is an exactly-divisible
+    integer ≤ 10^6·num/den: the double division is error-free and the
+    cast back to long is exact. Caller guarantees ``den > 0``."""
+    n = num.cast("long") * F.lit(1_000_000).cast("long")
+    d = den.cast("long")
+    return ((n - (n % d)) / d).cast("long")
+
+
+def jaccard_micro_tokens(a: Column | str, b: Column | str) -> Column:
+    """Set Jaccard of two token arrays as EXACT BIGINT micro-units:
+    ``(10^6 · |a∩b|) div |a∪b|`` (0 when the union is empty).
+
+    Round 15's float-free hash-path convention (the r11/r12 dpp
+    lesson, generalized): ratio-of-counts scores are the ONE class of
+    rounded doubles that can land EXACTLY on a rounding half
+    (p/q with q | 2·10^6 — e.g. an odd intersection over a 128-token
+    union is an exact .xxxxxx5), which makes the rounded value an
+    engine-convention coin flip (Spark BigDecimal HALF_UP on the
+    binary expansion vs DuckDB's scaled std::round). Micro-units are
+    pure integer arithmetic on both engines.
+
+    The division is kept exact without an integral-div builtin:
+    ``(n − n mod u) / u`` divides exactly, so the double quotient is
+    an integer ≤ 10^6 — exactly representable, cast-safe. Filters use
+    ``micro ≥ t·10^6``, equivalent to the exact ``jaccard ≥ t`` for
+    integral t·10^6 (floor is monotone; the bound is an integer).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, micro_div(inter, union)).otherwise(
+        F.lit(0).cast("long")
+    )

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.pairwise import jaccard_tokens, tokenize
+from ..functions.pairwise import (
+    jaccard_micro_tokens,
+    jaccard_tokens,
+    micro_threshold,
+    tokenize,
+)
 from ..functions.textstats import doc_fingerprint, doc_rolling_hash
 
 
@@ -169,7 +174,7 @@ def minhash_near_dup_pairs(
     """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
 
     shingle → minhash → band → bucket-join → signature prefilter →
-    verify. Emits (src_id, dst_id, jaccard) with src_id < dst_id and
+    verify. Emits (src_id, dst_id, jaccard_micro) with src_id < dst_id and
     jaccard ≥ threshold. Bands of r = num_hashes/bands rows; a pair
     collides if any band's sub-signature matches exactly.
 
@@ -401,10 +406,10 @@ def minhash_near_dup_pairs(
             on="dst_id",
         )
         .withColumn(
-            "jaccard", F.round(jaccard_tokens(F.col("__sh_a"), F.col("__sh_b")), 6)
+            "jaccard_micro", jaccard_micro_tokens(F.col("__sh_a"), F.col("__sh_b"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("src_id", "dst_id", "jaccard")
+        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
+        .select("src_id", "dst_id", "jaccard_micro")
     )
     if memb is None:
         return pairs
@@ -420,7 +425,7 @@ def minhash_near_dup_pairs(
         .select(
             F.least("__a", "__b").alias("src_id"),
             F.greatest("__a", "__b").alias("dst_id"),
-            "jaccard",
+            "jaccard_micro",
         )
     )
     intra = (
@@ -430,7 +435,7 @@ def minhash_near_dup_pairs(
         .select(
             F.col("x.__id").alias("src_id"),
             F.col("y.__id").alias("dst_id"),
-            F.lit(1.0).alias("jaccard"),
+            F.lit(1_000_000).cast("long").alias("jaccard_micro"),
         )
     )
     return cross.unionByName(intra)
@@ -532,7 +537,7 @@ def minhash_incremental_pairs(
     :func:`minhash_index` — new-vs-index and new-vs-new, without
     recomputing anything for indexed documents.
 
-    Returns ``(src_id, dst_id, jaccard)`` with ``src_id < dst_id`` and
+    Returns ``(src_id, dst_id, jaccard_micro)`` with ``src_id < dst_id`` and
     ``jaccard ≥ threshold``: the subset of
     ``minhash_near_dup_pairs(old ∪ new)`` — run at the SAME
     ``(collapse_exact, prefilter_sigma)`` settings, both defaulting
@@ -550,7 +555,7 @@ def minhash_incremental_pairs(
     counts distinct sets exactly like the default full run (a cluster
     larger than ``max_bucket_size`` can no longer fill its buckets and
     silently lose pairs). Intra-group pairs touching the new batch are
-    emitted closed-form at jaccard 1.0; cross-group pairs inherit the
+    emitted closed-form at jaccard_micro 1_000_000; cross-group pairs inherit the
     verified representative jaccard. The only divergence from the full
     run's group-by-array tier is a 128-bit set_key collision
     (P ≈ 2⁻¹²⁸ per set pair — below the hashed-shingle verify's own
@@ -708,9 +713,9 @@ def minhash_incremental_pairs(
             sets.select(F.col("doc_id").alias("dst_id"), F.col("shingles").alias("__sb")),
             "dst_id",
         )
-        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__sa"), F.col("__sb")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("src_id", "dst_id", "jaccard")
+        .withColumn("jaccard_micro", jaccard_micro_tokens(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
+        .select("src_id", "dst_id", "jaccard_micro")
     )
     if memb is None:
         return pairs
@@ -735,7 +740,7 @@ def minhash_incremental_pairs(
         .select(
             F.least("__a", "__b").alias("src_id"),
             F.greatest("__a", "__b").alias("dst_id"),
-            "jaccard",
+            "jaccard_micro",
         )
     )
     # Intra-group: jaccard 1.0 by construction (minhash shingle sets
@@ -751,7 +756,7 @@ def minhash_incremental_pairs(
         .select(
             F.col("x.__id").alias("src_id"),
             F.col("y.__id").alias("dst_id"),
-            F.lit(1.0).alias("jaccard"),
+            F.lit(1_000_000).cast("long").alias("jaccard_micro"),
         )
     )
     return cross.unionByName(intra)
@@ -1148,9 +1153,11 @@ def ngram_jaccard_pairs(
     # 26s) — the bound only pays off at high thresholds on pre-shuffle
     # candidate streams (see minhash_near_dup_pairs).
     return (
-        pairs.withColumn("jaccard", F.round(jaccard_tokens(F.col("__ga"), F.col("__gb")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("src_id", "dst_id", "jaccard")
+        pairs.withColumn(
+            "jaccard_micro", jaccard_micro_tokens(F.col("__ga"), F.col("__gb"))
+        )
+        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
+        .select("src_id", "dst_id", "jaccard_micro")
     )
 
 
@@ -1347,8 +1354,8 @@ def jaccard_prefix_join(
     ``t·|A| ≤ |B| ≤ |A|/t`` size bound prunes candidates before
     verification. Never O(n²), no caller-supplied blocking contract.
 
-    Emits (src_id, dst_id, jaccard) with src_id < dst_id, rounded to
-    6 decimals — same contract as ngram_jaccard_pairs(ngram=1) run
+    Emits (src_id, dst_id, jaccard_micro) with src_id < dst_id in exact
+    BIGINT micro-units — same contract as ngram_jaccard_pairs(ngram=1) run
     unblocked.
     """
     from pyspark.sql import Window
@@ -1484,9 +1491,9 @@ def jaccard_prefix_join(
             ).hint("shuffle_hash"),
             on="dst_id",
         )
-        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("src_id", "dst_id", "jaccard")
+        .withColumn("jaccard_micro", jaccard_micro_tokens(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
+        .select("src_id", "dst_id", "jaccard_micro")
     )
     if memb is None:
         return pairs
@@ -1499,7 +1506,7 @@ def jaccard_prefix_join(
         .select(
             F.least("__a", "__b").alias("src_id"),
             F.greatest("__a", "__b").alias("dst_id"),
-            "jaccard",
+            "jaccard_micro",
         )
     )
     intra = (
@@ -1510,7 +1517,7 @@ def jaccard_prefix_join(
         .select(
             F.col("x.__id").alias("src_id"),
             F.col("y.__id").alias("dst_id"),
-            F.lit(1.0).alias("jaccard"),
+            F.lit(1_000_000).cast("long").alias("jaccard_micro"),
         )
     )
     return cross.unionByName(intra)
@@ -1636,7 +1643,7 @@ def containment_prefix_join(
                 " div size(__ta)"
             ),
         )
-        .filter(F.col("containment_micro") >= int(round(threshold * 1_000_000)))
+        .filter(F.col("containment_micro") >= micro_threshold(threshold))
         .select("src_id", "dst_id", "containment_micro")
     )
 

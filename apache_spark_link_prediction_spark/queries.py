@@ -23,7 +23,7 @@ import pandas  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.pairwise import common_token_count, equality_flag, jaccard_tokens, tokenize, year_difference
+from .functions.pairwise import common_token_count, equality_flag, jaccard_micro_tokens, jaccard_tokens, micro_div, tokenize, year_difference
 from .functions.textstats import (
     BPE_ISH_PATTERN,
     ENGLISH_STOPWORDS,
@@ -648,12 +648,13 @@ _TOKEN_JACCARD_ORACLE = f"""
       FROM documents
     )
     SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+           CAST((1000000 * len(list_intersect(a.toks, b.toks)))
+                // len(list_distinct(list_concat(a.toks, b.toks)))
+                AS BIGINT) AS jaccard_micro
     FROM d a JOIN d b ON a.source = b.source AND b.doc_id > a.doc_id
                       AND b.doc_id - a.doc_id <= 400
-    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    WHERE (1000000 * len(list_intersect(a.toks, b.toks)))
+          // len(list_distinct(list_concat(a.toks, b.toks))) >= 800000
 """
 
 
@@ -695,15 +696,16 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dst_id") - F.col("src_id") <= W)
             # lossless size-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|),
             # so pairs failing the ratio can't reach 0.8 and skip the
-            # exact intersection (1e-6 slack mirrors the rounding)
+            # exact intersection (1e-6 candidate-side slack — verify
+            # is exact micro-units, so the slack is pure safety margin)
             & (
                 F.least(F.size("ta"), F.size("tb"))
                 >= F.lit(0.8 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
             )
         )
-        .withColumn("jaccard", F.round(jaccard_tokens("ta", "tb"), 6))
-        .filter(F.col("jaccard") >= 0.8)
-        .select("src_id", "dst_id", "jaccard")
+        .withColumn("jaccard_micro", jaccard_micro_tokens("ta", "tb"))
+        .filter(F.col("jaccard_micro") >= 800_000)
+        .select("src_id", "dst_id", "jaccard_micro")
     )
 
 
@@ -717,12 +719,13 @@ _NGRAM_JACCARD_ORACLE = f"""
                ELSE [array_to_string(toks, ' ')] END) AS grams
       FROM d
     )
-    SELECT src_id, dst_id, jaccard FROM (
+    SELECT src_id, dst_id, jaccard_micro FROM (
       SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-             round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+             CAST((1000000 * len(list_intersect(a.grams, b.grams)))
+                  // len(list_distinct(list_concat(a.grams, b.grams)))
+                  AS BIGINT) AS jaccard_micro
       FROM g a JOIN g b ON a.source = b.source AND b.doc_id > a.doc_id)
-    WHERE jaccard >= 0.3
+    WHERE jaccard_micro >= 300000
 """
 
 
@@ -1459,11 +1462,12 @@ def _P2_SCALE_PATH_ORACLE(modulus: int = 5) -> str:
     d AS (
       SELECT doc_id, list_distinct({_toks_sql('text')}) AS toks FROM s)
     SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+           CAST((1000000 * len(list_intersect(a.toks, b.toks)))
+                // len(list_distinct(list_concat(a.toks, b.toks)))
+                AS BIGINT) AS jaccard_micro
     FROM d a JOIN d b ON b.doc_id > a.doc_id
-    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    WHERE (1000000 * len(list_intersect(a.toks, b.toks)))
+          // len(list_distinct(list_concat(a.toks, b.toks))) >= 800000
     """
 
 
@@ -3112,10 +3116,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              GROUP BY 1, 2),
     t AS (SELECT doc_id, list_distinct(toks) AS ts FROM d)
     SELECT c.src_id, c.dst_id, CAST(c.n_shared_fp AS BIGINT) AS n_shared_fp,
-           round(CASE WHEN len(list_distinct(ta.ts || tb.ts)) = 0 THEN 0.0
-                      ELSE len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))
-                           * 1.0 / len(list_distinct(ta.ts || tb.ts)) END,
-                 6) AS jaccard
+           CAST(CASE WHEN len(list_distinct(ta.ts || tb.ts)) = 0 THEN 0
+                      ELSE (1000000 * len(list_filter(ta.ts,
+                                x -> list_contains(tb.ts, x))))
+                           // len(list_distinct(ta.ts || tb.ts)) END
+                AS BIGINT) AS jaccard_micro
     FROM cand c JOIN t ta ON ta.doc_id = c.src_id
                 JOIN t tb ON tb.doc_id = c.dst_id
     """,
@@ -3205,7 +3210,9 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "dst_id",
             F.col("n_shared_fp").cast("long").alias("n_shared_fp"),
-            F.round(jaccard_tokens(F.col("__ta"), F.col("__tb")), 6).alias("jaccard"),
+            jaccard_micro_tokens(F.col("__ta"), F.col("__tb")).alias(
+                "jaccard_micro"
+            ),
         )
     )
 
@@ -5466,8 +5473,8 @@ def graph_pref_attachment(
       GROUP BY 1, 2 HAVING count(*) >= 2
     )
     SELECT cn.src_id, cn.dst_id,
-           round(CAST(cn.common AS DOUBLE) / (ds.d + dd.d - cn.common), 6)
-             AS jaccard
+           CAST((1000000 * cn.common) // (ds.d + dd.d - cn.common)
+                AS BIGINT) AS jaccard_micro
     FROM cn
     JOIN pdeg ds ON ds.l_partkey = cn.src_id
     JOIN pdeg dd ON dd.l_partkey = cn.dst_id
@@ -5499,11 +5506,10 @@ def graph_jaccard_neighbors(
         .select(
             "src_id",
             "dst_id",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("__ds") + F.col("__dd") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+            micro_div(
+                F.col("common"),
+                F.col("__ds") + F.col("__dd") - F.col("common"),
+            ).alias("jaccard_micro"),
         )
     )
 
@@ -6505,11 +6511,12 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
-           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+           CAST((1000000 * len(list_intersect(a.toks, b.toks)))
+                // len(list_distinct(list_concat(a.toks, b.toks)))
+                AS BIGINT) AS jaccard_micro
     FROM d a JOIN d b ON b.doc_id > a.doc_id
-    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-                len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+    WHERE (1000000 * len(list_intersect(a.toks, b.toks)))
+          // len(list_distinct(list_concat(a.toks, b.toks))) >= 800000
     """,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,7 +124,7 @@ def test_minhash_collapse_tier_is_output_identical(spark, docs):
 
     def pairs(collapse):
         return {
-            (r["src_id"], r["dst_id"], r["jaccard"])
+            (r["src_id"], r["dst_id"], r["jaccard_micro"])
             for r in minhash_near_dup_pairs(
                 corpus, shingle_n=1, threshold=0.8, collapse_exact=collapse
             ).collect()
@@ -134,7 +134,7 @@ def test_minhash_collapse_tier_is_output_identical(spark, docs):
     assert with_c == without_c
     # every planted exact dup must appear, with jaccard exactly 1.0
     for s in [r["doc_id"] for r in docs.limit(5).collect()]:
-        assert (s, s + 1_000_000, 1.0) in with_c
+        assert (s, s + 1_000_000, 1_000_000) in with_c
 
 
 def test_minhash_collapse_emits_full_mega_cluster(spark):
@@ -153,7 +153,7 @@ def test_minhash_collapse_emits_full_mega_cluster(spark):
     )
     cluster_pairs = pairs.filter("src_id < 1000 AND dst_id < 1000")
     assert cluster_pairs.count() == k * (k - 1) // 2
-    assert cluster_pairs.filter("jaccard != 1.0").count() == 0
+    assert cluster_pairs.filter("jaccard_micro != 1000000").count() == 0
     # the uncollapsed pipeline drops the over-cap cluster entirely
     legacy = minhash_near_dup_pairs(
         docs, shingle_n=1, threshold=0.8, max_bucket_size=200,
@@ -195,13 +195,13 @@ def test_minhash_incremental_matches_full(spark, docs):
         dict(collapse_exact=False, prefilter_sigma=None),
     ):
         inc = {
-            (r["src_id"], r["dst_id"], r["jaccard"])
+            (r["src_id"], r["dst_id"], r["jaccard_micro"])
             for r in minhash_incremental_pairs(
                 idx, new, shingle_n=1, threshold=0.6, **opts
             ).collect()
         }
         full = {
-            (r["src_id"], r["dst_id"], r["jaccard"])
+            (r["src_id"], r["dst_id"], r["jaccard_micro"])
             for r in minhash_near_dup_pairs(
                 docs, shingle_n=1, threshold=0.6, **opts
             ).collect()
@@ -238,7 +238,7 @@ def test_minhash_incremental_collapse_survives_hot_cluster(spark):
     # every new cluster member pairs with every other cluster member
     n_new = n // 2
     expected_touching_new = n_new * (n - n_new) + n_new * (n_new - 1) // 2
-    got = collapsed.filter("jaccard = 1.0").count()
+    got = collapsed.filter("jaccard_micro = 1000000").count()
     assert got == expected_touching_new, (got, expected_touching_new)
 
     uncollapsed = minhash_incremental_pairs(
@@ -809,13 +809,13 @@ def test_jaccard_prefix_join_equals_unblocked_quadratic(spark, docs):
     )
 
     want = {
-        (r.src_id, r.dst_id): r.jaccard
+        (r.src_id, r.dst_id): r.jaccard_micro
         for r in ngram_jaccard_pairs(
             docs, ngram=1, threshold=0.8, allow_quadratic=True
         ).collect()
     }
     got = {
-        (r.src_id, r.dst_id): r.jaccard
+        (r.src_id, r.dst_id): r.jaccard_micro
         for r in jaccard_prefix_join(docs, threshold=0.8).collect()
     }
     assert want, "fixture should contain near-dup pairs"
@@ -1049,7 +1049,7 @@ def test_embedding_collapse_tier_is_output_identical(spark, emb):
     assert with_c == without_c
     # every planted exact dup must be found at cosine 1.0
     for s in [r["vec_id"] for r in base.limit(20).collect()]:
-        assert (s, s + 1_000_000, 1.0) in with_c
+        assert (s, s + 1_000_000, 1_000_000) in with_c
 
 
 def test_jaccard_prefix_collapse_tier_is_output_identical(spark, docs):
@@ -1067,7 +1067,7 @@ def test_jaccard_prefix_collapse_tier_is_output_identical(spark, docs):
 
     def run(collapse):
         return {
-            (r["src_id"], r["dst_id"], r["jaccard"])
+            (r["src_id"], r["dst_id"], r["jaccard_micro"])
             for r in jaccard_prefix_join(corpus, collapse_exact=collapse).collect()
         }
 
@@ -1896,13 +1896,13 @@ def test_minhash_incremental_tolerates_pre_r08_index(spark, docs):
     idx = minhash_index(old, shingle_n=1)
     legacy_idx = idx.drop("sig", "set_key")
     want = {
-        (r["src_id"], r["dst_id"], r["jaccard"])
+        (r["src_id"], r["dst_id"], r["jaccard_micro"])
         for r in minhash_incremental_pairs(
             idx, new, shingle_n=1, threshold=0.6
         ).collect()
     }
     got = {
-        (r["src_id"], r["dst_id"], r["jaccard"])
+        (r["src_id"], r["dst_id"], r["jaccard_micro"])
         for r in minhash_incremental_pairs(
             legacy_idx, new, shingle_n=1, threshold=0.6
         ).collect()
@@ -1958,17 +1958,17 @@ def test_jaccard_prefix_join_boundary_geometry(spark):
         u = sets[a] | sets[b]
         if not u:
             continue  # two empty sets: jaccard 0 by the union>0 rule
-        j = round(len(sets[a] & sets[b]) / len(u), 6)
-        if j >= 0.8:
+        j = (1_000_000 * len(sets[a] & sets[b])) // len(u)
+        if j >= 800_000:
             want[(a, b)] = j
     assert want, "fixture produced no boundary pairs"
-    assert any(v == 0.8 for v in want.values()) or any(
-        0.8 <= v <= 0.85 for v in want.values()
+    assert any(v == 800_000 for v in want.values()) or any(
+        800_000 <= v <= 850_000 for v in want.values()
     ), "fixture lost its near-threshold band"
 
     for collapse in (True, False):
         got = {
-            (r["src_id"], r["dst_id"]): r["jaccard"]
+            (r["src_id"], r["dst_id"]): r["jaccard_micro"]
             for r in jaccard_prefix_join(
                 df, threshold=0.8, collapse_exact=collapse
             ).collect()
@@ -2003,12 +2003,12 @@ def test_jaccard_prefix_join_float_ceil_overshoot(spark):
 
     for collapse in (True, False):
         got = {
-            (r["src_id"], r["dst_id"]): r["jaccard"]
+            (r["src_id"], r["dst_id"]): r["jaccard_micro"]
             for r in jaccard_prefix_join(
                 df, threshold=0.8, collapse_exact=collapse
             ).collect()
         }
-        assert got == {(1, 2): 0.8}, f"collapse={collapse}: {got}"
+        assert got == {(1, 2): 800_000}, f"collapse={collapse}: {got}"
 
 
 def test_ivfpq_normalized_space_and_tiny_corpus(spark, emb):
@@ -2132,10 +2132,10 @@ def test_jaccard_prefix_join_exact_boundary_sweep(spark):
             [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
         )
         got = {
-            (r["src_id"], r["dst_id"]): r["jaccard"]
+            (r["src_id"], r["dst_id"]): r["jaccard_micro"]
             for r in jaccard_prefix_join(df, threshold=t).collect()
         }
-        want_j = round(o / (o + x + y), 6)
+        want_j = (1_000_000 * o) // (o + x + y)
         assert got.get((1, 2)) == want_j, f"t={t}: {got}"
         assert (1, 3) not in got and (2, 3) not in got, f"t={t}: {got}"
 
