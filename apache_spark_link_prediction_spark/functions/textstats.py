@@ -100,7 +100,16 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     """Document quality signals (C4/Gopher-style cheap filters):
     char length, token count, mean token length, punctuation ratio,
     stopword ratio, all as codegen'd expressions. Returned as a dict of
-    named columns so callers can select a subset."""
+    named columns so callers can select a subset.
+
+    Ratio signals are exact BIGINT micro-units (10^6·num div den) —
+    the round-15 float-free hash-path convention: count-over-count
+    ratios are the one rounded-double class that can land exactly on a
+    rounding half and diverge across engines. Threshold consumers
+    compare in micro-units (r ≤ 0.3 → micro ≤ 300000) or
+    cross-multiply for exactness."""
+    from .pairwise import micro_div
+
     c = _col(text)
     toks = _tokens(c)
     n_chars = F.length(c).cast("long")
@@ -110,27 +119,22 @@ def quality_features(text: Column | str) -> dict[str, Column]:
             F.array_distinct(toks), F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
         )
     )
+    zero = F.lit(0).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": F.round(
-            F.when(
-                n_tokens > 0,
-                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
-                / n_tokens,
-            ).otherwise(F.lit(0.0)),
-            4,
-        ),
-        "punct_ratio": F.round(
-            F.when(n_chars > 0, punct_count(c).cast("double") / n_chars).otherwise(
-                F.lit(0.0)
-            ),
-            4,
-        ),
-        "stopword_ratio": F.round(
-            F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0)),
-            4,
-        ),
+        "mean_token_len_micro": F.when(
+            n_tokens > 0, micro_div(sum_len, n_tokens)
+        ).otherwise(zero),
+        "punct_ratio_micro": F.when(
+            n_chars > 0, micro_div(punct_count(c), n_chars)
+        ).otherwise(zero),
+        "stopword_ratio_micro": F.when(
+            n_tokens > 0, micro_div(stop_hits, n_tokens)
+        ).otherwise(zero),
     }
 
 

@@ -1126,15 +1126,20 @@ def _quality_oracle() -> str:
       SELECT doc_id,
              length(text) AS n_chars,
              len(toks) AS n_tokens,
-             round(CASE WHEN len(toks) > 0
-               THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
-               ELSE 0.0 END, 4) AS mean_token_len,
-             round(CASE WHEN length(text) > 0
-               THEN (length(text) - length(regexp_replace(text, '{punct_sql}', '', 'g')))::DOUBLE / length(text)
-               ELSE 0.0 END, 4) AS punct_ratio,
-             round(CASE WHEN len(toks) > 0
-               THEN len(list_intersect(list_distinct(toks), {stop}))::DOUBLE / len(toks)
-               ELSE 0.0 END, 4) AS stopword_ratio
+             CAST(CASE WHEN len(toks) > 0
+               THEN (1000000 * COALESCE(list_aggregate(
+                      list_transform(toks, t -> CAST(length(t) AS BIGINT)),
+                      'sum'), 0)) // len(toks)
+               ELSE 0 END AS BIGINT) AS mean_token_len_micro,
+             CAST(CASE WHEN length(text) > 0
+               THEN (1000000 * (length(text)
+                     - length(regexp_replace(text, '{punct_sql}', '', 'g'))))
+                    // length(text)
+               ELSE 0 END AS BIGINT) AS punct_ratio_micro,
+             CAST(CASE WHEN len(toks) > 0
+               THEN (1000000 * len(list_intersect(list_distinct(toks), {stop})))
+                    // len(toks)
+               ELSE 0 END AS BIGINT) AS stopword_ratio_micro
       FROM d
     """
 
@@ -2524,7 +2529,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id, b.bench_id),
     mx AS (SELECT doc_id, max(ov) AS max_ov FROM ov GROUP BY doc_id)
     SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
-           round(COALESCE(mx.max_ov, 0) * 1.0 / ng.n_grams, 6) AS max_containment,
+           CAST((1000000 * COALESCE(mx.max_ov, 0)) // ng.n_grams AS BIGINT)
+             AS max_containment_micro,
            CAST(COALESCE(mx.max_ov, 0) * 2 >= ng.n_grams AS INT) AS contaminated
     FROM ng LEFT JOIN mx USING (doc_id)
     """,
@@ -2539,11 +2545,11 @@ def decontaminate_containment_fuzzy(spark: SparkSession, sf_dir: str) -> DataFra
     as the exact filter (docs with doc_id % 100 < 5 stand in for the
     eval suite; training docs are the rest).
 
-    Emits per training doc (doc_id, n_grams, max_containment,
+    Emits per training doc (doc_id, n_grams, max_containment_micro,
     contaminated); the flag uses the exact-integer rule
     ``2·overlap ≥ n_grams`` (no float threshold compare), containment
-    is a small-integer ratio rounded at 6dp (dyadic halves round
-    identically in both engines — verified).
+    is exact BIGINT micro-units (10^6·overlap div n_grams — the
+    round-15 float-free hash-path convention).
 
     Plan shape at 100 TB: distinct grams explode map-side, ONE shuffle
     on the gram string for the train⨝bench equi-join (bench side is
@@ -2590,10 +2596,9 @@ def decontaminate_containment_fuzzy(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.round(
-                F.coalesce(F.col("max_ov"), F.lit(0)) * F.lit(1.0) / F.col("n_grams"),
-                6,
-            ).alias("max_containment"),
+            micro_div(
+                F.coalesce(F.col("max_ov"), F.lit(0)), F.col("n_grams")
+            ).alias("max_containment_micro"),
             (F.coalesce(F.col("max_ov"), F.lit(0)) * 2 >= F.col("n_grams"))
             .cast("int")
             .alias("contaminated"),
@@ -2720,13 +2725,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d)
     SELECT doc_id,
            CAST(len(g2) AS BIGINT) AS total_2gram,
-           round(CASE WHEN len(g2) = 0 THEN 0.0
-                      ELSE (len(g2) - len(list_distinct(g2)) * 1.0) / len(g2)
-                 END, 6) AS dup_frac_2gram,
+           CAST(CASE WHEN len(g2) = 0 THEN 0
+                     ELSE (1000000 * (len(g2) - len(list_distinct(g2)))) // len(g2)
+                END AS BIGINT) AS dup_frac_2gram_micro,
            CAST(len(g3) AS BIGINT) AS total_3gram,
-           round(CASE WHEN len(g3) = 0 THEN 0.0
-                      ELSE (len(g3) - len(list_distinct(g3)) * 1.0) / len(g3)
-                 END, 6) AS dup_frac_3gram
+           CAST(CASE WHEN len(g3) = 0 THEN 0
+                     ELSE (1000000 * (len(g3) - len(list_distinct(g3)))) // len(g3)
+                END AS BIGINT) AS dup_frac_3gram_micro
     FROM g
     """,
 )
@@ -2736,10 +2741,10 @@ def gopher_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram and 3-gram OCCURRENCES that are repeats of an earlier
     occurrence — templated/looping text scores high where the
     top-token ``repetition_ratio`` stays blind (distinct tokens can
-    still repeat as phrases). dup_frac_n = (total − distinct)/total,
-    0 for docs shorter than n tokens; small-integer ratio rounded at
-    6dp (both engines round dyadic halves identically — verified
-    round 10).
+    still repeat as phrases). dup_frac_n_micro = exact BIGINT
+    micro-units (10^6·(total − distinct)) div total, 0 for docs
+    shorter than n tokens — round 15's float-free hash-path
+    convention (no engine rounding in the gate at all).
 
     Scale shape: a pure per-document map — ONE scan, zero shuffles,
     zero joins; the n-gram arrays are built by transform over an
@@ -2760,21 +2765,18 @@ def gopher_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = d.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
 
-    def frac(col: str) -> F.Column:
+    def frac_micro(col: str) -> F.Column:
         total = F.size(col)
-        return F.round(
-            F.when(total == 0, F.lit(0.0)).otherwise(
-                (total - F.size(F.array_distinct(col)) * F.lit(1.0)) / total
-            ),
-            6,
+        return F.when(total == 0, F.lit(0).cast("long")).otherwise(
+            micro_div(total - F.size(F.array_distinct(col)), total)
         )
 
     return g.select(
         "doc_id",
         F.size("g2").cast("long").alias("total_2gram"),
-        frac("g2").alias("dup_frac_2gram"),
+        frac_micro("g2").alias("dup_frac_2gram_micro"),
         F.size("g3").cast("long").alias("total_3gram"),
-        frac("g3").alias("dup_frac_3gram"),
+        frac_micro("g3").alias("dup_frac_3gram_micro"),
     )
 
 
@@ -3226,7 +3228,7 @@ _SUBSTR_L = 20
 
 @register(
     "doc_novelty_score",
-    # All-integer counts + one small-ratio round; grams are per-doc
+    # All-integer counts + exact micro-unit novelty; grams are per-doc
     # DISTINCT (word_shingles), "seen before" = some strictly smaller
     # doc_id carries the same gram (min-doc_id per gram, one shuffle).
     f"""
@@ -3246,7 +3248,8 @@ _SUBSTR_L = 20
     SELECT doc_id,
            CAST(n_grams AS BIGINT) AS n_grams,
            CAST(n_seen AS BIGINT) AS n_seen_before,
-           round(1.0 - n_seen * 1.0 / n_grams, 6) AS novelty
+           CAST((1000000 * (n_grams - n_seen)) // n_grams AS BIGINT)
+             AS novelty_micro
     FROM per_doc
     """,
 )
@@ -3287,9 +3290,9 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_seen").cast("long").alias("n_seen_before"),
-        F.round(
-            F.lit(1.0) - F.col("n_seen") * F.lit(1.0) / F.col("n_grams"), 6
-        ).alias("novelty"),
+        micro_div(
+            F.col("n_grams") - F.col("n_seen"), F.col("n_grams")
+        ).alias("novelty_micro"),
     )
 
 
@@ -3535,8 +3538,10 @@ def dedup_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(COALESCE(s.total_tokens, 0) AS BIGINT) AS total_tokens,
-           round(COALESCE(s.top_count / s.total_tokens::DOUBLE, 0.0), 6) AS top_token_frac,
-           round(COALESCE(s.distinct_tokens / s.total_tokens::DOUBLE, 0.0), 6) AS distinct_frac
+           CAST(COALESCE((1000000 * s.top_count) // s.total_tokens, 0)
+                AS BIGINT) AS top_token_frac_micro,
+           CAST(COALESCE((1000000 * s.distinct_tokens) // s.total_tokens, 0)
+                AS BIGINT) AS distinct_frac_micro
     FROM documents d LEFT JOIN s USING (doc_id)
     """,
 )
@@ -3563,12 +3568,14 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("total_tokens"), F.lit(0)).alias("total_tokens"),
-            F.round(
-                F.coalesce(F.col("top_count") / F.col("total_tokens"), F.lit(0.0)), 6
-            ).alias("top_token_frac"),
-            F.round(
-                F.coalesce(F.col("distinct_tokens") / F.col("total_tokens"), F.lit(0.0)), 6
-            ).alias("distinct_frac"),
+            F.coalesce(
+                micro_div(F.col("top_count"), F.col("total_tokens")),
+                F.lit(0).cast("long"),
+            ).alias("top_token_frac_micro"),
+            F.coalesce(
+                micro_div(F.col("distinct_tokens"), F.col("total_tokens")),
+                F.lit(0).cast("long"),
+            ).alias("distinct_frac_micro"),
         )
     )
 
@@ -4940,20 +4947,25 @@ _GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "that")
     WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
     m AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_words,
-                 CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
-                                 / len(toks), 6) END AS mean_word_len,
+                 COALESCE(list_sum(list_transform(toks,
+                            t -> CAST(length(t) AS BIGINT))), 0) AS sum_len,
                  CAST(len(list_filter({list(_GOPHER_STOPS)},
                                       s -> list_contains(toks, s))) AS INT) AS stopword_hits,
-                 CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE round(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
-                                      AS DOUBLE) / len(toks), 6) END AS alpha_frac
+                 CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   AS BIGINT) AS alpha_hits
           FROM d)
-    SELECT doc_id, n_words, mean_word_len, stopword_hits, alpha_frac,
+    SELECT doc_id, n_words,
+           CAST(CASE WHEN n_words = 0 THEN 0
+                     ELSE (1000000 * sum_len) // n_words END AS BIGINT)
+             AS mean_word_len_micro,
+           stopword_hits,
+           CAST(CASE WHEN n_words = 0 THEN 0
+                     ELSE (1000000 * alpha_hits) // n_words END AS BIGINT)
+             AS alpha_frac_micro,
            CAST(n_words BETWEEN 20 AND 100000
-                AND mean_word_len BETWEEN 2.0 AND 12.0
+                AND sum_len BETWEEN 2 * n_words AND 12 * n_words
                 AND stopword_hits >= 2
-                AND alpha_frac >= 0.8 AS INT) AS passes
+                AND 5 * alpha_hits >= 4 * n_words AS INT) AS passes
     FROM m
     """,
 )
@@ -4967,32 +4979,43 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokenize("text").alias("__t"))
     n = F.size("__t")
-    total_len = F.aggregate(
-        "__t", F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    sum_len = F.aggregate(
+        "__t", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
     )
-    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(F.round(total_len / n, 6))
     stop_hits = F.size(
         F.array_intersect("__t", F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
     ).cast("int")
-    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.size(F.filter("__t", lambda t: t.rlike("^[a-z]+$"))).cast("double") / n, 6
-        )
-    )
+    alpha_hits = F.size(F.filter("__t", lambda t: t.rlike("^[a-z]+$"))).cast("long")
     m = base.select(
         "doc_id",
         n.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
+        sum_len.alias("__sum_len"),
         stop_hits.alias("stopword_hits"),
-        alpha_frac.alias("alpha_frac"),
+        alpha_hits.alias("__alpha_hits"),
     )
+    zero = F.lit(0).cast("long")
+    # Verdict thresholds are exact integer cross-multiplies (the
+    # round-15 float-free convention): mean ∈ [2,12] ⟺ 2n ≤ Σlen ≤ 12n,
+    # alpha ≥ 0.8 ⟺ 5·hits ≥ 4n — no float compare anywhere; the micro
+    # columns are exact BIGINT reporting values.
     passes = (
         F.col("n_words").between(20, 100000)
-        & F.col("mean_word_len").between(2.0, 12.0)
+        & F.col("__sum_len").between(2 * F.col("n_words"), 12 * F.col("n_words"))
         & (F.col("stopword_hits") >= 2)
-        & (F.col("alpha_frac") >= 0.8)
+        & (5 * F.col("__alpha_hits") >= 4 * F.col("n_words"))
     ).cast("int")
-    return m.withColumn("passes", passes)
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("n_words") == 0, zero)
+        .otherwise(micro_div(F.col("__sum_len"), F.col("n_words")))
+        .alias("mean_word_len_micro"),
+        "stopword_hits",
+        F.when(F.col("n_words") == 0, zero)
+        .otherwise(micro_div(F.col("__alpha_hits"), F.col("n_words")))
+        .alias("alpha_frac_micro"),
+        passes.alias("passes"),
+    )
 
 
 _PASSAGE_W = 13  # word-window width for duplicate-passage detection
@@ -5016,9 +5039,9 @@ _PASSAGE_W = 13  # word-window width for duplicate-passage detection
     SELECT d.doc_id,
            COALESCE(tot.n_spans, 0) AS n_spans,
            COALESCE(hit.n_dup_spans, 0) AS n_dup_spans,
-           CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN 0.0
-                ELSE round(CAST(COALESCE(hit.n_dup_spans, 0) AS DOUBLE) / tot.n_spans, 6)
-           END AS dup_frac
+           CAST(CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN 0
+                     ELSE (1000000 * COALESCE(hit.n_dup_spans, 0)) // tot.n_spans
+                END AS BIGINT) AS dup_frac_micro
     FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
     """,
 )
@@ -5067,9 +5090,9 @@ def passage_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.withColumn(
-        "dup_frac",
-        F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        "dup_frac_micro",
+        F.when(F.col("n_spans") == 0, F.lit(0).cast("long")).otherwise(
+            micro_div(F.col("n_dup_spans"), F.col("n_spans"))
         ),
     )
 
@@ -7126,7 +7149,7 @@ def hybrid_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(cnt) OVER (PARTITION BY w1) AS tot
           FROM c)
     SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
-           round(CAST(cnt AS DOUBLE) / tot, 6) AS prob, rnk
+           CAST((1000000 * cnt) // tot AS BIGINT) AS prob_micro, rnk
     FROM r WHERE rnk <= 3
     """,
 )
@@ -7138,8 +7161,8 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the explode (adjacency needs no window function — per-doc
     token order is already in the array), so the only shuffles are the
     bigram count agg (map-side combined) and the per-w1 top-k window.
-    Probability = cnt/total-per-w1, both integers, so the double
-    division is bit-identical across engines."""
+    Probability is exact BIGINT micro-units (10^6·cnt div total) — the
+    round-15 float-free hash-path convention."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(tokenize("text").alias("toks")).filter(F.size("toks") >= 2)
     bg = d.select(
@@ -7160,7 +7183,7 @@ def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias("prob"),
+            micro_div(F.col("cnt"), F.col("tot")).alias("prob_micro"),
             "rnk",
         )
     )
@@ -8530,12 +8553,13 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE source IN ('src1', 'src2')),
     g AS (SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM f GROUP BY x),
     c AS (
-      SELECT CAST(SUM(ca) OVER (ORDER BY x) AS DOUBLE) AS cuma,
-             CAST(SUM(cb) OVER (ORDER BY x) AS DOUBLE) AS cumb,
-             CAST(SUM(ca) OVER () AS DOUBLE) AS ta,
-             CAST(SUM(cb) OVER () AS DOUBLE) AS tb
+      SELECT CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY x) AS BIGINT) AS cumb,
+             CAST(SUM(ca) OVER () AS BIGINT) AS ta,
+             CAST(SUM(cb) OVER () AS BIGINT) AS tb
       FROM g)
-    SELECT round(max(abs(cuma / ta - cumb / tb)), 4) AS ks_d,
+    SELECT CAST(max((1000000 * abs(cuma * tb - cumb * ta)) // (ta * tb))
+                AS BIGINT) AS ks_d_micro,
            CAST(max(ta) AS BIGINT) AS n_a,
            CAST(max(tb) AS BIGINT) AS n_b
     FROM c
@@ -8560,15 +8584,25 @@ def ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = Window.orderBy("x")
     wall = Window.partitionBy()
     c = g.select(
-        F.sum("ca").over(wo).cast("double").alias("cuma"),
-        F.sum("cb").over(wo).cast("double").alias("cumb"),
-        F.sum("ca").over(wall).cast("double").alias("ta"),
-        F.sum("cb").over(wall).cast("double").alias("tb"),
+        F.sum("ca").over(wo).cast("long").alias("cuma"),
+        F.sum("cb").over(wo).cast("long").alias("cumb"),
+        F.sum("ca").over(wall).cast("long").alias("ta"),
+        F.sum("cb").over(wall).cast("long").alias("tb"),
     )
+    # KS distance in exact micro-units: D = max |Fa − Fb| over the
+    # value grid = max (10^6·|cuma·tb − cumb·ta|) div (ta·tb) — the
+    # cross-multiplied integer form (floor commutes with max). The
+    # 64-bit bound holds to ~3e6 rows per source (cuma·tb·10^6 < 2^63);
+    # at 100 TB pre-bin the grid by approx quantiles first (docstring).
     return c.agg(
-        F.round(
-            F.max(F.abs(F.col("cuma") / F.col("ta") - F.col("cumb") / F.col("tb"))), 4
-        ).alias("ks_d"),
+        F.max(
+            micro_div(
+                F.abs(
+                    F.col("cuma") * F.col("tb") - F.col("cumb") * F.col("ta")
+                ),
+                F.col("ta") * F.col("tb"),
+            )
+        ).alias("ks_d_micro"),
         F.max("ta").cast("long").alias("n_a"),
         F.max("tb").cast("long").alias("n_b"),
     )
@@ -9198,11 +9232,11 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i2, i1, c12, y.c, x.c
       FROM pairs JOIN items x ON i1 = x.item JOIN items y ON i2 = y.item)
     SELECT antecedent, consequent, c12 AS pair_support,
-           round(CAST(c12 AS DOUBLE) / c_a, 4) AS confidence,
-           round(CAST(c12 AS DOUBLE) * (SELECT n_orders FROM n)
-                 / (CAST(c_a AS DOUBLE) * c_b), 4) AS lift
+           CAST((1000000 * c12) // c_a AS BIGINT) AS confidence_micro,
+           CAST((1000000 * c12 * (SELECT n_orders FROM n)) // (c_a * c_b)
+                AS BIGINT) AS lift_micro
     FROM rules
-    ORDER BY lift DESC, antecedent, consequent
+    ORDER BY lift_micro DESC, antecedent, consequent
     LIMIT 25
     """,
 )
@@ -9214,8 +9248,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE orderkey-co-partitioned self-join with i1<i2 dedup → map-side-
     combined pair counts → min-support prune BEFORE the metric joins
     (anti-monotone Apriori cut) → two broadcast item-count joins.
-    Metrics are closed-form doubles over integer counts, 4dp — exact
-    cross-engine; top-25 is total-ordered by (lift, A, B)."""
+    Metrics are exact BIGINT micro-units over integer counts (the
+    round-15 float-free convention; lift's (10^6·c12·N) stays < 2^63
+    at any corpus this oracle runs on); top-25 is total-ordered by
+    (lift_micro, A, B)."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         "l_orderkey", (F.col("l_partkey") % 200).alias("item")
@@ -9254,15 +9290,13 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "antecedent",
             "consequent",
             F.col("c12").alias("pair_support"),
-            F.round(F.col("c12").cast("double") / F.col("c_a"), 4).alias("confidence"),
-            F.round(
-                F.col("c12").cast("double")
-                * F.col("n_orders")
-                / (F.col("c_a").cast("double") * F.col("c_b")),
-                4,
-            ).alias("lift"),
+            micro_div(F.col("c12"), F.col("c_a")).alias("confidence_micro"),
+            micro_div(
+                F.col("c12") * F.col("n_orders"),
+                F.col("c_a").cast("long") * F.col("c_b"),
+            ).alias("lift_micro"),
         )
-        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .orderBy(F.col("lift_micro").desc(), "antecedent", "consequent")
         .limit(25)
     )
 
@@ -9595,7 +9629,7 @@ def string_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR)
     SELECT purchase_id, user_id,
            count(*) AS n_touches,
-           round(1.0 / count(*), 4) AS credit_each
+           CAST(1000000 // count(*) AS BIGINT) AS credit_each_micro
     FROM touches
     GROUP BY purchase_id, user_id
     """,
@@ -9628,7 +9662,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return touches.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.round(F.lit(1.0) / F.count(F.lit(1)), 4).alias("credit_each"),
+        micro_div(F.lit(1), F.count(F.lit(1))).alias("credit_each_micro"),
     )
 
 
@@ -10709,19 +10743,18 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_class AS (
       SELECT c.truth AS class,
              CAST(coalesce(SUM(CASE WHEN pred = c.truth THEN n END), 0)
-                  AS DOUBLE) AS tp,
+                  AS BIGINT) AS tp,
              CAST(coalesce((SELECT SUM(n) FROM cm WHERE pred = c.truth), 0)
-                  AS DOUBLE) AS pred_n,
-             CAST(SUM(n) AS DOUBLE) AS truth_n
+                  AS BIGINT) AS pred_n,
+             CAST(SUM(n) AS BIGINT) AS truth_n
       FROM cm c GROUP BY c.truth)
     SELECT class,
            CAST(truth_n AS BIGINT) AS support,
-           round(CASE WHEN pred_n = 0 THEN 0.0 ELSE tp / pred_n END, 6)
-             AS precision,
-           round(tp / truth_n, 6) AS recall,
-           round(CASE WHEN tp = 0 THEN 0.0
-                      ELSE 2 * (tp / pred_n) * (tp / truth_n)
-                           / (tp / pred_n + tp / truth_n) END, 6) AS f1
+           CAST(CASE WHEN pred_n = 0 THEN 0
+                     ELSE (1000000 * tp) // pred_n END AS BIGINT)
+             AS precision_micro,
+           CAST((1000000 * tp) // truth_n AS BIGINT) AS recall_micro,
+           CAST((2000000 * tp) // (pred_n + truth_n) AS BIGINT) AS f1_micro
     FROM per_class
     """,
 )
@@ -10751,30 +10784,32 @@ def confusion_matrix_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm = scored.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
     truth_side = cm.groupBy(F.col("truth").alias("class")).agg(
-        F.sum("n").cast("double").alias("truth_n"),
+        F.sum("n").cast("long").alias("truth_n"),
         F.sum(F.when(F.col("pred") == F.col("truth"), F.col("n")))
-        .cast("double")
+        .cast("long")
         .alias("tp_raw"),
     )
     pred_side = cm.groupBy(F.col("pred").alias("class")).agg(
-        F.sum("n").cast("double").alias("pred_n")
+        F.sum("n").cast("long").alias("pred_n")
     )
+    zero = F.lit(0).cast("long")
     per = truth_side.join(F.broadcast(pred_side), "class", "left").select(
         "class",
         "truth_n",
-        F.coalesce(F.col("tp_raw"), F.lit(0.0)).alias("tp"),
-        F.coalesce(F.col("pred_n"), F.lit(0.0)).alias("pred_n"),
+        F.coalesce(F.col("tp_raw"), zero).alias("tp"),
+        F.coalesce(F.col("pred_n"), zero).alias("pred_n"),
     )
-    prec = F.when(F.col("pred_n") == 0, 0.0).otherwise(F.col("tp") / F.col("pred_n"))
-    rec = F.col("tp") / F.col("truth_n")
+    # F1 = 2pr/(p+r) collapses to the exact integer identity
+    # 2·tp/(pred_n + truth_n) — no intermediate float ratios at all.
     return per.select(
         "class",
         F.col("truth_n").cast("long").alias("support"),
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(
-            F.when(F.col("tp") == 0, 0.0).otherwise(2 * prec * rec / (prec + rec)), 6
-        ).alias("f1"),
+        F.when(F.col("pred_n") == 0, zero)
+        .otherwise(micro_div(F.col("tp"), F.col("pred_n")))
+        .alias("precision_micro"),
+        micro_div(F.col("tp"), F.col("truth_n")).alias("recall_micro"),
+        micro_div(2 * F.col("tp"), F.col("pred_n") + F.col("truth_n"))
+        .alias("f1_micro"),
     )
 
 

@@ -95,13 +95,13 @@ def test_confusion_matrix_macro_f1_matches_numpy(spark):
         tp = int(((truth == cls) & (pred == cls)).sum())
         pred_n = int((pred == cls).sum())
         truth_n = int((truth == cls).sum())
-        prec = tp / pred_n if pred_n else 0.0
-        rec = tp / truth_n
-        f1 = 0.0 if tp == 0 else 2 * prec * rec / (prec + rec)
+        prec = (1_000_000 * tp) // pred_n if pred_n else 0
+        rec = (1_000_000 * tp) // truth_n
+        f1 = (2_000_000 * tp) // (pred_n + truth_n)
         assert r["support"] == truth_n
-        assert r["precision"] == pytest.approx(prec, abs=1e-6)
-        assert r["recall"] == pytest.approx(rec, abs=1e-6)
-        assert r["f1"] == pytest.approx(f1, abs=1e-6)
+        assert r["precision_micro"] == prec
+        assert r["recall_micro"] == rec
+        assert r["f1_micro"] == f1
 
 
 def test_cdc_apply_deletes_tombstone_semantics(spark, events_pd):
@@ -267,12 +267,12 @@ def test_doc_novelty_semantics(spark, tmp_path):
         "doc_id long, text string",
     ).write.parquet(f"{sf}/documents.parquet")
     got = {
-        r["doc_id"]: (r["n_grams"], r["n_seen_before"], r["novelty"])
+        r["doc_id"]: (r["n_grams"], r["n_seen_before"], r["novelty_micro"])
         for r in QUERIES["doc_novelty_score"](spark, sf).collect()
     }
-    assert got[1] == (4, 0, 1.0)
-    assert got[2] == (4, 4, 0.0)
-    assert got[3] == (5, 1, 0.8)
+    assert got[1] == (4, 0, 1_000_000)
+    assert got[2] == (4, 4, 0)
+    assert got[3] == (5, 1, 800_000)
 
 
 def test_corpus_zipf_fit_matches_numpy(spark):

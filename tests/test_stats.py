@@ -26,7 +26,7 @@ def test_ks_is_zero_for_identical_distributions(spark, tmp_path):
     d = str(tmp_path / "sf")
     _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
     row = QUERIES["ks_drift_sources"](spark, d).collect()[0]
-    assert row.ks_d == 0.0 and row.n_a == 5 and row.n_b == 5
+    assert row.ks_d_micro == 0 and row.n_a == 5 and row.n_b == 5
 
 
 def test_ks_is_one_for_disjoint_distributions(spark, tmp_path):
@@ -35,7 +35,7 @@ def test_ks_is_one_for_disjoint_distributions(spark, tmp_path):
     d = str(tmp_path / "sf")
     _df_docs(spark, rows).write.parquet(f"{d}/documents.parquet")
     row = QUERIES["ks_drift_sources"](spark, d).collect()[0]
-    assert row.ks_d == 1.0
+    assert row.ks_d_micro == 1_000_000
 
 
 def test_gini_closed_form_small_case(spark, tmp_path):

@@ -581,8 +581,8 @@ def test_streaming_neardup_state_survives_restart(spark, tmp_path):
 
 def test_streaming_text_curation_equals_batch(spark, sf_dir):
     """The streaming curation tier must equal the BATCH plan built from
-    the same expressions: quality gate (n_tokens >= 5, punct_ratio <=
-    0.3) then drop every doc sharing a 5-gram with the benchmark slice
+    the same expressions: quality gate (n_tokens >= 5, punct_ratio_micro <=
+    300000) then drop every doc sharing a 5-gram with the benchmark slice
     — incremental execution must not change the answer."""
     from pyspark.sql import functions as F
 
@@ -597,8 +597,9 @@ def test_streaming_text_curation_equals_batch(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     qf = quality_features("text")
     gated = docs.filter(F.col("doc_id") % 100 >= 5).select(
-        "doc_id", "text", qf["n_tokens"].alias("nt"), qf["punct_ratio"].alias("pr")
-    ).filter((F.col("nt") >= 5) & (F.col("pr") <= 0.3))
+        "doc_id", "text", qf["n_tokens"].alias("nt"),
+        qf["punct_ratio_micro"].alias("pr")
+    ).filter((F.col("nt") >= 5) & (F.col("pr") <= 300_000))
     bench = (
         docs.filter(F.col("doc_id") % 100 < 5)
         .select(F.explode(word_shingles("text", 5)).alias("gram"))
