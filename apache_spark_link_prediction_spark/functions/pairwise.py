@@ -131,16 +131,25 @@ def micro_threshold(t: float) -> int:
     return nearest if abs(m - nearest) < 1e-6 else math.floor(m + 1e-9)
 
 
+def exact_div(num: Column, den: Column) -> Column:
+    """Exact BIGINT integral division ``num div den`` for NON-NEGATIVE
+    long columns. Implemented as ``(n − n mod d) / d`` so the quotient
+    is an exactly-divisible integer: the double division is error-free
+    and the cast back to long is exact. Caller guarantees ``den > 0``
+    and ``num ≥ 0`` (Spark's % truncates toward zero while DuckDB's
+    ``//`` floors, so negative numerators would diverge — keep
+    numerators non-negative, e.g. via ``F.abs``)."""
+    n = num.cast("long")
+    d = den.cast("long")
+    return ((n - (n % d)) / d).cast("long")
+
+
 def micro_div(num: Column, den: Column) -> Column:
     """Exact BIGINT integral division ``(10^6 · num) div den`` for
     non-negative count columns — the float-free hash-path primitive
-    (see :func:`jaccard_micro_tokens` for why). Implemented as
-    ``(n − n mod d) / d`` so the quotient is an exactly-divisible
-    integer ≤ 10^6·num/den: the double division is error-free and the
-    cast back to long is exact. Caller guarantees ``den > 0``."""
-    n = num.cast("long") * F.lit(1_000_000).cast("long")
-    d = den.cast("long")
-    return ((n - (n % d)) / d).cast("long")
+    (see :func:`jaccard_micro_tokens` for why). Caller guarantees
+    ``den > 0``."""
+    return exact_div(num.cast("long") * F.lit(1_000_000).cast("long"), den)
 
 
 def jaccard_micro_tokens(a: Column | str, b: Column | str) -> Column:

@@ -23,7 +23,16 @@ import pandas  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.pairwise import common_token_count, equality_flag, jaccard_micro_tokens, jaccard_tokens, micro_div, tokenize, year_difference
+from .functions.pairwise import (
+    common_token_count,
+    equality_flag,
+    exact_div,
+    jaccard_micro_tokens,
+    jaccard_tokens,
+    micro_div,
+    tokenize,
+    year_difference,
+)
 from .functions.textstats import (
     BPE_ISH_PATTERN,
     ENGLISH_STOPWORDS,
@@ -4294,14 +4303,21 @@ def zscore_by_group_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_functions_suite",
     """
-    SELECT event_id,
-           lag(event_id) OVER w AS prev_id,
-           lead(event_id) OVER w AS next_id,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WITH b AS (
+      SELECT event_id,
+             lag(event_id) OVER w AS prev_id,
+             lead(event_id) OVER w AS next_id,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, prev_id, next_id, quartile,
+           CAST(CASE WHEN cnt = 1 THEN 0
+                     ELSE (1000000 * (rn - 1)) // (cnt - 1) END AS BIGINT)
+             AS pct_rank_micro,
+           CAST((1000000 * rn) // cnt AS BIGINT) AS cume_micro
+    FROM b
     """,
 )
 def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4311,13 +4327,29 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window physical operator."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    wp = Window.partitionBy("user_id")
+    # percent_rank/cume_dist are k/n count ratios — emitted as exact
+    # BIGINT micro-units from row_number/count (the ORDER BY is total:
+    # event_id is unique, so rank == row_number and there are no
+    # peers; pct = (rn−1)/(n−1) with the n=1 → 0 convention, cume =
+    # rn/n). The round-15 float-free hash-path rule.
+    b = events.select(
         "event_id",
         F.lag("event_id").over(w).alias("prev_id"),
         F.lead("event_id").over(w).alias("next_id"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    return b.select(
+        "event_id",
+        "prev_id",
+        "next_id",
+        "quartile",
+        F.when(F.col("cnt") == 1, F.lit(0).cast("long"))
+        .otherwise(micro_div(F.col("rn") - 1, F.col("cnt") - 1))
+        .alias("pct_rank_micro"),
+        micro_div(F.col("rn"), F.col("cnt")).alias("cume_micro"),
     )
 
 
@@ -5757,14 +5789,13 @@ def tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_effect",
     """
-    SELECT round(CAST(
-             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                               THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
                                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
-                              ELSE 0 END)
-             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                   * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-           AS DOUBLE), 6) AS promo_revenue_pct
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+             AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
       AND l.l_shipdate < TIMESTAMP '1996-10-01'
@@ -5787,13 +5818,14 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
-                (
-                    F.lit(100.0)
-                    * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0)))
-                    / F.sum(disc_price)
-                ).cast("double"),
-                6,
+            # exact decimal sums promoted to double BEFORE the divide:
+            # identical IEEE quotient on both engines, no engine round()
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(disc_price).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -5877,9 +5909,10 @@ def ntile_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY l_orderkey)
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(max(sz) AS BIGINT) AS max_sz,
-           round(avg(sz), 6) AS mean_sz,
+           CAST((1000000 * SUM(sz)) // count(*) AS BIGINT) AS mean_sz_micro,
            CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_sz,
-           round(max(sz) / avg(sz), 6) AS skew_ratio
+           CAST((1000000 * max(sz) * count(*)) // SUM(sz) AS BIGINT)
+             AS skew_ratio_micro
     FROM g
     """,
 )
@@ -5896,11 +5929,13 @@ def join_key_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("sz").alias("max_sz"),
-        F.round(F.avg("sz"), 6).alias("mean_sz"),
+        micro_div(F.sum("sz"), F.count(F.lit(1))).alias("mean_sz_micro"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY sz)")
         .cast("bigint")
         .alias("p99_sz"),
-        F.round(F.max("sz") / F.avg("sz"), 6).alias("skew_ratio"),
+        micro_div(
+            F.max("sz").cast("long") * F.count(F.lit(1)), F.sum("sz")
+        ).alias("skew_ratio_micro"),
     )
 
 
@@ -5946,14 +5981,13 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'ASIA'
     )
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(CAST(
-             SUM(CASE WHEN sup.n_name = 'NATION_2'
+           CAST(SUM(CASE WHEN sup.n_name = 'NATION_2'
                       THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
                            * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
-                      ELSE 0 END)
-             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                   * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
-           AS DOUBLE), 6) AS mkt_share
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+             AS mkt_share
     FROM lineitem l
     JOIN sup ON sup.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -5985,12 +6019,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                (
-                    F.sum(F.when(F.col("n_name") == "NATION_2", disc_price).otherwise(F.lit(0)))
-                    / F.sum(disc_price)
-                ).cast("double"),
-                6,
+            (
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_2", disc_price).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(disc_price).cast("double")
             ).alias("mkt_share")
         )
     )
@@ -6233,7 +6266,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, day,
-           round(CAST(SUM(v * (nxt - es)) / SUM(nxt - es) AS DOUBLE), 6)
+           CAST(SUM(v * (nxt - es)) AS DOUBLE) / CAST(SUM(nxt - es) AS DOUBLE)
              AS twa,
            CAST(count(*) AS BIGINT) AS n_gaps
     FROM t WHERE nxt IS NOT NULL
@@ -6258,13 +6291,16 @@ def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,6)").alias("v"),
         (F.lead(es).over(w) - es).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
+    # Both sums are exact (DECIMAL product sum / integer µs sum), so
+    # promoting EACH to double and dividing gives the identical IEEE
+    # quotient on both engines — no engine-side round() needed (and a
+    # decimal÷decimal division would ride each engine's decimal-scale
+    # convention). The raw double hashes safely: the driver comparator
+    # rounds identical doubles identically.
     return t.groupBy("user_id", "day").agg(
-        F.round(
-            (
-                F.sum(F.col("v") * F.col("gap_us").cast("decimal(18,0)"))
-                / F.sum("gap_us")
-            ).cast("double"),
-            6,
+        (
+            F.sum(F.col("v") * F.col("gap_us").cast("decimal(18,0)")).cast("double")
+            / F.sum("gap_us").cast("double")
         ).alias("twa"),
         F.count(F.lit(1)).alias("n_gaps"),
     )
@@ -7916,10 +7952,10 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
       FROM j)
     SELECT user_id, day,
-           round(COALESCE(v,
+           COALESCE(v,
                  pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
-                                   / CAST(date_diff('day', pd, nd) AS DOUBLE))),
-                 6) AS v_filled,
+                                   / CAST(date_diff('day', pd, nd) AS DOUBLE)))
+             AS v_filled,
            CAST(v IS NULL AS BOOLEAN) AS interpolated
     FROM anch
     """,
@@ -7974,7 +8010,7 @@ def interpolate_missing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anch.select(
         "user_id",
         "day",
-        F.round(F.coalesce("v", interp), 6).alias("v_filled"),
+        F.coalesce("v", interp).alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
 
@@ -8625,10 +8661,10 @@ def ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spend)
     SELECT c_mktsegment,
            CAST(max(n) AS BIGINT) AS n_customers,
-           round(CAST(2 * SUM(rk * v) AS DOUBLE)
+           CAST(2 * SUM(rk * v) AS DOUBLE)
                    / (CAST(max(n) AS DOUBLE) * CAST(max(tv) AS DOUBLE))
-                 - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE),
-                 4) AS gini
+                 - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE)
+             AS gini
     FROM ranked
     GROUP BY 1
     """,
@@ -8660,11 +8696,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d = F.max("n").cast("double")
     return ranked.groupBy("c_mktsegment").agg(
         F.max("n").cast("long").alias("n_customers"),
-        F.round(
+        (
             (F.lit(2) * F.sum(F.col("rk") * F.col("v"))).cast("double")
             / (n_d * F.max("tv").cast("double"))
-            - (n_d + F.lit(1.0)) / n_d,
-            4,
+            - (n_d + F.lit(1.0)) / n_d
         ).alias("gini"),
     )
 
@@ -10467,8 +10502,8 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            count(*) AS n,
-           round(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 4) AS mean_chars,
+           CAST((1000000 * SUM(CAST(n_chars AS BIGINT))) // count(*)
+                AS BIGINT) AS mean_chars_micro,
            CAST(max(n_chars) AS BIGINT) AS max_chars
     FROM documents
     GROUP BY source
@@ -10495,9 +10530,7 @@ def pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.select(
         "source",
         F.col("n").cast("long").alias("n"),
-        F.round(
-            F.col("sum_chars").cast("decimal(18,2)").cast("double") / F.col("n"), 4
-        ).alias("mean_chars"),
+        micro_div(F.col("sum_chars"), F.col("n")).alias("mean_chars_micro"),
         F.col("max_chars").cast("long").alias("max_chars"),
     )
 
@@ -10693,7 +10726,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY event_type)
     SELECT event_id, t.event_type,
            CAST(s.n AS BIGINT) AS cat_freq,
-           round(CAST(s.sy - t.y AS DOUBLE) / (s.n - 1), 6) AS te_loo
+           CAST(CAST((s.sy - t.y) * 1000000 AS BIGINT) // (s.n - 1)
+                AS BIGINT) AS te_loo_micro
     FROM t JOIN s USING (event_type)
     WHERE s.n > 1
     """,
@@ -10723,9 +10757,10 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.col("n").cast("long").alias("cat_freq"),
-            F.round(
-                (F.col("sy") - F.col("y")).cast("double") / (F.col("n") - 1), 6
-            ).alias("te_loo"),
+            exact_div(
+                ((F.col("sy") - F.col("y")) * F.lit(1_000_000)).cast("long"),
+                F.col("n") - 1,
+            ).alias("te_loo_micro"),
         )
     )
 

@@ -76,10 +76,11 @@ def test_target_encode_loo_matches_pandas(spark, events_pd):
     for r in sample.itertuples():
         S, n = big.loc[r.event_type, "sum"], big.loc[r.event_type, "count"]
         y_self = ev_idx.loc[r.event_id, "y"]
-        assert r.te_loo == pytest.approx(round((S - y_self) / (n - 1), 6), abs=1e-6)
+        want = int(round((S - y_self) * 1_000_000)) // (int(n) - 1)
+        assert r.te_loo_micro == want
     # identity: the mean of LOO encodings equals the category mean
     for et, sub in out.groupby("event_type"):
-        assert sub["te_loo"].mean() == pytest.approx(
+        assert sub["te_loo_micro"].mean() / 1e6 == pytest.approx(
             big.loc[et, "sum"] / big.loc[et, "count"], abs=1e-4
         )
 
