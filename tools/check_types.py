@@ -91,6 +91,154 @@ def bare_rounds(sql: str) -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# round()-in-hash-path lint (round 15, VERDICT r14 item 2).
+#
+# round(DOUBLE, n>0) is an ENGINE CONVENTION at exact half-points: Spark
+# rounds the exact binary expansion via BigDecimal HALF_UP while DuckDB
+# multiplies by 10^n in floating point and std::round()s the product, so a
+# value whose exact rational form q | 2*10^n lands EXACTLY on a half and
+# the two engines can disagree (the dpp r11/r12 reds; the class this
+# repo migrated off in rounds 14-15). Every count-ratio score now ships
+# as exact BIGINT micro-units ((10^6*num) div den), and ratio-of-exact-
+# sums metrics emit the raw IEEE quotient of exactly-equal inputs.
+#
+# The remaining round() sites are each PROVABLY safe or documented
+# accepted-risk, by category:
+#   TRANSCENDENTAL     irrational results (ln/exp/sqrt/log2/cosine/
+#                      stddev) of identical IEEE inputs: exact halves
+#                      are measure-zero beyond double error.
+#   TRANSCENDENTAL_SUM same, but summed as raw doubles before the round
+#                      (order noise ~1 ulp; the coarse round absorbs
+#                      it; residual half-zone ~1e-10 relative is the
+#                      documented accepted risk).
+#   STAGED_9DP         the house pattern: per-term round(x, 9) ->
+#                      DECIMAL(.,9) sum (order-independent, exact);
+#                      term-level residual risk as above.
+#   QUANTILE_CENTI     quantile_cont interpolation over 2-decimal
+#                      values: results are exact decimals at <= 6dp, so
+#                      round(., >=6) is the identity.
+#   CENTI_IDENTITY     round(v, k>=2) over values exact at <= k
+#                      decimals (events.value is exactly 2-decimal).
+#   DECIMAL_SUM_IDENT  exact DECIMAL sum (scale <= k) cast to double,
+#                      round(., k) = identity.
+#   SCALED_INT_IDENT   k/10^m with m <= round scale = identity.
+#   SAFE_RATIONAL      p/q where q has a prime factor not in {2,5}:
+#                      distance to any half-integer >= 1/(2q) >> double
+#                      error, and exact halves cannot exist.
+#   SAFE_SCALE0        round(x) at scale 0 on non-negative identical
+#                      doubles: no scaling multiply exists to diverge;
+#                      both engines round the same double half-up.
+#
+# A NEW oracle containing round( must either be migrated to integer
+# micro-units / raw-IEEE form or earn an entry here with its category —
+# otherwise end_of_round fails. Stale entries (no round( left) fail too.
+ROUND_ALLOWLIST = {
+    "approx_quantile_agg": "QUANTILE_CENTI",
+    "arrow_vec_norms": "TRANSCENDENTAL (sqrt norm, 4dp)",
+    "asof_join_events": "CENTI_IDENTITY (value passthrough)",
+    "asof_join_pandas": "CENTI_IDENTITY (value passthrough)",
+    "bigram_lm_perplexity": "STAGED_9DP (ln terms)",
+    "bigram_pmi": "TRANSCENDENTAL (ln, 4dp)",
+    "bm25_scoring": "TRANSCENDENTAL (ln idf terms, 6dp)",
+    "cdc_apply_deletes": "CENTI_IDENTITY (value passthrough)",
+    "chi_square_independence": "STAGED_9DP (expected-count terms)",
+    "corpus_zipf_fit": "STAGED_9DP (ln rank/freq) + TRANSCENDENTAL OLS",
+    "corr_by_group": "TRANSCENDENTAL (sqrt denominator)",
+    "dsir_importance_select": "STAGED_9DP (ln ratio terms)",
+    "embedding_binary_quant_topk": "TRANSCENDENTAL (cosine, 4dp)",
+    "embedding_mrl_topk": "TRANSCENDENTAL (cosine, 4dp)",
+    "embedding_pairs_exact": "TRANSCENDENTAL (cosine, 4dp)",
+    "embedding_scalar_quantization": (
+        "SAFE_SCALE0 (the quantizer round IS the algorithm) + "
+        "TRANSCENDENTAL (recon error, 6dp)"
+    ),
+    "embedding_topk_bruteforce": "TRANSCENDENTAL (cosine, 4dp)",
+    "event_anomaly_mad": "QUANTILE_CENTI (median/MAD of centi values)",
+    "gini_revenue_concentration": "CENTI_IDENTITY (o_totalprice staging)",
+    "graph_adamic_adar": "TRANSCENDENTAL_SUM (sum 1/ln d, 6dp)",
+    "graph_degree_assortativity": "TRANSCENDENTAL (sqrt denominator)",
+    "graph_pagerank": "TRANSCENDENTAL_SUM (damped iteration, 5dp)",
+    "graph_resource_allocation": (
+        "TRANSCENDENTAL_SUM (sum 1/d, 6dp — exact rational form "
+        "infeasible: lcm of neighbor degrees; documented accepted risk)"
+    ),
+    "hard_negative_mining": "TRANSCENDENTAL (cosine, 4dp)",
+    "hybrid_rank_fusion_rrf": "TRANSCENDENTAL (bm25 leg ranks on 6dp ln)",
+    "incremental_agg_merge": "CENTI_IDENTITY (min/max passthrough)",
+    "multimodal_audio_centroid_tone": (
+        "SCALED_INT_IDENT (closed-form dyadic decimals exact at 4dp)"
+    ),
+    "multimodal_audio_energy": "TRANSCENDENTAL (sqrt RMS, 6dp)",
+    "multimodal_png_roundtrip": "SAFE_RATIONAL (mean over q=192=2^6*3)",
+    "ndcg_retrieval_eval": "TRANSCENDENTAL (log2 discounts, 6dp)",
+    "null_semantics_suite": "DECIMAL_SUM_IDENT",
+    "pagerank_parts": "TRANSCENDENTAL_SUM (damped iteration, 6dp)",
+    "pandas_udf_cosine": "TRANSCENDENTAL (cosine, 4dp)",
+    "pareto_skyline_parts": "SAFE_SCALE0 (cents) + CENTI_IDENTITY",
+    "percentile_agg": "QUANTILE_CENTI",
+    "python_datasource_agg": "SCALED_INT_IDENT (k/1000 at 3dp)",
+    "scd2_point_in_time_join": "CENTI_IDENTITY (value passthrough)",
+    "streaming_stateful_ema": (
+        "TRANSCENDENTAL_SUM (ordered EMA recursion, identical op "
+        "sequence both engines, 6dp)"
+    ),
+    "streaming_static_join": "CENTI_IDENTITY (centi x dyadic weights <=3dp)",
+    "streaming_stream_join": "SCALED_INT_IDENT (us epoch diff exact at 6dp)",
+    "streaming_stream_join_outer": "SCALED_INT_IDENT (us epoch diff)",
+    "table_profile": "CENTI_IDENTITY (min/max passthrough)",
+    "target_encode_loo": "CENTI_IDENTITY (y staging round, CAST-pinned)",
+    "tfidf_keywords": "TRANSCENDENTAL (ln idf, 6dp)",
+    "time_decay_user_score": "STAGED_9DP (exp terms)",
+    "token_drift_js": "TRANSCENDENTAL_SUM (ln JS terms, 6dp)",
+    "token_entropy": "STAGED_9DP (p ln p terms)",
+    "tpch_q10_returned_items": "DECIMAL_SUM_IDENT (4dp-exact sum)",
+    "tpch_q11_important_stock": "SCALED_INT_IDENT (k/100 at 2dp)",
+    "tpch_q14_promo_effect": "",  # migrated r15 — raw IEEE (no round left)
+    "tpch_q15_top_supplier": "DECIMAL_SUM_IDENT",
+    "tpch_q16_supplier_count": "SCALED_INT_IDENT (k/100 at 2dp)",
+    "tpch_q17_avg_qty": "SAFE_RATIONAL (sum/7, q=7 not in {2,5})",
+    "tpch_q19_discounted_revenue": "DECIMAL_SUM_IDENT",
+    "tpch_q20_excess_inventory": "SCALED_INT_IDENT (k/100 at 2dp)",
+    "tpch_q2_min_cost_supplier": "SCALED_INT_IDENT + CENTI_IDENTITY",
+    "tpch_q6_forecast_revenue": "DECIMAL_SUM_IDENT",
+    "tpch_q8_market_share": "",  # migrated r15 — raw IEEE
+    "tpch_q9_product_profit": "SCALED_INT_IDENT (k/100 at 2dp)",
+    "unigram_logprob_score": "TRANSCENDENTAL_SUM (avg -ln p, 6dp)",
+    "unpivot_measures": "DECIMAL_SUM_IDENT",
+    "window_functions_suite": "",  # migrated r15 — micro-units
+    "winsorize_by_group": "QUANTILE_CENTI",
+    "zscore_by_group_pandas": "TRANSCENDENTAL (stddev, 4dp)",
+}
+# Entries with an empty justification are tombstones for queries
+# migrated this round; they are pruned below and kept only so the
+# diff shows WHAT was migrated. Prune on next touch.
+ROUND_ALLOWLIST = {k: v for k, v in ROUND_ALLOWLIST.items() if v}
+
+
+def lint_rounds(oracles: dict[str, str]) -> int:
+    """FLAG (a) any oracle containing round( without an allowlist
+    category, (b) stale allowlist entries whose oracle no longer
+    contains round( (so the list can't rot)."""
+    n = 0
+    for name, sql in oracles.items():
+        has = bool(re.search(r"\bround\s*\(", sql, re.IGNORECASE))
+        if has and name not in ROUND_ALLOWLIST:
+            print(
+                f"FLAG  {name}: round() in oracle SQL without a "
+                "ROUND_ALLOWLIST category — migrate to BIGINT "
+                "micro-units / raw-IEEE or document the safe category"
+            )
+            n += 1
+        elif not has and name in ROUND_ALLOWLIST:
+            print(
+                f"FLAG  {name}: stale ROUND_ALLOWLIST entry (no round( "
+                "left in its oracle) — remove the entry"
+            )
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -105,7 +253,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    n_flagged = 0
+    n_flagged = lint_rounds(oracles)
     for name, fn in qs.items():
         if name not in oracles:
             continue
