@@ -112,3 +112,46 @@ def test_bench_trips_gate_arithmetic():
     assert not bench.trips_gate("fast", 1.0, rec)
     # unrecorded name never trips
     assert not bench.trips_gate("new_row", 1e9, rec)
+
+
+def test_sf1_recorded_not_stale():
+    """VERDICT r14 item 1: the regression gate's recorded baselines must
+    track the shipped plans. Round 14 made four headline queries 2.5-5×
+    faster while SF1_RECORDED kept their round-7/10 first measurements,
+    so a silent revert to the old sort-merge plans would have passed
+    ``regressions_vs_recorded: []``. This pins every recorded value to
+    within ~2.2× (plus the gate's own 2s absolute slack for sub-second
+    noise) of the median of the last five CLEAN series points
+    (series_point_state == "ok" in BENCH_SERIES.jsonl) — a recorded
+    value that rots in either direction now fails loudly, round-local.
+    """
+    import importlib.util
+    import json
+    import pathlib
+    import statistics
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    series = root / "BENCH_SERIES.jsonl"
+    pts = [json.loads(line) for line in series.open()]
+    clean = [p for p in pts if p.get("series_point_state") == "ok"][-5:]
+    assert clean, "no clean series points — run bench.py on a quiet box"
+
+    stale = []
+    for name, rec in bench.SF1_RECORDED.items():
+        vals = [p["queries"][name] for p in clean if name in p.get("queries", {})]
+        if not vals:
+            continue  # new headline row: first measurement becomes baseline
+        med = statistics.median(vals)
+        if abs(rec - med) <= 2.0:  # the gate's own absolute-slack floor
+            continue
+        ratio = max(rec, med) / max(min(rec, med), 1e-9)
+        if ratio > 2.2:
+            stale.append(f"{name}: recorded {rec} vs clean median {med:.2f}")
+    assert not stale, (
+        "SF1_RECORDED stale vs the shipped plans — re-pin and era-note "
+        "in BASELINE.md: " + "; ".join(stale)
+    )

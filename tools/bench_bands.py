@@ -5,7 +5,19 @@ series log (BENCH_SERIES.jsonl) — and print a markdown band table
 (min / median / max per headline query, 10x tier) so the solo-warm
 adjudication protocol judges against a DISTRIBUTION, not one recorded
 number. Points that tripped the load gate or a regression gate are
-excluded by construction.
+excluded by construction; duplicate log entries (same value+total,
+logged twice by older tooling) are collapsed.
+
+Era split (round 15, VERDICT r14 item 1): the round-14 join-physics
+pass changed four queries' plans 2.5-5×, so their bands are computed
+from POST-FIX clean points only (ERA2 start = the first all-fixes
+clean point, 2026-08-16 10:22Z); mixing eras would span both plan
+generations and the band would gate nothing.
+
+Contract-tier subtotals (VERDICT r14 item 6): parity-tier
+(p2_lsh_similarity — weak by reference-parity contract) and scale-tier
+(everything else) totals are banded separately so scale-tier progress
+stays visible under the parity row's ~1/3 share.
 
 Usage: python tools/bench_bands.py [repo_root]
 """
@@ -17,6 +29,33 @@ import json
 import os
 import statistics
 import sys
+
+# First clean point with ALL round-14 plan fixes in (BENCH_SERIES ts
+# 1786875735 = 2026-08-16 10:22Z, the 84.4s point). Bands for these
+# queries exclude earlier points — they measured the old plans.
+ERA2_START = 1786875000.0
+ERA2_QUERIES = {
+    "dedup_minhash",
+    "p2_scale_path_jaccard_deep",
+    "graph_common_neighbors",
+    "embedding_ann_lsh",
+}
+
+# Must match bench.py's PARITY_TIER.
+PARITY_TIER = {"p2_lsh_similarity"}
+
+
+def _epoch(ts) -> float:
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    try:  # ISO form written by some driver tooling
+        import datetime
+
+        return datetime.datetime.fromisoformat(
+            str(ts).replace("Z", "+00:00")
+        ).timestamp()
+    except ValueError:
+        return 0.0
 
 
 def clean_points(root: str) -> list[dict]:
@@ -35,7 +74,15 @@ def clean_points(root: str) -> list[dict]:
             p = json.loads(line)
             if p.get("series_point_state") == "ok":
                 pts.append({"src": f"BENCH_SERIES.jsonl#{i + 1}", **p})
-    return pts
+    seen = set()
+    deduped = []
+    for p in pts:
+        key = (p.get("value"), p.get("total_sf01"), len(p.get("queries", {})))
+        if key in seen:
+            continue
+        seen.add(key)
+        deduped.append(p)
+    return deduped
 
 
 def main() -> int:
@@ -55,15 +102,39 @@ def main() -> int:
     print("| Query (10x tier) | n | min | median | max |")
     print("|---|---|---|---|---|")
     for n in names:
-        vals = [p["queries"][n] for p in pts if n in p.get("queries", {})]
+        src = pts
+        if n in ERA2_QUERIES:
+            src = [p for p in pts if _epoch(p.get("ts", 0)) >= ERA2_START]
+        vals = [p["queries"][n] for p in src if n in p.get("queries", {})]
+        if not vals:
+            continue
+        era = " (era2)" if n in ERA2_QUERIES else ""
         print(
-            f"| {n} | {len(vals)} | {min(vals):.2f}s "
+            f"| {n}{era} | {len(vals)} | {min(vals):.2f}s "
             f"| {statistics.median(vals):.2f}s | {max(vals):.2f}s |"
         )
     totals = [p["value"] for p in pts]
     print(
         f"| **total** | {len(totals)} | {min(totals):.1f}s "
         f"| {statistics.median(totals):.1f}s | {max(totals):.1f}s |"
+    )
+    parity = [
+        sum(t for n, t in p["queries"].items() if n in PARITY_TIER)
+        for p in pts
+        if p.get("queries")
+    ]
+    scale = [
+        sum(t for n, t in p["queries"].items() if n not in PARITY_TIER)
+        for p in pts
+        if p.get("queries")
+    ]
+    print(
+        f"| **parity tier (p2_lsh)** | {len(parity)} | {min(parity):.1f}s "
+        f"| {statistics.median(parity):.1f}s | {max(parity):.1f}s |"
+    )
+    print(
+        f"| **scale tier** | {len(scale)} | {min(scale):.1f}s "
+        f"| {statistics.median(scale):.1f}s | {max(scale):.1f}s |"
     )
     return 0
 
