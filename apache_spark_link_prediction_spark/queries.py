@@ -11895,6 +11895,257 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_prefix_join(docs, threshold=0.8, shingle_n=3)
 
 
+# ---------------------------------------------------------------------------
+# Round-15 additions: evaluation-tier agreement, the Apriori k=3 itemset
+# tier, and the vocabulary coverage curve — all integer-exact hash paths
+# (the round-15 float-free convention from birth, never round(DOUBLE,n)).
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+    WITH scored AS (
+      SELECT CASE WHEN value >= 250 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS rb
+      FROM events WHERE value IS NOT NULL),
+    cm AS (SELECT ra, rb, count(*) AS n FROM scored GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COALESCE(SUM(n) FILTER (WHERE ra = rb), 0) AS BIGINT) AS agree,
+             CAST(COALESCE(SUM(n) FILTER (WHERE ra = 1), 0) AS BIGINT) AS a1,
+             CAST(COALESCE(SUM(n) FILTER (WHERE rb = 1), 0) AS BIGINT) AS b1
+      FROM cm),
+    e AS (SELECT nn, agree, a1 * b1 + (nn - a1) * (nn - b1) AS expct FROM t)
+    SELECT nn AS n_items, agree AS n_agree,
+           CAST(CASE WHEN nn * nn = expct THEN 0
+                     WHEN nn * agree >= expct
+                     THEN (1000000 * (nn * agree - expct)) // (nn * nn - expct)
+                     ELSE -((1000000 * (expct - nn * agree)) // (nn * nn - expct))
+                END AS BIGINT) AS kappa_micro
+    FROM e
+"""
+
+
+@register("rater_agreement_kappa", _KAPPA_ORACLE)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labeling rules — the inter-annotator /
+    model-vs-heuristic agreement statistic every labeling or
+    LLM-as-judge pipeline reports before trusting a rater (next to
+    confusion_matrix_macro_f1's accuracy tier: kappa corrects for
+    chance agreement). Raters here are two closed-form binary rules
+    over events (value >= 250 vs conversion-type), so both engines
+    score identical labels and the whole statistic stays in integers:
+    with N items, A agreements, and marginals a1/b1,
+    kappa = (N·A − E)/(N² − E) where E = a1·b1 + (N−a1)(N−b1) —
+    emitted as signed BIGINT micro-units via magnitude-division
+    (sign · (10^6·|num|) div den, identical truncation on both
+    engines; kappa may be negative, so plain floor-div would diverge
+    between Spark's truncate and DuckDB's floor).
+
+    Plan shape at 100 TB: one map-side-combined 2×2 confusion agg —
+    a 4-row frame — then scalar arithmetic. Nothing scales with N
+    past the first agg."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.when(F.col("value") >= 250, 1).otherwise(0).alias("ra"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("rb"),
+    )
+    cm = scored.groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("n"))
+    t = cm.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.coalesce(
+            F.sum(F.when(F.col("ra") == F.col("rb"), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("agree"),
+        F.coalesce(F.sum(F.when(F.col("ra") == 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("a1"),
+        F.coalesce(F.sum(F.when(F.col("rb") == 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("b1"),
+    )
+    e = t.select(
+        "nn",
+        "agree",
+        (
+            F.col("a1") * F.col("b1")
+            + (F.col("nn") - F.col("a1")) * (F.col("nn") - F.col("b1"))
+        ).alias("expct"),
+    )
+    num = F.col("nn") * F.col("agree") - F.col("expct")
+    den = F.col("nn") * F.col("nn") - F.col("expct")
+    mag = exact_div(F.abs(num) * F.lit(1_000_000).cast("long"), den)
+    return e.select(
+        F.col("nn").alias("n_items"),
+        F.col("agree").alias("n_agree"),
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(F.when(num >= 0, mag).otherwise(-mag))
+        .alias("kappa_micro"),
+    )
+
+
+_TRIPLES_MIN_SUPPORT = 3
+
+
+_TRIPLES_ORACLE = f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem),
+    t AS (
+      SELECT a.item AS i1, b2.item AS i2, c.item AS i3, count(*) AS n
+      FROM b a
+      JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.item < b2.item
+      JOIN b c ON a.l_orderkey = c.l_orderkey AND b2.item < c.item
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= {_TRIPLES_MIN_SUPPORT})
+    SELECT CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(n AS BIGINT) AS support
+    FROM t
+    ORDER BY support DESC, i1, i2, i3
+    LIMIT 100
+"""
+
+
+@register("frequent_triples", _TRIPLES_ORACLE)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets — the Apriori k=3 tier
+    above association_rules' pair tier (FP-growth's next level as pure
+    DataFrame algebra). The Spark plan is the ACTUAL Apriori shape: it
+    first computes frequent PAIRS, generates candidate triples only by
+    joining frequent (i1,i2)×(i1,i3) prefixes and semi-joining the
+    (i2,i3) closure (anti-monotonicity: every 2-subset of a frequent
+    triple is frequent), and only then counts candidate support with a
+    basket join — the oracle's direct 3-way self-join is the brute
+    twin, equal by Apriori's losslessness. Top-100 total-ordered by
+    (support, i1, i2, i3); all-integer output.
+
+    Plan shape at 100 TB: the frequent-pair table is orders of
+    magnitude smaller than the basket stream and broadcasts; the only
+    big shuffles are the basket self-join per level, each pre-pruned
+    by the previous level's support floor — the Apriori cut is what
+    keeps level k from being the k-way cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    s = _TRIPLES_MIN_SUPPORT
+    p1 = b.select("l_orderkey", F.col("item").alias("i1"))
+    p2 = b.select("l_orderkey", F.col("item").alias("i2"))
+    pairs = (
+        p1.join(p2, "l_orderkey")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= s)
+        .select("i1", "i2")
+    )
+    # candidate triples: join frequent pairs on the shared prefix i1,
+    # then require the (i2,i3) edge to be frequent too (left_semi)
+    cand = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), on="i1")
+        .filter(F.col("x.i2") < F.col("y.i2"))
+        .select("i1", F.col("x.i2").alias("i2"), F.col("y.i2").alias("i3"))
+        .join(
+            pairs.select(F.col("i1").alias("i2"), F.col("i2").alias("i3")),
+            on=["i2", "i3"],
+            how="left_semi",
+        )
+    )
+    # count true support of the surviving candidates with a basket join
+    t3 = (
+        b.select("l_orderkey", F.col("item").alias("i1"))
+        .join(F.broadcast(cand), on="i1")
+        .join(
+            b.select("l_orderkey", F.col("item").alias("i2")),
+            on=["l_orderkey", "i2"],
+        )
+        .join(
+            b.select("l_orderkey", F.col("item").alias("i3")),
+            on=["l_orderkey", "i3"],
+        )
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= s)
+    )
+    return (
+        t3.select(
+            F.col("i1").cast("long"),
+            F.col("i2").cast("long"),
+            F.col("i3").cast("long"),
+            F.col("support").cast("long"),
+        )
+        .orderBy(F.col("support").desc(), "i1", "i2", "i3")
+        .limit(100)
+    )
+
+
+_COVERAGE_KS = (10, 100, 1000)
+
+_COVERAGE_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest({_toks_sql('text')}) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(n) AS total, count(*) AS vocab FROM c),
+    r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+          FROM c),
+    ks AS (SELECT unnest([{', '.join(str(k) for k in _COVERAGE_KS)}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT vocab FROM tot) AS BIGINT) AS vocab_size,
+           CAST(COALESCE(SUM(r.n), 0) AS BIGINT) AS covered_tokens,
+           CAST((1000000 * COALESCE(SUM(r.n), 0))
+                // (SELECT total FROM tot) AS BIGINT) AS coverage_micro
+    FROM ks LEFT JOIN r ON r.rk <= ks.k
+    GROUP BY ks.k
+    ORDER BY k
+"""
+
+
+@register("vocab_coverage_curve", _COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage curve of the top-k vocabulary — the statistic a
+    tokenizer-design pass reads before fixing a vocab size (what
+    fraction of all token OCCURRENCES do the k most frequent types
+    cover; the integral twin of corpus_zipf_fit's slope and vocab_topk's
+    head sample). One row per k in {_COVERAGE_KS}, with coverage as
+    exact BIGINT micro-units (10^6·covered div total).
+
+    Plan shape at 100 TB: token counts are ONE map-side-combined agg
+    (vocab-sized result); the rank window runs over the vocab frame,
+    not the corpus; the k-expansion joins a 3-row literal frame. The
+    corpus-sized stream is touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    r = c.withColumn("rk", F.row_number().over(w))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    ks = docs.sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k long"
+    )
+    return (
+        ks.join(r, r["rk"] <= ks["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("vocab").alias("vocab_size"),
+            "covered_tokens",
+            micro_div(F.col("covered_tokens"), F.col("total")).alias(
+                "coverage_micro"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a

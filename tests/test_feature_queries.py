@@ -302,3 +302,88 @@ def test_corpus_zipf_fit_matches_numpy(spark):
     assert row["n_types"] == len(freqs)
     assert math.isclose(row["zipf_slope"], slope, abs_tol=1e-5)
     assert math.isclose(row["zipf_intercept"], intercept, abs_tol=1e-5)
+
+
+def test_rater_agreement_kappa_closed_form(spark, tmp_path, events_pd):
+    """Round-15 kappa pins: (a) independent pandas recomputation on the
+    real corpus; (b) a perfect-disagreement fixture where kappa = −1
+    exactly — the case that pins the signed magnitude-division (plain
+    floor-div on a negative numerator truncates toward zero on Spark
+    but floors on DuckDB)."""
+    row = QUERIES["rater_agreement_kappa"](spark, SF_DIR).collect()[0]
+    ev = events_pd[events_pd["value"].notna()]
+    ra = (ev["value"] >= 250).astype(int)
+    rb = ev["event_type"].isin(["purchase", "signup"]).astype(int)
+    n = len(ev)
+    agree = int((ra == rb).sum())
+    a1, b1 = int(ra.sum()), int(rb.sum())
+    expct = a1 * b1 + (n - a1) * (n - b1)
+    num = n * agree - expct
+    den = n * n - expct
+    want = 0 if den == 0 else (
+        (1_000_000 * num) // den if num >= 0
+        else -((1_000_000 * (-num)) // den)
+    )
+    assert (row.n_items, row.n_agree, row.kappa_micro) == (n, agree, want)
+
+    # perfect disagreement: ra XOR rb on every row -> kappa exactly -1
+    import datetime
+    rows = []
+    for i in range(10):
+        # ra=1,rb=0 for even ids; ra=0,rb=1 for odd ids
+        val = 300.0 if i % 2 == 0 else 10.0
+        et = "view" if i % 2 == 0 else "purchase"
+        rows.append((i, datetime.datetime(2024, 1, 1), i, et, val, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    r = QUERIES["rater_agreement_kappa"](spark, d).collect()[0]
+    assert (r.n_items, r.n_agree, r.kappa_micro) == (10, 0, -1_000_000)
+
+
+def test_frequent_triples_equals_bruteforce(spark):
+    """The Apriori plan (frequent pairs -> prefix-joined candidates ->
+    support count) must equal the direct 3-way basket self-join — the
+    losslessness that justifies the pruning. Brute force recomputed in
+    pandas on the raw parquet."""
+    import itertools
+
+    got = {
+        (r.i1, r.i2, r.i3): r.support
+        for r in QUERIES["frequent_triples"](spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    li["item"] = li["l_partkey"] % 50
+    from collections import Counter
+    counts: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        items = sorted(set(grp["item"]))
+        for t in itertools.combinations(items, 3):
+            counts[t] += 1
+    frequent = {t: c for t, c in counts.items() if c >= 3}
+    want = dict(
+        sorted(frequent.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    # top-100 ties at the cutoff support are broken by (i1,i2,i3); both
+    # sides use the same total order, so the dicts match exactly
+    assert got == {tuple(map(int, k)): v for k, v in want.items()}
+
+
+def test_vocab_coverage_curve_semantics(spark, tmp_path):
+    """Constructed corpus: 'a' dominates, full vocab fits inside k=10,
+    so coverage at every k is exactly computable in micro-units."""
+    docs = [(1, "a a a a b b c"), (2, "a a b d"), (3, "e")]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.k: r for r in QUERIES["vocab_coverage_curve"](spark, d).collect()}
+    total = 12  # 6a + 3b + 1c + 1d + 1e
+    assert out[10].vocab_size == 5
+    assert out[10].covered_tokens == total
+    assert out[10].coverage_micro == 1_000_000
+    assert out[100].coverage_micro == 1_000_000

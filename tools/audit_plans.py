@@ -145,6 +145,11 @@ ALLOW = {
     # cross-joined into the final modularity row — the same bounded
     # global-scalar pattern as crossvalidate_counts
     "graph_modularity": {"nested-loop join"},
+    # the k-expansion joins the vocab-rank frame against a 3-ROW
+    # literal k table on rk <= k (non-equi by definition), plus the
+    # 1-row corpus-total crossJoin — both bounded by construction;
+    # the corpus-sized stream is touched once, upstream
+    "vocab_coverage_curve": {"nested-loop join"},
 }
 
 

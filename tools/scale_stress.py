@@ -255,6 +255,10 @@ DOCS_QUERIES = (
     # round-14: sharded training sink — one hash Exchange + parquet
     # write + read-back agg; wall should track bytes written (linear)
     "training_shard_write",
+    # round-15: one corpus scan -> vocab-sized agg + rank window over
+    # the vocab frame — expect flat-to-linear (vocab saturates under
+    # replication: copies reuse the same token types)
+    "vocab_coverage_curve",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -307,6 +311,13 @@ EVENTS_QUERIES = (
     "graph_modularity",
     # (type, day) agg then windows over a tiny frame — linear scan
     "event_rate_cusum",
+    # round-15: one 2x2 confusion agg then scalar arithmetic — the
+    # flattest possible shape, expect exponent ~0
+    "rater_agreement_kappa",
+    # round-15 Apriori k=3: replication multiplies BASKETS with fixed
+    # item space (mod 50), so pair/triple supports grow ~linearly and
+    # the candidate set saturates — judge against basket growth
+    "frequent_triples",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
