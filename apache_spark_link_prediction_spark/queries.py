@@ -12146,6 +12146,225 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FERTILITY_ORACLE = f"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t != '')) AS ws,
+             length(regexp_replace(text, '{BPE_ISH_PATTERN}', chr(1), 'g'))
+               - length(regexp_replace(regexp_replace(text, '{BPE_ISH_PATTERN}',
+                          chr(1), 'g'), chr(1), '', 'g')) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(CASE WHEN SUM(ws) = 0 THEN 0
+                     ELSE (1000000 * SUM(bpe)) // SUM(ws) END AS BIGINT)
+             AS fertility_micro
+    FROM d GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", _FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword(BPE-ish) tokens per
+    whitespace word, the statistic multilingual tokenizer evaluations
+    report per language (high fertility = the vocab under-serves that
+    language, inflating its effective sequence length and training
+    cost). Reuses token_counts' two counters, aggregated per lang with
+    the ratio in exact BIGINT micro-units over the SUMS (corpus-level
+    fertility, not mean-of-ratios — the convention in tokenizer
+    papers). One map-only scan + one tiny agg; at 100 TB this is
+    parquet-scan-speed."""
+    from .functions.textstats import bpe_ish_token_count, whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        whitespace_token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+    )
+    zero = F.lit(0).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.when(F.sum("ws") == 0, zero)
+        .otherwise(micro_div(F.sum("bpe"), F.sum("ws")))
+        .alias("fertility_micro"),
+    )
+
+
+_OVERLAP_ORACLE = f"""
+    WITH d AS (SELECT source, {_toks_sql('text')} AS toks FROM documents),
+    g AS (SELECT DISTINCT source,
+                 unnest(list_distinct(CASE WHEN len(toks) >= {_DECON_N}
+                   THEN list_transform(range(0, len(toks) - {_DECON_N - 1}),
+                        i -> array_to_string(toks[i + 1 : i + {_DECON_N}], ' '))
+                   ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM d WHERE len(toks) > 0),
+    sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+    sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT sh.src_a, sh.src_b, CAST(sh.shared AS BIGINT) AS shared_grams,
+           CAST((1000000 * sh.shared) // (x.n + y.n - sh.shared) AS BIGINT)
+             AS overlap_jaccard_micro
+    FROM sh JOIN sz x ON x.source = sh.src_a JOIN sz y ON y.source = sh.src_b
+"""
+
+
+@register("source_overlap_matrix", _OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of corpus
+    sources, the number of distinct {_DECON_N}-token grams they share
+    and the gram-set Jaccard (exact BIGINT micro-units) — the
+    corpus-level audit a mixture designer reads before weighting
+    sources (two crawls of the same site look independent in doc
+    counts but light up here; the doc-level twins are
+    decontaminate_ngram and doc_novelty_score). Pairs are canonical
+    (src_a < src_b).
+
+    Plan shape at 100 TB: per-source DISTINCT grams explode map-side
+    and dedup on one (source, gram)-keyed shuffle; the gram self-join
+    emits at most |sources|²/2 rows PER DISTINCT GRAM (sources are a
+    small dimension — tens, not millions), then aggregates to the
+    |S|²/2 matrix. Nothing is doc-pairwise; a gram shared by every
+    source costs S²/2 aggregation rows, not a hot-bucket blowup."""
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.filter(F.size(tokenize("text")) > 0)
+        .select(
+            "source", F.explode(word_shingles("text", _DECON_N)).alias("gram")
+        )
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    sh = (
+        a.join(b, on="gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        sh.join(F.broadcast(sz.select(F.col("source").alias("src_a"),
+                                      F.col("n").alias("__na"))), "src_a")
+        .join(F.broadcast(sz.select(F.col("source").alias("src_b"),
+                                    F.col("n").alias("__nb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("long").alias("shared_grams"),
+            micro_div(
+                F.col("shared"),
+                F.col("__na") + F.col("__nb") - F.col("shared"),
+            ).alias("overlap_jaccard_micro"),
+        )
+    )
+
+
+_HAMILTON_BUDGET = 97  # prime: forces nonzero remainders at every SF
+
+
+_HAMILTON_ORACLE = f"""
+    WITH c AS (SELECT source, count(*) AS ci FROM documents GROUP BY source),
+    tot AS (SELECT SUM(ci) AS big_c FROM c),
+    quota AS (
+      SELECT source, ci,
+             ({_HAMILTON_BUDGET} * ci) // (SELECT big_c FROM tot) AS base,
+             ({_HAMILTON_BUDGET} * ci) % (SELECT big_c FROM tot) AS rem
+      FROM c),
+    lo AS (SELECT SUM(base) AS allocated FROM quota),
+    ranked AS (
+      SELECT source, ci, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota),
+    alloc AS (
+      SELECT source,
+             base + CASE WHEN rk <= {_HAMILTON_BUDGET}
+                              - (SELECT allocated FROM lo)
+                         THEN 1 ELSE 0 END AS n_pick
+      FROM ranked),
+    keyed AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY ({_rolling_hash_sql("'strat:' || CAST(doc_id AS VARCHAR)")}),
+                        d.doc_id) AS pick_rank
+      FROM documents d)
+    SELECT k.source, CAST(k.doc_id AS BIGINT) AS doc_id,
+           CAST(a.n_pick AS BIGINT) AS stratum_quota
+    FROM keyed k JOIN alloc a ON a.source = k.source
+    WHERE k.pick_rank <= a.n_pick
+"""
+
+
+@register("stratified_sample_hamilton", _HAMILTON_ORACLE)
+def stratified_sample_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained PROPORTIONAL stratified sampling with exact
+    largest-remainder (Hamilton) apportionment — the integer-exact way
+    to split a fixed sample budget of {_HAMILTON_BUDGET} docs across
+    sources so Σ n_i equals the budget EXACTLY (naive
+    round(B·c_i/C) over- or under-shoots; floor alone undershoots;
+    Hamilton gives the floors plus one extra to the largest
+    remainders, total-ordered by (remainder, source)). Within each
+    stratum the picks are the lowest portable-rolling-hash docs — a
+    seedless, engine-reproducible uniform draw (weighted_sample_ares'
+    convention). Training-data use: carving a fixed eval/holdout
+    budget proportionally across corpus sources.
+
+    Plan shape at 100 TB: the apportionment runs on the |sources|-row
+    count table (scalar arithmetic + one tiny window); the corpus-side
+    work is one hash projection + one per-source top-n_pick window —
+    at scale swap the window for a per-partition heap top-k, same
+    key."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ci"))
+    tot = c.agg(F.sum("ci").cast("long").alias("big_c"))
+    B = F.lit(_HAMILTON_BUDGET).cast("long")
+    quota = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        exact_div(B * F.col("ci"), F.col("big_c")).alias("base"),
+        (B * F.col("ci") % F.col("big_c")).alias("rem"),
+    )
+    lo = quota.agg(F.sum("base").cast("long").alias("allocated"))
+    wrk = Window.orderBy(F.col("rem").desc(), "source")
+    alloc = (
+        quota.withColumn("rk", F.row_number().over(wrk))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= B - F.col("allocated"), 1).otherwise(0)
+            ).alias("n_pick"),
+        )
+    )
+    h = doc_rolling_hash(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    wpick = Window.partitionBy("source").orderBy(F.col("__h"), "doc_id")
+    keyed = docs.select("source", "doc_id", h.alias("__h")).withColumn(
+        "pick_rank", F.row_number().over(wpick)
+    )
+    return (
+        keyed.join(F.broadcast(alloc), on="source")
+        .filter(F.col("pick_rank") <= F.col("n_pick"))
+        .select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_pick").cast("long").alias("stratum_quota"),
+        )
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a

@@ -387,3 +387,44 @@ def test_vocab_coverage_curve_semantics(spark, tmp_path):
     assert out[10].covered_tokens == total
     assert out[10].coverage_micro == 1_000_000
     assert out[100].coverage_micro == 1_000_000
+
+
+def test_stratified_hamilton_exact_apportionment(spark, tmp_path):
+    """Hamilton apportionment pins on a SKEWED fixture (equal-count
+    sources never exercise the remainder ranking): quotas equal an
+    independent python largest-remainder computation, sum EXACTLY to
+    the budget, and the within-stratum picks are the lowest
+    portable-hash docs."""
+    from apache_spark_link_prediction_spark.functions.textstats import (
+        doc_rolling_hash,
+    )
+    from pyspark.sql import functions as F
+
+    counts = {"sA": 570, "sB": 230, "sC": 110, "sD": 30, "sE": 7}
+    rows, did = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((did, f"text {did}", src))
+            did += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["stratified_sample_hamilton"](spark, d).collect()
+    B, C = 97, sum(counts.values())
+    base = {s: (B * c) // C for s, c in counts.items()}
+    rem = {s: (B * c) % C for s, c in counts.items()}
+    left = B - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    want_quota = {
+        s: base[s] + (1 if order.index(s) < left else 0) for s in counts
+    }
+    got_quota = {}
+    picks: dict[str, list[int]] = {}
+    for r in out:
+        got_quota[r.source] = r.stratum_quota
+        picks.setdefault(r.source, []).append(r.doc_id)
+    assert got_quota == {s: q for s, q in want_quota.items() if q > 0}
+    assert sum(len(v) for v in picks.values()) == B
+    for s, ids in picks.items():
+        assert len(ids) == want_quota[s]

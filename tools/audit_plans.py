@@ -150,6 +150,10 @@ ALLOW = {
     # 1-row corpus-total crossJoin — both bounded by construction;
     # the corpus-sized stream is touched once, upstream
     "vocab_coverage_curve": {"nested-loop join"},
+    # two 1-row scalar crossJoins (corpus total C, allocated floor sum)
+    # into the |sources|-row apportionment table — the bounded
+    # global-scalar pattern; the corpus side is one equi-join on source
+    "stratified_sample_hamilton": {"nested-loop join"},
 }
 
 

@@ -18,6 +18,7 @@ Usage: python tools/scale_stress.py [op ...]   (default: all)
 from __future__ import annotations
 
 import math
+import os as _os
 import sys
 import time
 
@@ -42,10 +43,14 @@ from apache_spark_link_prediction_spark.operators.similarity import (  # noqa: E
 )
 from apache_spark_link_prediction_spark.sources.readers import load_table  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"
+# Base corpus for the soak; override with SPARK_STRESS_SF_DIR when a
+# deep-copies run would out-spill the box at the default base (r15: the
+# containment 100x at sf0.1 filled /tmp with 28 GB of shuffle spill —
+# sf0.01 x 100 keeps the same corpus SIZE as sf0.1 x 10 while pushing
+# per-cluster replication one decade further).
+SF_DIR = _os.environ.get("SPARK_STRESS_SF_DIR", "/root/testdata/sf0.1")
 # COPIES is env-overridable for deeper soaks (e.g. SPARK_STRESS_COPIES=100
 # extends the 10x curve a second decade on the cheap ops).
-import os as _os
 COPIES = int(_os.environ.get("SPARK_STRESS_COPIES", "10"))
 OFFSET = 10_000_000
 
