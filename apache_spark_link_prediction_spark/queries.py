@@ -12392,73 +12392,74 @@ def stratified_sample_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-14 accounting (243 entries: 221 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: ONE
-#   never-graded oracle-backed entry leads (training_shard_write, the
-#   round-14 sharded training sink); with dpp green in r13 every other
-#   oracle-backed entry already has driver evidence, so the remaining
-#   49 slots are pure oldest-first rotation — the r09 green cohort
-#   leads, then the r10 cohort (first-evidence phase of the window
-#   policy is complete as of r13).
+# Round-15 accounting (249 entries: 227 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the SIX
+#   round-15 registrations lead (rater_agreement_kappa,
+#   frequent_triples, vocab_coverage_curve, tokenizer_fertility_by_lang,
+#   source_overlap_matrix, stratified_sample_hamilton — all
+#   oracle-backed, never graded); the remaining 44 slots are pure
+#   oldest-first rotation per VERDICT r14 item 4 — the rest of the r10
+#   green cohort, then the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
 
 _WINDOW_THIS_ROUND = [
-    "training_shard_write",  # never graded
-    "dedup_containment_prefix",  # never graded
-    "zscore_by_group_pandas",  # last green r09
-    "window_functions_suite",  # last green r09
-    "sql_correlated_exists",  # last green r09
-    "pii_scrub",  # last green r09
-    "html_strip",  # last green r09
-    "vocab_topk",  # last green r09
-    "tfidf_keywords",  # last green r09
-    "gopher_quality_filter",  # last green r09
-    "passage_dup_spans",  # last green r09
-    "tpch_q18_large_orders",  # last green r09
-    "cohort_retention",  # last green r09
-    "sliding_window_agg",  # last green r09
-    "graph_pref_attachment",  # last green r09
-    "graph_jaccard_neighbors",  # last green r09
-    "graph_resource_allocation",  # last green r09
-    "tpch_q6_forecast_revenue",  # last green r09
-    "tpch_q10_returned_items",  # last green r09
-    "tpch_q13_order_counts",  # last green r09
-    "tpch_q14_promo_effect",  # last green r09
-    "tpch_q19_discounted_revenue",  # last green r09
-    "ntile_feature_binning",  # last green r09
-    "join_key_skew_probe",  # last green r09
-    "bpe_tokenize_stats",  # last green r09
-    "p2_scale_path_jaccard_deep",  # last green r10
-    "streaming_stateful_ema",  # last green r10
-    "decontaminate_containment_fuzzy",  # last green r10
-    "dsir_importance_select",  # last green r10
-    "gopher_repetition_ngram",  # last green r10
-    "histogram_fixed_bins",  # last green r10
-    "tpch_q8_market_share",  # last green r10
-    "tpch_q15_top_supplier",  # last green r10
-    "activity_streaks",  # last green r10
-    "event_transition_counts",  # last green r10
-    "cdc_upsert_latest",  # last green r10
-    "streaming_cdc_upsert",  # last green r10
-    "time_weighted_avg_daily",  # last green r10
-    "dedup_levenshtein_banded",  # last green r10
-    "sample_k_per_group",  # last green r10
-    "funnel_conversion",  # last green r10
-    "retention_cohorts",  # last green r10
-    "concurrent_sessions",  # last green r10
-    "dedup_jaccard_prefix",  # last green r10
-    "gap_fill_daily",  # last green r10
-    "unigram_logprob_score",  # last green r10
-    "token_drift_js",  # last green r10
-    "pagerank_parts",  # last green r10
-    "tpch_q4_priority_exists",  # last green r10
-    "tpch_q12_late_shipments",  # last green r10
+    "rater_agreement_kappa",  # never graded
+    "frequent_triples",  # never graded
+    "vocab_coverage_curve",  # never graded
+    "tokenizer_fertility_by_lang",  # never graded
+    "source_overlap_matrix",  # never graded
+    "stratified_sample_hamilton",  # never graded
+    "tpch_q21_waiting_supplier",  # last green r10
+    "tpch_q22_idle_customers",  # last green r10
+    "bm25_scoring",  # last green r10
+    "bigram_next_token",  # last green r10
+    "graph_khop_reachability",  # last green r10
+    "winsorize_by_group",  # last green r10
+    "table_profile",  # last green r10
+    "corr_by_group",  # last green r10
+    "incremental_agg_merge",  # last green r10
+    "variant_props_extract",  # last green r10
+    "streaming_static_join",  # last green r10
+    "array_hof_suite",  # last green r10
+    "null_semantics_suite",  # last green r10
+    "k_anonymity_release",  # last green r10
+    "ndcg_retrieval_eval",  # last green r10
+    "interpolate_missing_daily",  # last green r10
+    "asof_join_pandas",  # last green r10
+    "multi_distinct_agg",  # last green r10
+    "sql_lateral_topk",  # last green r10
+    "snapshot_diff_audit",  # last green r10
+    "trigram_search_index",  # last green r10
+    "count_min_freq",  # last green r10
+    "multimodal_audio_centroid_tone",  # last green r10
+    "crossvalidate_counts",  # last green r11
+    "distinct_agg",  # last green r11
+    "set_except",  # last green r11
+    "sample_bernoulli",  # last green r11
+    "salted_skew_join",  # last green r11
+    "streaming_text_curation",  # last green r11
+    "streaming_embedding_ingest",  # last green r11
+    "cube_agg",  # last green r11
+    "bigram_lm_perplexity",  # last green r11
+    "span_corruption_mask",  # last green r11
+    "winnowing_fingerprints",  # last green r11
+    "winnowing_candidate_pairs",  # last green r11
+    "dedup_clusters_exact",  # last green r11
+    "multimodal_audio_energy",  # last green r11
+    "asof_join_events",  # last green r11
+    "doc_rolling_hash",  # last green r11
+    "rolling_range_window",  # last green r11
+    "approx_distinct_agg",  # last green r11
+    "approx_quantile_agg",  # last green r11
+    "set_except_all",  # last green r11
+    "set_intersect_all",  # last green r11
 ]
+
 
 
 def _reorder_registry() -> None:
