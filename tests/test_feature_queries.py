@@ -360,11 +360,13 @@ def test_frequent_triples_equals_bruteforce(spark):
     li["item"] = li["l_partkey"] % 50
     from collections import Counter
     counts: Counter = Counter()
+    n_baskets = li["l_orderkey"].nunique()
     for _, grp in li.groupby("l_orderkey"):
         items = sorted(set(grp["item"]))
         for t in itertools.combinations(items, 3):
             counts[t] += 1
-    frequent = {t: c for t, c in counts.items() if c >= 3}
+    floor = max(3, n_baskets // 2000)  # the query's relative rule
+    frequent = {t: c for t, c in counts.items() if c >= floor}
     want = dict(
         sorted(frequent.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     )

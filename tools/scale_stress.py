@@ -264,6 +264,15 @@ DOCS_QUERIES = (
     # the vocab frame — expect flat-to-linear (vocab saturates under
     # replication: copies reuse the same token types)
     "vocab_coverage_curve",
+    # round-15: two map-only counters + per-lang agg — expect ~flat
+    "tokenizer_fertility_by_lang",
+    # round-15: per-source distinct grams -> gram self-join bounded by
+    # |sources|² per gram; replication adds copies to the SAME sources
+    # so the distinct-gram sets barely grow — expect ~flat
+    "source_overlap_matrix",
+    # round-15: apportionment on the |sources|-row count table + one
+    # per-source top-n window — expect ~linear scan cost
+    "stratified_sample_hamilton",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
