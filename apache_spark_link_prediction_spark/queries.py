@@ -12389,6 +12389,124 @@ def stratified_sample_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_TOKEN_JACCARD_ORACLE}),
+    edges AS (
+      SELECT src_id AS a, dst_id AS b FROM pairs
+      UNION
+      SELECT dst_id AS a, src_id AS b FROM pairs
+    ),
+    closure(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a
+    ),
+    comp AS (SELECT node, MIN(reach) AS comp FROM closure GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(m.comp, d.doc_id) AS comp,
+             len({_toks_sql('text')}) AS n_tokens
+      FROM documents d LEFT JOIN comp m ON d.doc_id = m.node),
+    ranked AS (
+      SELECT doc_id, comp, n_tokens,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM labeled)
+    SELECT r.doc_id,
+           CAST(k.doc_id AS BIGINT) AS keeper_id,
+           CAST(r.doc_id = k.doc_id AS INT) AS kept
+    FROM ranked r JOIN ranked k ON k.comp = r.comp AND k.rk = 1
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster keeper selection — the policy
+    real curation pipelines run instead of dedup_clusters_exact's
+    min-id keeper: within each near-dup cluster keep the doc with the
+    MOST TOKENS (the most complete variant; truncated crawls of the
+    same page lose to the full copy), tie-broken by doc_id. Clusters
+    come from the hash-gated blocked token-Jaccard pairs via the same
+    iterative min-label components as dedup_clusters_exact; the keeper
+    REMAP is one per-cluster argmax window on top. Emits one row per
+    corpus doc: (doc_id, keeper_id, kept).
+
+    Plan shape at 100 TB: components over the PAIR set (≪ corpus),
+    one broadcast-size score join (cluster membership rows only),
+    one per-cluster window; singletons bypass with themselves as
+    keeper — nothing here is corpus-quadratic."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    comp = dedup_clusters(docs, pairs)  # (doc_id, keeper_id = min-label)
+    scored = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+    labeled = comp.select(
+        "doc_id", F.col("keeper_id").alias("comp")
+    ).join(scored, "doc_id")
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    best = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("comp"), F.col("doc_id").alias("keeper_id"))
+    )
+    return (
+        labeled.join(best, "comp")
+        .select(
+            "doc_id",
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+        )
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, len({_toks_sql('text')}) AS n_tokens,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY bucket
+"""
+
+
+@register("curriculum_length_buckets", _CURRICULUM_ORACLE)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum bucketing: quartile the corpus by doc
+    length under a TOTAL order (n_chars, doc_id — ntile over ties is
+    engine-defined unless the order is total) and report each stage's
+    doc count, length range, and token budget — the schedule table a
+    curriculum-training run consumes (short-to-long document ordering).
+    All-integer output.
+
+    Plan shape at 100 TB: replace the single-partition ntile window
+    with approx-quantile cut points + a map-side bucket assignment —
+    same output contract; here the window is the point being pinned
+    (engine-parity of ntile's remainder distribution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        F.ntile(4).over(w).alias("bucket"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -12416,14 +12534,14 @@ def stratified_sample_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-15 accounting (249 entries: 227 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the SIX
-#   round-15 registrations lead (rater_agreement_kappa,
+# Round-15 accounting (251 entries: 229 oracle-backed, 22
+#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
+#   EIGHT round-15 registrations lead (rater_agreement_kappa,
 #   frequent_triples, vocab_coverage_curve, tokenizer_fertility_by_lang,
-#   source_overlap_matrix, stratified_sample_hamilton — all
-#   oracle-backed, never graded); the remaining 44 slots are pure
-#   oldest-first rotation per VERDICT r14 item 4 — the rest of the r10
-#   green cohort, then the r11 cohort.
+#   source_overlap_matrix, stratified_sample_hamilton, dedup_keep_best,
+#   curriculum_length_buckets — all oracle-backed, never graded); the
+#   remaining 42 slots are pure oldest-first rotation per VERDICT r14
+#   item 4 — the rest of the r10 green cohort, then the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -12438,6 +12556,8 @@ _WINDOW_THIS_ROUND = [
     "tokenizer_fertility_by_lang",  # never graded
     "source_overlap_matrix",  # never graded
     "stratified_sample_hamilton",  # never graded
+    "dedup_keep_best",  # never graded
+    "curriculum_length_buckets",  # never graded
     "tpch_q21_waiting_supplier",  # last green r10
     "tpch_q22_idle_customers",  # last green r10
     "bm25_scoring",  # last green r10
@@ -12480,9 +12600,8 @@ _WINDOW_THIS_ROUND = [
     "rolling_range_window",  # last green r11
     "approx_distinct_agg",  # last green r11
     "approx_quantile_agg",  # last green r11
-    "set_except_all",  # last green r11
-    "set_intersect_all",  # last green r11
 ]
+
 
 
 

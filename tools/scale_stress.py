@@ -273,6 +273,12 @@ DOCS_QUERIES = (
     # round-15: apportionment on the |sources|-row count table + one
     # per-source top-n window — expect ~linear scan cost
     "stratified_sample_hamilton",
+    # round-15: components over the PAIR set + one per-cluster argmax
+    # window — pair volume grows with replication (near-dup clusters
+    # densify), judge like the dedup pair family
+    "dedup_keep_best",
+    # round-15: one corpus scan + a single ntile window + 4-row agg
+    "curriculum_length_buckets",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
