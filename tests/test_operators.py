@@ -1049,7 +1049,7 @@ def test_embedding_collapse_tier_is_output_identical(spark, emb):
     assert with_c == without_c
     # every planted exact dup must be found at cosine 1.0
     for s in [r["vec_id"] for r in base.limit(20).collect()]:
-        assert (s, s + 1_000_000, 1_000_000) in with_c
+        assert (s, s + 1_000_000, 1.0) in with_c
 
 
 def test_jaccard_prefix_collapse_tier_is_output_identical(spark, docs):
