@@ -320,3 +320,36 @@ def test_rows_only_entries_name_their_blocker():
         if not any(p in src for p in pin_phrases):
             failures.append(f"{name}: no pin/twin reference")
     assert not failures, "\n".join(failures)
+
+
+def test_round_lint_flags_uncategorized_and_stale():
+    """Pins tools/check_types.py's round()-in-hash-path lint (round 15):
+    an oracle containing round( without a ROUND_ALLOWLIST category is
+    flagged, a stale allowlist entry (no round( left) is flagged, and a
+    categorized entry passes — so the dpp class can't silently re-enter
+    and the allowlist can't rot."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "check_types", root / "tools" / "check_types.py"
+    )
+    ct = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ct)
+
+    assert "approx_quantile_agg" in ct.ROUND_ALLOWLIST  # categorized
+    fake = {
+        "new_bad_query": "SELECT round(a / b, 6) AS r FROM t",
+        "approx_quantile_agg": "SELECT round(quantile_cont(v,0.5),6) FROM t",
+    }
+    assert ct.lint_rounds(fake) == 1  # only the uncategorized one flags
+    # stale: allowlisted name whose oracle has no round( left
+    stale = {"approx_quantile_agg": "SELECT 1 AS x"}
+    assert ct.lint_rounds(stale) == 1
+    # clean: categorized + round-free uncategorized
+    ok = {
+        "approx_quantile_agg": "SELECT round(quantile_cont(v,0.5),6) FROM t",
+        "integer_exact_query": "SELECT (1000000 * a) // b AS r FROM t",
+    }
+    assert ct.lint_rounds(ok) == 0
