@@ -133,15 +133,37 @@ def micro_threshold(t: float) -> int:
 
 def exact_div(num: Column, den: Column) -> Column:
     """Exact BIGINT integral division ``num div den`` for NON-NEGATIVE
-    long columns. Implemented as ``(n − n mod d) / d`` so the quotient
-    is an exactly-divisible integer: the double division is error-free
-    and the cast back to long is exact. Caller guarantees ``den > 0``
-    and ``num ≥ 0`` (Spark's % truncates toward zero while DuckDB's
+    long columns, via Spark's ``IntegralDivide`` (the SQL ``div``
+    operator, callable as ``div(n, d)``) — exact over the FULL 64-bit
+    range. The former ``(n − n mod d) / d`` double path was only exact
+    below 2^53: the exactly-divisible numerator still had to round to
+    a double before dividing, so quotients ≥ 2^53 could come back
+    q−1/q+1 (ADVICE r15 #1). Caller guarantees ``den > 0`` and
+    ``num ≥ 0`` (Spark's div truncates toward zero while DuckDB's
     ``//`` floors, so negative numerators would diverge — keep
-    numerators non-negative, e.g. via ``F.abs``)."""
+    numerators non-negative, e.g. via ``F.abs``, or use
+    :func:`signed_exact_div`)."""
     n = num.cast("long")
     d = den.cast("long")
-    return ((n - (n % d)) / d).cast("long")
+    return F.call_function("div", n, d)
+
+
+def signed_exact_div(num: Column, den: Column) -> Column:
+    """Exact BIGINT integral division for a possibly-NEGATIVE
+    numerator, with MAGNITUDE semantics: ``sign(num) · (|num| div
+    den)``. Integer-division-on-negatives is an ENGINE CONVENTION
+    (truncate toward zero vs floor: −7/2 → −3 vs −4; Spark ``div``
+    and DuckDB 1.0 ``//`` both truncate, Python ``//`` floors, and
+    the convention is version-fragile) — dividing the magnitude and
+    re-applying the sign is identical under BOTH conventions because
+    the magnitude is non-negative (DuckDB oracle twin:
+    ``sign(num) * (abs(num) // den)``). Caller guarantees
+    ``den > 0``. This is the kappa convention from r15
+    (queries.py ``rater_agreement_kappa``), promoted to a shared
+    helper so every signed score (deltas, drifts, correlations) uses
+    one audited code path."""
+    n = num.cast("long")
+    return F.signum(n).cast("long") * exact_div(F.abs(n), den)
 
 
 def micro_div(num: Column, den: Column) -> Column:

@@ -30,6 +30,7 @@ from .functions.pairwise import (
     jaccard_micro_tokens,
     jaccard_tokens,
     micro_div,
+    signed_exact_div,
     tokenize,
     year_difference,
 )
@@ -8627,9 +8628,12 @@ def ks_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # KS distance in exact micro-units: D = max |Fa − Fb| over the
     # value grid = max (10^6·|cuma·tb − cumb·ta|) div (ta·tb) — the
-    # cross-multiplied integer form (floor commutes with max). The
-    # 64-bit bound holds to ~3e6 rows per source (cuma·tb·10^6 < 2^63);
-    # at 100 TB pre-bin the grid by approx quantiles first (docstring).
+    # cross-multiplied integer form (floor commutes with max).
+    # exact_div is IntegralDivide since r16 (exact over the full
+    # 64-bit range — the former double path capped precision at 2^53,
+    # ADVICE r15 #1), so the only bound is multiply overflow:
+    # cuma·tb·10^6 < 2^63 ⇒ ~3e6 rows per source. At 100 TB pre-bin
+    # the grid by approx quantiles first (docstring).
     return c.agg(
         F.max(
             micro_div(
@@ -11936,9 +11940,11 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     with N items, A agreements, and marginals a1/b1,
     kappa = (N·A − E)/(N² − E) where E = a1·b1 + (N−a1)(N−b1) —
     emitted as signed BIGINT micro-units via magnitude-division
-    (sign · (10^6·|num|) div den, identical truncation on both
-    engines; kappa may be negative, so plain floor-div would diverge
-    between Spark's truncate and DuckDB's floor).
+    (sign · (10^6·|num|) div den — since r16 via the shared
+    :func:`signed_exact_div` helper; kappa may be negative, and
+    integer division on negatives is an engine-version convention
+    (truncate vs floor), so dividing the magnitude is the one form
+    identical under both).
 
     Plan shape at 100 TB: one map-side-combined 2×2 confusion agg —
     a 4-row frame — then scalar arithmetic. Nothing scales with N
@@ -11975,12 +11981,11 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("nn") * F.col("agree") - F.col("expct")
     den = F.col("nn") * F.col("nn") - F.col("expct")
-    mag = exact_div(F.abs(num) * F.lit(1_000_000).cast("long"), den)
     return e.select(
         F.col("nn").alias("n_items"),
         F.col("agree").alias("n_agree"),
         F.when(den == 0, F.lit(0).cast("long"))
-        .otherwise(F.when(num >= 0, mag).otherwise(-mag))
+        .otherwise(signed_exact_div(num * F.lit(1_000_000).cast("long"), den))
         .alias("kappa_micro"),
     )
 

@@ -10,7 +10,9 @@ from apache_spark_link_prediction_spark.functions.pairwise import (
     common_token_count,
     common_token_count_multiset,
     equality_flag,
+    exact_div,
     jaccard_tokens,
+    signed_exact_div,
     tokenize,
     year_difference,
 )
@@ -85,6 +87,43 @@ def test_jaccard_tokens(spark):
     got = [r["j"] for r in df.select(jaccard_tokens("x", "y").alias("j")).collect()]
     assert got[0] == pytest.approx(1 / 3)
     assert got[1] == 0.0
+
+
+def test_exact_div_is_exact_past_2_to_53(spark):
+    """Pins the ADVICE r15 #1 fix: exact_div uses IntegralDivide, so
+    quotients beyond the double-precision cliff (2^53) come back exact
+    — the former (n − n%d)/d double path returned q−1 for e.g.
+    (2^60+7) div 3. Also pins signed_exact_div's magnitude semantics
+    (sign·(|n| div d)): identical under truncate AND floor conventions,
+    so a DuckDB upgrade can't flip it."""
+    df = spark.createDataFrame(
+        [
+            (2**60 + 7, 3),  # past 2^53: the regression case
+            (2**62 + 12345, 7),
+            (10, 3),
+            (0, 5),
+        ],
+        "n long, d long",
+    )
+    got = [
+        r["q"]
+        for r in df.select(exact_div(F.col("n"), F.col("d")).alias("q"))
+        .orderBy(F.col("n"))
+        .collect()
+    ]
+    assert got == [0, 10 // 3, (2**60 + 7) // 3, (2**62 + 12345) // 7]
+
+    sdf = spark.createDataFrame(
+        [(-7, 2), (7, 2), (-(2**60) - 7, 3), (0, 9)], "n long, d long"
+    )
+    sgot = {
+        r["n"]: r["q"]
+        for r in sdf.select(
+            "n", signed_exact_div(F.col("n"), F.col("d")).alias("q")
+        ).collect()
+    }
+    # magnitude semantics: -7/2 -> -3 (NOT floor's -4)
+    assert sgot == {-7: -3, 7: 3, -(2**60) - 7: -((2**60 + 7) // 3), 0: 0}
 
 
 def test_detect_language_markers(spark):

@@ -353,3 +353,57 @@ def test_round_lint_flags_uncategorized_and_stale():
         "integer_exact_query": "SELECT (1000000 * a) // b AS r FROM t",
     }
     assert ct.lint_rounds(ok) == 0
+
+
+def test_signed_div_lint_flags_negative_numerators():
+    """Pins tools/check_types.py's signed-integer-division lint (round
+    16, VERDICT r15 item 3): a `//` whose numerator has a top-level
+    binary minus (possibly negative → engine truncate-vs-floor
+    convention risk) is flagged unless abs()-wrapped, sign-magnitude,
+    or allowlisted; stale and deleted allowlist keys are flagged so
+    neither allowlist can rot (ADVICE r15 #5)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "check_types", root / "tools" / "check_types.py"
+    )
+    ct = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ct)
+
+    # signed-risk numerator flags; abs-wrapped and count numerators pass
+    assert ct.lint_signed_divs(
+        {"bad": "SELECT (1000000 * (a - b)) // d AS r FROM t"}
+    ) == 1
+    assert ct.lint_signed_divs(
+        {
+            "house_form": (
+                "SELECT CASE WHEN a >= b THEN (1000000*(a-b)) // d ELSE 0 "
+                "END AS r0, sign(a - b) * (abs(1000000 * (a - b)) // d) "
+                "AS r FROM t"
+            )
+        }
+    ) == 1  # the guarded-CASE branch still flags; abs leg passes
+    assert ct.lint_signed_divs(
+        {"counts": "SELECT (1000000 * cnt) // total AS r FROM t"}
+    ) == 0
+    # unary minus in a literal is not a binary minus
+    assert ct.lint_signed_divs({"lit": "SELECT (a + -1) // d FROM t"}) == 0
+    # the deliberate sign-pin canary is allowlisted and present
+    assert "numeric_intdiv_mod_suite" in ct.SIGNED_DIV_ALLOWLIST
+    assert ct.lint_signed_divs(
+        {"numeric_intdiv_mod_suite": "SELECT (user_id - 100) // 7 FROM t"}
+    ) == 0
+    # stale allowlist entry (query present, no signed-risk // left)
+    assert ct.lint_signed_divs(
+        {"numeric_intdiv_mod_suite": "SELECT 1 AS x"}
+    ) == 1
+    # deleted-from-registry allowlist keys flag via lint_removed_keys
+    assert ct.lint_removed_keys({}) == len(ct.ROUND_ALLOWLIST) + len(
+        ct.SIGNED_DIV_ALLOWLIST
+    )
+    full = dict.fromkeys(
+        list(ct.ROUND_ALLOWLIST) + list(ct.SIGNED_DIV_ALLOWLIST), "SELECT 1"
+    )
+    assert ct.lint_removed_keys(full) == 0

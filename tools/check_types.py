@@ -219,7 +219,10 @@ ROUND_ALLOWLIST = {k: v for k, v in ROUND_ALLOWLIST.items() if v}
 def lint_rounds(oracles: dict[str, str]) -> int:
     """FLAG (a) any oracle containing round( without an allowlist
     category, (b) stale allowlist entries whose oracle no longer
-    contains round( (so the list can't rot)."""
+    contains round( (so the list can't rot). Deletion-rot (an
+    allowlist key whose QUERY was removed from the registry) is
+    :func:`lint_removed_keys` — kept separate because this function is
+    also pinned against small synthetic dicts in tests."""
     n = 0
     for name, sql in oracles.items():
         has = bool(re.search(r"\bround\s*\(", sql, re.IGNORECASE))
@@ -239,6 +242,186 @@ def lint_rounds(oracles: dict[str, str]) -> int:
     return n
 
 
+def lint_removed_keys(oracles: dict[str, str]) -> int:
+    """FLAG allowlist keys (ROUND_ or SIGNED_DIV_) whose query was
+    DELETED from the registry — lint_rounds only iterates the oracles
+    dict, so removal-rot slipped through it (ADVICE r15 #5). Call with
+    the FULL registry only."""
+    n = 0
+    for listname, keys in (
+        ("ROUND_ALLOWLIST", ROUND_ALLOWLIST),
+        ("SIGNED_DIV_ALLOWLIST", SIGNED_DIV_ALLOWLIST),
+    ):
+        for name in sorted(set(keys) - set(oracles)):
+            print(
+                f"FLAG  {name}: {listname} entry for a query no longer "
+                "in the registry — remove the entry"
+            )
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Signed-integer-division lint (round 16, VERDICT r15 item 3).
+#
+# Integer division on a NEGATIVE numerator is an engine-version convention
+# (truncate toward zero vs floor: −7/2 → −3 vs −4; Spark `div` and DuckDB
+# 1.0 `//` both truncate, but the convention is fragile across versions
+# and engines — Python `//` floors). The house form for signed scores is
+# MAGNITUDE division, identical under both conventions:
+# Spark `signed_exact_div` (functions/pairwise.py), oracle twin
+# `sign(num) * (abs(num) // den)`. This lint scans every oracle's `//`
+# operands: a numerator containing a top-level binary minus (the one
+# static marker of "can go negative") that is not abs()-wrapped must
+# either be migrated or carry a SIGNED_DIV_ALLOWLIST entry proving why
+# the raw convention is safe.
+SIGNED_DIV_ALLOWLIST = {
+    "numeric_intdiv_mod_suite": (
+        "DELIBERATE sign pin: this suite EXISTS to assert that Spark div "
+        "and this DuckDB's // agree (truncate toward zero) on real "
+        "negative data; hash-green is the proof. If a DuckDB upgrade "
+        "flips // to floor, THIS query reds first — the canary."
+    ),
+    "doc_novelty_score": (
+        "n_grams - n_seen >= 0: seen grams are a subset of the doc's "
+        "grams by construction (the join that builds n_seen filters on "
+        "membership)."
+    ),
+    "gopher_repetition_ngram": (
+        "len(g) - len(list_distinct(g)) >= 0: dedup never lengthens a "
+        "list."
+    ),
+    "rater_agreement_kappa": (
+        "CASE-guarded sign-magnitude: branch 1 requires nn*agree >= "
+        "expct, branch 2 divides expct - nn*agree under the opposite "
+        "guard — each branch's numerator is non-negative by its guard. "
+        "This IS the house signed_exact_div pattern, spelled as CASE."
+    ),
+    "target_encode_loo": (
+        "sy - y >= 0: sy is the group sum INCLUDING the row's own y, "
+        "and events.value >= 0 by data contract (min is 0.0 at every "
+        "SF; y = round(value, 6))."
+    ),
+    "text_quality": (
+        "length(text) - length(regexp_replace(text, strip-class, '')) "
+        ">= 0: removing characters never lengthens a string."
+    ),
+    "window_functions_suite": (
+        "rn - 1 >= 0: row_number() starts at 1."
+    ),
+}
+
+
+def _floordiv_numerator(sql: str, pos: int) -> str:
+    """The operand left of a `//` at pos: a bare token, or a balanced
+    paren group including any function name glued to it."""
+    i = pos - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return ""
+    if sql[i] == ")":
+        depth, j = 0, i
+        while j >= 0:
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        k = j - 1
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+            k -= 1
+        return sql[k + 1 : i + 1]
+    j = i
+    while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+        j -= 1
+    return sql[j + 1 : i + 1]
+
+
+def _mask_safe_spans(expr: str) -> str:
+    """Blank out spans whose minus signs cannot make the numerator
+    negative: single-quoted string literals and abs(...) bodies (abs of
+    anything is non-negative)."""
+    out = list(expr)
+    # string literals ('' escapes handled by re-entering string state)
+    in_str = False
+    for i, ch in enumerate(expr):
+        if ch == "'":
+            in_str = not in_str
+        elif in_str:
+            out[i] = " "
+    expr2 = "".join(out)
+    # abs(...) spans, innermost-out via repeated scan
+    low = expr2.lower()
+    for m in re.finditer(r"\babs\s*\(", low):
+        depth, j = 0, m.end() - 1
+        while j < len(expr2):
+            if expr2[j] == "(":
+                depth += 1
+            elif expr2[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        for k in range(m.start(), min(j + 1, len(expr2))):
+            out[k] = " "
+    return "".join(out)
+
+
+def _has_binary_minus(expr: str) -> bool:
+    """True if expr (token or paren group, incl. leading func name)
+    contains a BINARY minus at ANY paren depth, after masking string
+    literals and abs() spans and skipping DuckDB lambda arrows (->) —
+    the static marker of a possibly-negative numerator. Any-depth
+    because `(10^6 * (a - b)) // d` nests the risky minus one level
+    down (the exact shape of the kappa/te_loo class)."""
+    body = _mask_safe_spans(expr)
+    for idx, ch in enumerate(body):
+        if ch != "-":
+            continue
+        if idx + 1 < len(body) and body[idx + 1] == ">":
+            continue  # lambda arrow
+        prev = body[:idx].rstrip()
+        if prev and (prev[-1].isalnum() or prev[-1] in ")_"):
+            return True
+    return False
+
+
+def lint_signed_divs(oracles: dict[str, str]) -> int:
+    """FLAG any oracle `//` whose numerator has a top-level binary
+    minus and is not abs()/greatest()-wrapped, unless allowlisted; also
+    FLAG stale allowlist entries whose present oracle has no
+    signed-risk `//` left (deletion-rot is lint_removed_keys)."""
+    n = 0
+    flagged_names = set()
+    for name, sql in oracles.items():
+        for m in re.finditer(r"//", sql):
+            num = _floordiv_numerator(sql, m.start())
+            low = num.lower()
+            if low.startswith(("abs(", "greatest(")):
+                continue
+            if _has_binary_minus(num):
+                flagged_names.add(name)
+                if name not in SIGNED_DIV_ALLOWLIST:
+                    print(
+                        f"FLAG  {name}: `//` on a possibly-negative "
+                        f"numerator {num[:60]!r} — migrate to "
+                        "signed_exact_div / sign(x)*(abs(x)//d) or add a "
+                        "SIGNED_DIV_ALLOWLIST justification"
+                    )
+                    n += 1
+    for name in sorted(SIGNED_DIV_ALLOWLIST):
+        if name in oracles and name not in flagged_names:
+            print(
+                f"FLAG  {name}: stale SIGNED_DIV_ALLOWLIST entry (no "
+                "signed-risk `//` left in its oracle) — remove the entry"
+            )
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -253,7 +436,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = queries(), oracle_sql()
-    n_flagged = lint_rounds(oracles)
+    n_flagged = (
+        lint_rounds(oracles)
+        + lint_signed_divs(oracles)
+        + lint_removed_keys(oracles)
+    )
     for name, fn in qs.items():
         if name not in oracles:
             continue
