@@ -11826,8 +11826,16 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the FULL sf_dir path, so (a) two sf_dirs sharing a basename
     can't collide, (b) concurrent gate/test/bench sessions each get a
     private directory and never race overwrite-vs-read-back; stale
-    sibling run dirs (mtime > 2h, i.e. dead sessions) are best-effort
-    pruned on entry so /tmp doesn't accumulate."""
+    sibling run dirs are best-effort pruned on entry so /tmp doesn't
+    accumulate. Liveness is a ``<run>.heartbeat`` marker BESIDE the
+    run dir (inside it Spark's mode("overwrite") would delete it),
+    touched at every call BEFORE pruning (ADVICE r15 #2: the run dir's
+    own mtime does not reliably update on writes inside existing shard
+    files, so a >2h-old but LIVE sibling run could be rmtree'd
+    mid-read-back under the old dir-mtime rule); a sibling is pruned
+    only when its heartbeat — or, for pre-heartbeat leftovers, the dir
+    itself — is stale, and orphaned markers are swept with their
+    dirs."""
     import hashlib
     import shutil
     import time as _time
@@ -11837,17 +11845,33 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     root = "/tmp/spark_graft_training_shards"
     os.makedirs(root, exist_ok=True)
-    now = _time.time()
     app_id = spark.sparkContext.applicationId
+    tag = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    run = f"{app_id}_{tag}"
+    path = os.path.join(root, run)
+    with open(os.path.join(root, f"{run}.heartbeat"), "w") as hb:
+        hb.write(str(_time.time()))
+    now = _time.time()
     for d in os.listdir(root):  # prune dirs from dead sessions only
+        if d.startswith(app_id):
+            continue
         p = os.path.join(root, d)
         try:
-            if not d.startswith(app_id) and now - os.path.getmtime(p) > 7200:
+            if d.endswith(".heartbeat"):
+                # bare marker whose run dir never landed / already swept
+                if not os.path.isdir(p[: -len(".heartbeat")]) and (
+                    now - os.path.getmtime(p) > 7200
+                ):
+                    os.unlink(p)
+                continue
+            marker = os.path.join(root, f"{d}.heartbeat")
+            ref = marker if os.path.exists(marker) else p
+            if now - os.path.getmtime(ref) > 7200:
                 shutil.rmtree(p, ignore_errors=True)
+                if os.path.exists(marker):
+                    os.unlink(marker)
         except OSError:
             pass
-    tag = hashlib.sha1(sf_dir.rstrip("/").encode()).hexdigest()[:10]
-    path = os.path.join(root, f"{app_id}_{tag}")
     return write_training_shards(docs, path, n_shards=_SHARD_N)
 
 

@@ -629,12 +629,15 @@ def streaming_text_curation(
     within-stream duplicate text.
 
     The punct gate compares RAW counts — ``punct_count <= n_chars *
-    max_punct_ratio`` — not the 4dp-rounded ``quality_features``
-    ratio: integer counts times one IEEE multiply is bit-deterministic
-    in every engine, which is what lets this tier carry a full DuckDB
-    hash oracle (VERDICT r06 item 8) instead of a rows-only row; a
-    rounded-ratio gate would re-import the round(double, n)
-    version-divergence that made numeric_semantics_suite driver-red."""
+    max_punct_ratio`` — the same cross-multiplied convention as
+    ``quality_features``'s micro-unit columns (``punct_ratio_micro``
+    etc., BIGINT ``(10^6·num) div den`` since the r15 integer-exact
+    migration): integer counts times one IEEE multiply is
+    bit-deterministic in every engine, which is what lets this tier
+    carry a full DuckDB hash oracle (VERDICT r06 item 8) instead of a
+    rows-only row; a rounded-DOUBLE-ratio gate would re-import the
+    round(double, n) version-divergence that made
+    numeric_semantics_suite driver-red."""
     from ..functions.pairwise import tokenize
     from ..functions.textstats import punct_count
     from ..operators.dedup import word_shingles

@@ -122,6 +122,24 @@ PARITY_TIER = {"p2_lsh_similarity"}
 REPLICA_COPIES = 10
 REPLICA_MARKER = "_SPARK_GRAFT_REPLICA_OK"
 
+# Load-gate thresholds (VERDICT r07 item 1, retargeted r16 per VERDICT
+# r15 item 2): the pre-run wait loop holds out for a genuinely QUIET
+# box (load1 <= CLEAN_LOAD) for up to LOAD_WAIT_SEC; WARN/REFUSE grade
+# what actually ran. Module-level so tests/test_cli.py can pin them.
+CLEAN_LOAD, WARN_LOAD, REFUSE_LOAD, LOAD_WAIT_SEC = 0.5, 2.0, 4.0, 600
+
+
+def tier_state(load1) -> str:
+    """Per-tier series state from the load sampled immediately before
+    that tier ran: invalid above REFUSE_LOAD, warn above WARN_LOAD,
+    else ok. None (no getloadavg) grades ok — there is nothing to
+    gate on."""
+    if load1 is not None and load1 > REFUSE_LOAD:
+        return "invalid_load"
+    if load1 is not None and load1 > WARN_LOAD:
+        return "warn_load"
+    return "ok"
+
 
 def trips_gate(name: str, t: float, recorded: dict[str, float] | None = None) -> bool:
     """Per-query regression-gate predicate: a timing trips only when it
@@ -260,15 +278,18 @@ def main() -> None:
     base_sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     with_10x = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10x") != "off"
 
-    # Load gate (VERDICT r07 item 1 — the old cpus/2 threshold let a
-    # load1=5.35 run contaminate the series with every query uniformly
-    # ~1.4× inflated): warn above WARN_LOAD, and above REFUSE_LOAD wait
-    # up to LOAD_WAIT_SEC for the box to quiet down; if it never does,
-    # still emit the JSON (the driver needs an artifact) but with
-    # ``series_point_valid: false`` so the number is excluded from
-    # round-over-round comparisons instead of silently poisoning them.
-    WARN_LOAD, REFUSE_LOAD, LOAD_WAIT_SEC = 2.0, 4.0, 300
-
+    # Load gate (VERDICT r07 item 1; upgraded r16 per VERDICT r15
+    # item 2 — r14 AND r15's driver points both shipped warn_load at
+    # load1 3.5, below the old REFUSE=4.0 wait trigger, so the graded
+    # venue produced no usable series point for two rounds): the wait
+    # loop now targets a genuinely QUIET box (load1 <= CLEAN_LOAD) and
+    # waits up to LOAD_WAIT_SEC for it, not merely sub-REFUSE. If the
+    # box never quiets, still run and emit the JSON (the driver needs
+    # an artifact) with the usual warn/invalid state — and because the
+    # short 1× tier is less contamination-prone than the ~minute-long
+    # 10× tier, load is re-sampled per tier and each tier carries its
+    # own state (``series_point_state_sf01`` for the 1× tier), so a
+    # loaded 10× run no longer voids the 1× continuity series with it.
     def _load1():
         try:
             return round(os.getloadavg()[0], 2)
@@ -277,14 +298,14 @@ def main() -> None:
 
     load1 = _load1()
     waited = 0
-    while load1 is not None and load1 > REFUSE_LOAD and waited < LOAD_WAIT_SEC:
-        print(f"# load1={load1} > {REFUSE_LOAD}: waiting for a quiet box "
+    while load1 is not None and load1 > CLEAN_LOAD and waited < LOAD_WAIT_SEC:
+        print(f"# load1={load1} > {CLEAN_LOAD}: waiting for a quiet box "
               f"({waited}s/{LOAD_WAIT_SEC}s)", file=sys.stderr)
         time.sleep(20)
         waited += 20
         load1 = _load1()
+    load_wait_sec = waited
     load_elevated = load1 is not None and load1 > WARN_LOAD
-    series_point_valid = not (load1 is not None and load1 > REFUSE_LOAD)
     if load_elevated:
         print(f"# WARNING: load1={load1} > {WARN_LOAD} — timings may be "
               "inflated by contention", file=sys.stderr)
@@ -302,18 +323,22 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).collect()
 
     # ---- 1× tier (continuity series with BENCH_r01..r06) ----
+    load1_pre_1x = _load1()
     t0 = time.perf_counter()
     run_pass(QUERIES, sf_dir, HEADLINE, timed=False)
     first_pass_1x = round(time.perf_counter() - t0, 3)
     timings_1x = run_pass(QUERIES, sf_dir, HEADLINE, timed=True)
+    state_1x = tier_state(load1_pre_1x)
 
     # ---- 10× tier (the graded corpus) ----
     timings_10x: dict[str, float] = {}
     first_pass_10x = build_sec = None
+    load1_pre_10x = None
     regressions: list[str] = []
     solo_times: dict[str, float] = {}
     if with_10x:
         rep_dir, build_sec = ensure_replica(spark, sf_dir)
+        load1_pre_10x = _load1()
         t0 = time.perf_counter()
         run_pass(QUERIES, rep_dir, HEADLINE, timed=False)
         first_pass_10x = round(time.perf_counter() - t0, 3)
@@ -373,15 +398,20 @@ def main() -> None:
     # load_elevated=true and two tripped gates). A point is a clean
     # series member only if the box was quiet AND no per-query gate
     # survived the solo-warm adjudication; otherwise downstream
-    # round-over-round tooling must exclude it.
-    if not series_point_valid:
-        series_point_state = "invalid_load"  # load1 > REFUSE_LOAD, never quieted
-    elif regressions:
-        series_point_state = "warn_regression"
-    elif load_elevated:
+    # round-over-round tooling must exclude it. The graded state is
+    # keyed to the load sampled immediately before the GRADED tier
+    # (r16: the pre-run sample could age through a long wait + replica
+    # build before the 10× tier even started).
+    load_graded = load1_pre_10x if with_10x else load1_pre_1x
+    series_point_state = tier_state(load_graded)
+    if series_point_state == "ok" and (
+        load1 is not None and load1 > WARN_LOAD
+    ):
+        # pre-run load never quieted below WARN; stay conservative even
+        # if the instantaneous pre-tier sample dipped
         series_point_state = "warn_load"
-    else:
-        series_point_state = "ok"
+    if regressions and series_point_state in ("ok", "warn_load"):
+        series_point_state = "warn_regression"
     series_point_valid = series_point_state == "ok"
     payload = {
         "metric": "headline_queries_total_wall_clock",
@@ -400,9 +430,16 @@ def main() -> None:
         "regressions_vs_recorded": regressions,
         "solo_adjudications": solo_times,
         "load1_pre_run": load1,
+        "load1_pre_1x": load1_pre_1x,
+        "load1_pre_10x": load1_pre_10x,
+        "load_wait_sec": load_wait_sec,
         "load_elevated": load_elevated,
         "series_point_valid": series_point_valid,
         "series_point_state": series_point_state,
+        # The short 1× tier's own state: usable for 1×-series
+        # continuity even when the 10× tier ran loaded (VERDICT r15
+        # item 2b).
+        "series_point_state_sf01": state_1x,
     }
     print(json.dumps(payload))
     # Persist every full run to the committed series log (VERDICT r11

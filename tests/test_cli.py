@@ -114,6 +114,30 @@ def test_bench_trips_gate_arithmetic():
     assert not bench.trips_gate("new_row", 1e9, rec)
 
 
+def test_bench_tier_state_thresholds():
+    """Pins bench.py's r16 load-gate retarget (VERDICT r15 item 2): the
+    wait loop holds out for a genuinely quiet box (CLEAN_LOAD 0.5, up
+    to 600s — the r14/r15 warn_load points ran at load1 3.5, under the
+    old REFUSE-only wait trigger), and each tier is graded by the load
+    sampled immediately before IT ran: ok <= 2.0 < warn_load <= 4.0 <
+    invalid_load; a missing getloadavg grades ok."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.CLEAN_LOAD == 0.5 and bench.LOAD_WAIT_SEC >= 600
+    assert bench.tier_state(None) == "ok"
+    assert bench.tier_state(0.4) == "ok"
+    assert bench.tier_state(2.0) == "ok"          # boundary: strict >
+    assert bench.tier_state(3.5) == "warn_load"   # the r14/r15 case
+    assert bench.tier_state(4.0) == "warn_load"
+    assert bench.tier_state(4.1) == "invalid_load"
+
+
 def test_sf1_recorded_not_stale():
     """VERDICT r14 item 1: the regression gate's recorded baselines must
     track the shipped plans. Round 14 made four headline queries 2.5-5×

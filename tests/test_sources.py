@@ -413,3 +413,65 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     patch.write.mode("overwrite").partitionBy("part").parquet(p)
     got = sorted((r.id, r.part) for r in spark.read.parquet(p).collect())
     assert got == [(99, "b")]  # static wipe
+
+
+def test_training_shard_scratch_prunes_on_heartbeat_not_dir_mtime(
+    spark, sf_dir
+):
+    """Pins the ADVICE r15 #2 fix: the shard sink's /tmp scratch prune
+    keys liveness on a per-run ``<run>.heartbeat`` marker beside the
+    run dir, NOT on the dir's own mtime — a long-lived concurrent
+    session whose dir mtime is >2h old but whose heartbeat is fresh
+    must survive; dead runs (stale marker, or no marker and stale dir)
+    and orphaned markers are swept."""
+    import os
+    import time
+
+    from apache_spark_link_prediction_spark.queries import QUERIES
+
+    root = "/tmp/spark_graft_training_shards"
+    os.makedirs(root, exist_ok=True)
+    old = time.time() - 3 * 3600
+
+    live = os.path.join(root, "otherapp_live")  # old dir, fresh marker
+    os.makedirs(live, exist_ok=True)
+    os.utime(live, (old, old))
+    with open(live + ".heartbeat", "w") as hb:
+        hb.write("x")
+
+    dead_marked = os.path.join(root, "otherapp_dead")  # stale marker
+    os.makedirs(dead_marked, exist_ok=True)
+    with open(dead_marked + ".heartbeat", "w") as hb:
+        hb.write("x")
+    os.utime(dead_marked + ".heartbeat", (old, old))
+
+    dead_bare = os.path.join(root, "otherapp_bare")  # pre-heartbeat run
+    os.makedirs(dead_bare, exist_ok=True)
+    os.utime(dead_bare, (old, old))
+
+    orphan = os.path.join(root, "otherapp_gone.heartbeat")  # dir gone
+    with open(orphan, "w") as hb:
+        hb.write("x")
+    os.utime(orphan, (old, old))
+
+    try:
+        QUERIES["training_shard_write"](spark, sf_dir).collect()
+        assert os.path.isdir(live), "fresh-heartbeat run was pruned"
+        assert not os.path.isdir(dead_marked)
+        assert not os.path.exists(dead_marked + ".heartbeat")
+        assert not os.path.isdir(dead_bare)
+        assert not os.path.exists(orphan)
+        app_id = spark.sparkContext.applicationId
+        assert any(
+            f.startswith(app_id) and f.endswith(".heartbeat")
+            for f in os.listdir(root)
+        ), "own run did not write a heartbeat"
+    finally:
+        import shutil
+
+        for leftover in ("otherapp_live", "otherapp_live.heartbeat"):
+            p = os.path.join(root, leftover)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.unlink(p)

@@ -803,3 +803,25 @@ def test_tws_running_stats_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_gate_reason_still_holds():
+    """PERMANENT-GATE PIN (round 16, VERDICT r15 item 1; decision
+    recorded in BASELINE.md "Round 16"): transformWithStateInPandas
+    stays a skipping pytest ONLY because this container ships no
+    google.protobuf and installs are off-limits. This canary PASSES
+    while that reason holds and FAILS the round the environment gains
+    protobuf — at which point the TWS path must be promoted to a
+    registry row with a drained batch-twin oracle (the
+    streaming_custom_sessions pattern) and this test deleted, instead
+    of the skip rotting into a permanently dead test."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return  # gate reason still holds
+    raise AssertionError(
+        "google.protobuf is now importable: promote "
+        "streaming_tws_running_stats to a registry row (drained "
+        "batch-twin oracle) and remove this canary + the BASELINE.md "
+        "Round-16 permanent-gate note"
+    )

@@ -118,24 +118,36 @@ def main() -> int:
         f"| **total** | {len(totals)} | {min(totals):.1f}s "
         f"| {statistics.median(totals):.1f}s | {max(totals):.1f}s |"
     )
+    # Tier subtotals are ERA2-only (ADVICE r15 #3): the scale tier
+    # contains the four re-pinned queries, so a subtotal over pre-ERA2
+    # points would mix plan generations — exactly what the per-query
+    # era split exists to prevent. The parity tier's plan never
+    # changed, but both subtotals come from the same points so the
+    # tiers stay comparable point-for-point.
+    era2_pts = [
+        p
+        for p in pts
+        if p.get("queries") and _epoch(p.get("ts", 0)) >= ERA2_START
+    ]
     parity = [
         sum(t for n, t in p["queries"].items() if n in PARITY_TIER)
-        for p in pts
-        if p.get("queries")
+        for p in era2_pts
     ]
     scale = [
         sum(t for n, t in p["queries"].items() if n not in PARITY_TIER)
-        for p in pts
-        if p.get("queries")
+        for p in era2_pts
     ]
-    print(
-        f"| **parity tier (p2_lsh)** | {len(parity)} | {min(parity):.1f}s "
-        f"| {statistics.median(parity):.1f}s | {max(parity):.1f}s |"
-    )
-    print(
-        f"| **scale tier** | {len(scale)} | {min(scale):.1f}s "
-        f"| {statistics.median(scale):.1f}s | {max(scale):.1f}s |"
-    )
+    if parity:
+        print(
+            f"| **parity tier (p2_lsh, era2)** | {len(parity)} "
+            f"| {min(parity):.1f}s | {statistics.median(parity):.1f}s "
+            f"| {max(parity):.1f}s |"
+        )
+    if scale:
+        print(
+            f"| **scale tier (era2)** | {len(scale)} | {min(scale):.1f}s "
+            f"| {statistics.median(scale):.1f}s | {max(scale):.1f}s |"
+        )
     return 0
 
 
