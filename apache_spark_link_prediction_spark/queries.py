@@ -12536,6 +12536,588 @@ def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 16 additions: incremental quality-keeper maintenance, Hamilton
+# re-apportionment under source drift, the filter-funnel attrition report,
+# dedup-aware soft sampling weights, shard balance audit, per-snapshot
+# n-gram novelty, quality-scorer calibration bins, and per-dimension
+# embedding statistics — all integer-exact hash paths except the one
+# documented STAGED_9DP decimal sum (embedding_dim_stats).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_keep_best_incremental", _KEEP_BEST_ORACLE)
+def dedup_keep_best_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUALITY-keeper maintenance (VERDICT r15 item 4):
+    dedup_keep_best recomputed the most-tokens-wins keeper from scratch;
+    real curation updates it as crawl snapshots arrive. The old corpus
+    (docs whose salted rolling hash % 3 != 0) contributes only its
+    persisted min-label assignment and ONE (keeper, score) row per
+    cluster; the new batch contributes its scores and the pairs touching
+    it; operators.dedup.keep_best_incremental merges via cluster
+    contraction + associative argmax. The oracle is the FROM-SCRATCH
+    keep-best over the whole corpus — hash-green therefore proves
+    incremental ≡ batch, the same exactness contract as
+    dedup_clusters_incremental but now carried by the driver gate
+    instead of only a pytest. Keeper stability (a new shorter or
+    equal-length duplicate never steals keeper-ship) is pinned in
+    tests/test_operators.py::test_keep_best_incremental_stability.
+
+    Plan shape at 100 TB: CC on the contracted batch graph, scores
+    read only for old keepers + the new batch, broadcast keeper-remap
+    joins — nothing rescans the old corpus text."""
+    from .functions.textstats import doc_rolling_hash
+    from .operators.dedup import dedup_clusters, keep_best_incremental
+
+    def _is_new(col: Column) -> Column:
+        return (
+            doc_rolling_hash(F.concat(F.lit("snap:"), col.cast("string"))) % 3
+            == 0
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the full exact pair set is reused for both endpoint splits;
+    # checkpoint so the blocked join runs once, not twice
+    pairs = dedup_token_jaccard(spark, sf_dir).localCheckpoint(eager=True)
+    old_pairs = pairs.filter(
+        ~_is_new(F.col("src_id")) & ~_is_new(F.col("dst_id"))
+    )
+    inc_pairs = pairs.filter(
+        _is_new(F.col("src_id")) | _is_new(F.col("dst_id"))
+    )
+    scored = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("score")
+    )
+    old_assign = dedup_clusters(
+        docs.filter(~_is_new(F.col("doc_id"))), old_pairs
+    )
+    wk = Window.partitionBy("comp").orderBy(F.col("score").desc(), "doc_id")
+    old_keepers = (
+        old_assign.select("doc_id", F.col("keeper_id").alias("comp"))
+        .join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "comp",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("score").alias("keeper_score"),
+        )
+    )
+    new_scored = scored.filter(_is_new(F.col("doc_id")))
+    return keep_best_incremental(
+        old_assign, old_keepers, new_scored, inc_pairs
+    ).select(
+        "doc_id", F.col("keeper_id").cast("long").alias("keeper_id"), "kept"
+    )
+
+
+_HAMILTON_DRIFT_ORACLE = f"""
+    WITH snap AS (
+      SELECT source,
+             CASE WHEN ({_rolling_hash_sql("'snap:' || CAST(doc_id AS VARCHAR)")}) % 3 = 0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM documents),
+    c AS (SELECT source,
+                 SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS n0,
+                 count(*) AS n1
+          FROM snap GROUP BY source),
+    t AS (SELECT SUM(n0) AS c0, SUM(n1) AS c1 FROM c),
+    q AS (SELECT source, n0, n1,
+                 ({_HAMILTON_BUDGET} * n0) // (SELECT c0 FROM t) AS base0,
+                 ({_HAMILTON_BUDGET} * n0) % (SELECT c0 FROM t) AS rem0,
+                 ({_HAMILTON_BUDGET} * n1) // (SELECT c1 FROM t) AS base1,
+                 ({_HAMILTON_BUDGET} * n1) % (SELECT c1 FROM t) AS rem1
+          FROM c),
+    lo AS (SELECT SUM(base0) AS a0, SUM(base1) AS a1 FROM q),
+    r AS (SELECT *,
+                 row_number() OVER (ORDER BY rem0 DESC, source) AS rk0,
+                 row_number() OVER (ORDER BY rem1 DESC, source) AS rk1
+          FROM q),
+    f AS (SELECT source, n0, n1,
+                 base0 + CASE WHEN rk0 <= {_HAMILTON_BUDGET}
+                                   - (SELECT a0 FROM lo)
+                              THEN 1 ELSE 0 END AS q0,
+                 base1 + CASE WHEN rk1 <= {_HAMILTON_BUDGET}
+                                   - (SELECT a1 FROM lo)
+                              THEN 1 ELSE 0 END AS q1
+          FROM r)
+    SELECT source,
+           CAST(n0 AS BIGINT) AS n_t0, CAST(n1 AS BIGINT) AS n_t1,
+           CAST(q0 AS BIGINT) AS quota_t0, CAST(q1 AS BIGINT) AS quota_t1,
+           CAST(q1 - q0 AS BIGINT) AS delta_quota
+    FROM f
+"""
+
+
+@register("stratified_sample_hamilton_drift", _HAMILTON_DRIFT_ORACLE)
+def stratified_sample_hamilton_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton re-apportionment under SOURCE-MIX DRIFT (VERDICT r15
+    item 5) — the mixture-rebalancing step a data-recipe pipeline runs
+    as new crawl snapshots shift source proportions: apportion the
+    same {_HAMILTON_BUDGET}-doc budget at snapshot T0 (docs whose
+    salted rolling hash % 3 != 0) and at T1 (the full corpus) and emit
+    per-source (n_t0, n_t1, quota_t0, quota_t1, delta_quota). Because
+    largest-remainder keeps every quota within 1 of exact
+    proportionality, |delta_quota| ≤ B·|share_t1 − share_t0| + 2 —
+    quotas move only as much as the mix actually drifted (no
+    Alabama-paradox-style jumps from the re-apportionment itself at a
+    FIXED budget; the bound is pinned in
+    tests/test_feature_queries.py::test_hamilton_drift_bound).
+    delta_quota is a plain integer SUBTRACTION (may be negative — no
+    division touches it, so no truncate-vs-floor hazard).
+
+    Plan shape at 100 TB: both apportionments run on the same
+    |sources|-row count table (one grouped agg over the corpus, then
+    scalar arithmetic + two tiny windows)."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        doc_rolling_hash(
+            F.concat(F.lit("snap:"), F.col("doc_id").cast("string"))
+        )
+        % 3
+        == 0
+    ).cast("int")
+    c = (
+        docs.select("source", is_new.alias("is_new"))
+        .groupBy("source")
+        .agg(
+            F.sum(1 - F.col("is_new")).cast("long").alias("n0"),
+            F.count(F.lit(1)).cast("long").alias("n1"),
+        )
+    )
+    t = c.agg(
+        F.sum("n0").cast("long").alias("c0"),
+        F.sum("n1").cast("long").alias("c1"),
+    )
+    B = F.lit(_HAMILTON_BUDGET).cast("long")
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n0",
+        "n1",
+        exact_div(B * F.col("n0"), F.col("c0")).alias("base0"),
+        (B * F.col("n0") % F.col("c0")).alias("rem0"),
+        exact_div(B * F.col("n1"), F.col("c1")).alias("base1"),
+        (B * F.col("n1") % F.col("c1")).alias("rem1"),
+    )
+    lo = q.agg(
+        F.sum("base0").cast("long").alias("a0"),
+        F.sum("base1").cast("long").alias("a1"),
+    )
+    w0 = Window.orderBy(F.col("rem0").desc(), "source")
+    w1 = Window.orderBy(F.col("rem1").desc(), "source")
+    r = (
+        q.withColumn("rk0", F.row_number().over(w0))
+        .withColumn("rk1", F.row_number().over(w1))
+        .crossJoin(F.broadcast(lo))
+    )
+    q0 = F.col("base0") + F.when(
+        F.col("rk0") <= B - F.col("a0"), 1
+    ).otherwise(0)
+    q1 = F.col("base1") + F.when(
+        F.col("rk1") <= B - F.col("a1"), 1
+    ).otherwise(0)
+    return r.select(
+        "source",
+        F.col("n0").alias("n_t0"),
+        F.col("n1").alias("n_t1"),
+        q0.cast("long").alias("quota_t0"),
+        q1.cast("long").alias("quota_t1"),
+        (q1 - q0).cast("long").alias("delta_quota"),
+    )
+
+
+_FUNNEL_STAGES = (
+    "word_count",
+    "mean_word_len",
+    "stopwords",
+    "alpha_fraction",
+)
+
+_FUNNEL_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 COALESCE(list_sum(list_transform(toks,
+                            t -> CAST(length(t) AS BIGINT))), 0) AS sum_len,
+                 CAST(len(list_filter({list(_GOPHER_STOPS)},
+                          s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+                 CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   AS BIGINT) AS alpha_hits
+          FROM d),
+    p AS (SELECT
+            CAST(n_words BETWEEN 20 AND 100000 AS INT) AS p1,
+            CAST(n_words BETWEEN 20 AND 100000
+                 AND sum_len BETWEEN 2 * n_words AND 12 * n_words AS INT) AS p2,
+            CAST(n_words BETWEEN 20 AND 100000
+                 AND sum_len BETWEEN 2 * n_words AND 12 * n_words
+                 AND stop_hits >= 2 AS INT) AS p3,
+            CAST(n_words BETWEEN 20 AND 100000
+                 AND sum_len BETWEEN 2 * n_words AND 12 * n_words
+                 AND stop_hits >= 2
+                 AND 5 * alpha_hits >= 4 * n_words AS INT) AS p4
+          FROM m),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(p1) AS BIGINT) AS s1, CAST(SUM(p2) AS BIGINT) AS s2,
+                   CAST(SUM(p3) AS BIGINT) AS s3, CAST(SUM(p4) AS BIGINT) AS s4
+            FROM p)
+    SELECT 1 AS stage, '{_FUNNEL_STAGES[0]}' AS stage_name,
+           n AS n_in, s1 AS n_pass, n - s1 AS n_dropped FROM agg
+    UNION ALL SELECT 2, '{_FUNNEL_STAGES[1]}', s1, s2, s1 - s2 FROM agg
+    UNION ALL SELECT 3, '{_FUNNEL_STAGES[2]}', s2, s3, s2 - s3 FROM agg
+    UNION ALL SELECT 4, '{_FUNNEL_STAGES[3]}', s3, s4, s3 - s4 FROM agg
+"""
+
+
+@register("filter_funnel_attrition", _FUNNEL_ORACLE)
+def filter_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition through the Gopher quality-rule funnel —
+    the report every curation run publishes next to the final keep
+    flag (gopher_quality_filter emits the verdict; THIS answers "which
+    rule costs how many docs", the number that decides which rule to
+    retune when yield drops). Stages apply in the canonical order
+    (word-count band → mean-word-length band → stopword floor →
+    alphabetic-fraction floor); each row is (stage, stage_name, n_in,
+    n_pass, n_dropped) with n_in(k+1) = n_pass(k). All-integer
+    conditional sums — one corpus scan, one map-side-combined agg,
+    then 4 constant rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize("text")
+    m = docs.select(
+        F.size(t).cast("long").alias("n_words"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ).alias("sum_len"),
+        F.size(
+            F.array_intersect(t, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+        ).cast("long").alias("stop_hits"),
+        F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("alpha_hits"),
+    )
+    c1 = F.col("n_words").between(20, 100000)
+    c2 = c1 & F.col("sum_len").between(
+        2 * F.col("n_words"), 12 * F.col("n_words")
+    )
+    c3 = c2 & (F.col("stop_hits") >= 2)
+    c4 = c3 & (5 * F.col("alpha_hits") >= 4 * F.col("n_words"))
+    agg = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c1.cast("int")).cast("long").alias("s1"),
+        F.sum(c2.cast("int")).cast("long").alias("s2"),
+        F.sum(c3.cast("int")).cast("long").alias("s3"),
+        F.sum(c4.cast("int")).cast("long").alias("s4"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit(_FUNNEL_STAGES[0]).alias("stage_name"),
+            F.col("n").alias("n_in"),
+            F.col("s1").alias("n_pass"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit(_FUNNEL_STAGES[1]).alias("stage_name"),
+            F.col("s1").alias("n_in"),
+            F.col("s2").alias("n_pass"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit(_FUNNEL_STAGES[2]).alias("stage_name"),
+            F.col("s2").alias("n_in"),
+            F.col("s3").alias("n_pass"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage"),
+            F.lit(_FUNNEL_STAGES[3]).alias("stage_name"),
+            F.col("s3").alias("n_in"),
+            F.col("s4").alias("n_pass"),
+        ),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_in").alias("n_in"),
+            F.col("s.n_pass").alias("n_pass"),
+            (F.col("s.n_in") - F.col("s.n_pass")).alias("n_dropped"),
+        )
+    )
+
+
+_SOFT_WEIGHTS_ORACLE = """
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size,
+           CAST(1000000 // count(*) OVER (PARTITION BY fp) AS BIGINT)
+             AS weight_micro
+    FROM f
+"""
+
+
+@register("dedup_soft_weights", _SOFT_WEIGHTS_ORACLE)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — per-doc sampling weight 1/cluster_size (exact
+    BIGINT micro-units) over the exact-fingerprint clusters, the
+    alternative to hard removal when duplicates carry signal (a doc
+    duplicated k× is sampled at 1/k so every CONTENT has equal
+    expected exposure per epoch; hard dedup is the weight-threshold
+    special case). Emits every doc with its cluster size and weight —
+    the sampler's input table, downstream of dedup_exact's keeper
+    view.
+
+    Plan shape at 100 TB: one fingerprint projection (map-only md5)
+    and one window count per fingerprint partition — a single hash
+    shuffle, no join, nothing pairwise."""
+    from .functions.textstats import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .select(
+            "doc_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+            exact_div(
+                F.lit(1_000_000).cast("long"), F.count(F.lit(1)).over(w)
+            ).alias("weight_micro"),
+        )
+    )
+
+
+_SHARD_BALANCE_ORACLE = f"""
+    WITH d AS (
+      SELECT ({_rolling_hash_sql("'shard:' || CAST(doc_id AS VARCHAR)")}) % 16
+               AS shard_id,
+             n_chars
+      FROM documents),
+    s AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM d GROUP BY shard_id),
+    t AS (SELECT SUM(n_docs) AS td, SUM(total_chars) AS tc FROM s)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, total_chars,
+           CAST((1000000 * n_docs) // (SELECT td FROM t) AS BIGINT)
+             AS docs_share_micro,
+           CAST((1000000 * total_chars) // (SELECT tc FROM t) AS BIGINT)
+             AS chars_share_micro
+    FROM s
+"""
+
+
+@register("shard_balance_report", _SHARD_BALANCE_ORACLE)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-write shard balance audit for the training sink: the same
+    deterministic salted assignment as training_shard_write
+    (rolling_hash('shard:'||doc_id) % 16), aggregated to per-shard doc
+    and byte loads plus exact micro-unit load shares — the check a
+    loader operator reads BEFORE committing a 100 TB write (a skewed
+    shard becomes the epoch-long straggler on the training side; a
+    uniform hash should hold every share near 1/16 = 62500 micro).
+    Unlike training_shard_write this never touches a filesystem, so
+    it can gate the real write in the same job.
+
+    Plan shape: one map-side hash projection + one 16-group agg;
+    the totals are a broadcast scalar."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            (
+                doc_rolling_hash(
+                    F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+                )
+                % 16
+            ).alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("long").alias("td"),
+        F.sum("total_chars").cast("long").alias("tc"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_docs",
+        "total_chars",
+        micro_div(F.col("n_docs"), F.col("td")).alias("docs_share_micro"),
+        micro_div(F.col("total_chars"), F.col("tc")).alias("chars_share_micro"),
+    )
+
+
+_NOVELTY_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS snap,
+             {_toks_sql('text')} AS toks
+      FROM documents),
+    g AS (SELECT DISTINCT snap,
+                 unnest(list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(0, len(toks) - 2),
+                        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                   ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM d WHERE len(toks) > 0),
+    fs AS (SELECT gram, MIN(snap) AS first_seen FROM g GROUP BY gram),
+    per AS (SELECT snap, count(*) AS n_grams FROM g GROUP BY snap),
+    nov AS (SELECT first_seen AS snap, count(*) AS n_novel
+            FROM fs GROUP BY first_seen)
+    SELECT CAST(p.snap AS INTEGER) AS snapshot,
+           CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST((1000000 * COALESCE(v.n_novel, 0)) // p.n_grams AS BIGINT)
+             AS novelty_micro
+    FROM per p LEFT JOIN nov v ON v.snap = p.snap
+"""
+
+
+@register("ngram_novelty_by_snapshot", _NOVELTY_ORACLE)
+def ngram_novelty_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-growth novelty curve: split the corpus into 4 arrival
+    snapshots (doc_id quartiles — the ingest-order proxy) and report,
+    per snapshot, how many of its distinct word-3-grams were NEVER
+    seen in any earlier snapshot (exact micro-unit novelty ratio) —
+    the diminishing-returns measurement behind "is the next crawl
+    still adding content or just re-crawling the same web"
+    (doc_novelty_score is the per-doc twin; this is the per-BATCH
+    curve a collection planner reads). first-seen is an associative
+    MIN per gram, so the curve is incrementally maintainable by
+    keeping (gram, first_seen).
+
+    Plan shape at 100 TB: distinct (snapshot, gram) explode + one
+    gram-keyed agg (MIN snapshot) + one 4-group count — gram-sharded
+    shuffles, nothing pairwise. The ntile window here stands in for a
+    real ingest timestamp; at scale the snapshot id comes free from
+    the crawl partition."""
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    # ntile over the FULL corpus, then drop zero-token docs — the
+    # oracle assigns quartiles before its WHERE, and filtering first
+    # would shift the boundaries
+    d = (
+        docs.select("doc_id", "text", F.ntile(4).over(w).alias("snap"))
+        .filter(F.size(tokenize("text")) > 0)
+        .select("snap", F.explode(word_shingles("text", 3)).alias("gram"))
+    )
+    g = d.distinct()
+    fs = g.groupBy("gram").agg(F.min("snap").alias("first_seen"))
+    per = g.groupBy("snap").agg(F.count(F.lit(1)).alias("n_grams"))
+    nov = fs.groupBy(F.col("first_seen").alias("snap")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        per.join(nov, "snap", "left")
+        .select(
+            F.col("snap").cast("int").alias("snapshot"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            micro_div(
+                F.coalesce(F.col("n_novel"), F.lit(0)), F.col("n_grams")
+            ).alias("novelty_micro"),
+        )
+    )
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH q AS ({_QSCORE_ORACLE}),
+    labeled AS (
+      SELECT q.doc_id, q.score_milli,
+             CAST(d.lang = 'en' AS INT) AS is_en,
+             ntile(10) OVER (ORDER BY q.score_milli, q.doc_id) AS bin
+      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_en) AS BIGINT) AS n_en,
+           CAST((1000000 * SUM(is_en)) // count(*) AS BIGINT)
+             AS en_rate_micro,
+           CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+    FROM labeled GROUP BY bin
+"""
+
+
+@register("quality_calibration_bins", _CALIBRATION_ORACLE)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the linear quality scorer: decile-bin the
+    corpus by score_milli (total order — ties broken by doc_id) and
+    report each bin's English rate against the independent lang-id
+    label — the calibration read a curation team does before trusting
+    a scorer's threshold (a well-ordered scorer shows a monotone
+    en-rate across bins; a flat curve means the score is noise). The
+    same table re-thresholds the scorer without rescanning text.
+    All-integer: milli scores in, exact micro-unit rates out.
+
+    Plan shape at 100 TB: scorer scan + one broadcast-able lang join;
+    replace the single-partition ntile with approx-quantile cut points
+    exactly as curriculum_length_buckets documents — here the window
+    IS the pinned engine-parity surface."""
+    q = quality_linear_scorer(spark, sf_dir).select("doc_id", "score_milli")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    w = Window.orderBy("score_milli", "doc_id")
+    labeled = q.join(docs, "doc_id").withColumn("bin", F.ntile(10).over(w))
+    return labeled.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_en").cast("long").alias("n_en"),
+        micro_div(F.sum("is_en"), F.count(F.lit(1))).alias("en_rate_micro"),
+        F.min("score_milli").cast("long").alias("min_score_milli"),
+        F.max("score_milli").cast("long").alias("max_score_milli"),
+    )
+
+
+_DIM_STATS_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9)))
+                AS DECIMAL(38,9)) AS sum_val,
+           MIN(v) AS min_val,
+           MAX(v) AS max_val
+    FROM e GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the profile a quantizer /
+    whitening step fits from (per-dim mean via sum/n, range for
+    scalar-quant clip bounds; embedding_scalar_quantization consumes
+    exactly these bounds). sum is the STAGED_9DP house pattern: each
+    float rounds to 9dp (floats are dyadic, 9dp halves are not, so the
+    round is convention-safe) and sums as DECIMAL — order-independent
+    and exact, unlike a raw double sum whose value depends on Spark's
+    partition fold order. min/max are passthrough floats
+    (bit-identical in both engines).
+
+    Plan shape at 100 TB: posexplode is map-side; one agg keyed by the
+    64 dims (map-side combine collapses each partition to ≤64 rows
+    before the shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    return e.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("v").cast("double"), 9).cast("decimal(18,9)"))
+        .cast("decimal(38,9)")
+        .alias("sum_val"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a

@@ -2392,3 +2392,53 @@ def test_containment_prefix_join(spark, sf_dir):
         ).collect()
     }
     assert out == {(2, 1): 1_000_000}
+
+
+def test_keep_best_incremental_stability(spark):
+    """KEEPER STABILITY contract (round 16, VERDICT r15 item 4) on
+    crafted clusters: a new duplicate scored BELOW the incumbent
+    quality keeper never steals keeper-ship, an EQUAL-scored newcomer
+    loses the id tiebreak, only a strictly better variant takes over;
+    untouched clusters and pairless newcomers keep/take themselves.
+    (Incremental ≡ from-scratch parity is carried by the hash-gated
+    registry entry dedup_keep_best_incremental; this pins the POLICY.)
+    """
+    from apache_spark_link_prediction_spark.operators.dedup import (
+        keep_best_incremental,
+    )
+
+    old_assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (11, 11), (12, 11), (21, 21)],
+        "doc_id long, keeper_id long",
+    )
+    old_keepers = spark.createDataFrame(
+        [(1, 1, 5), (11, 11, 6), (21, 21, 2)],
+        "comp long, keeper_doc long, keeper_score long",
+    )
+    new_scored = spark.createDataFrame(
+        [(3, 3), (13, 9), (22, 2), (31, 1)], "doc_id long, score long"
+    )
+    new_pairs = spark.createDataFrame(
+        [(1, 3), (11, 13), (21, 22)], "src_id long, dst_id long"
+    )
+    got = {
+        r["doc_id"]: (r["keeper_id"], r["kept"])
+        for r in keep_best_incremental(
+            old_assign, old_keepers, new_scored, new_pairs
+        ).collect()
+    }
+    assert got == {
+        # lower-scored newcomer (3 < 5): incumbent 1 keeps keeper-ship
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 0),
+        # strictly better newcomer (9 > 6): 13 takes over
+        11: (13, 0),
+        12: (13, 0),
+        13: (13, 1),
+        # equal-scored newcomer (2 == 2): incumbent 21 wins the id tiebreak
+        21: (21, 1),
+        22: (21, 0),
+        # pairless newcomer: its own singleton keeper
+        31: (31, 1),
+    }

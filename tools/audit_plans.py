@@ -154,6 +154,15 @@ ALLOW = {
     # into the |sources|-row apportionment table — the bounded
     # global-scalar pattern; the corpus side is one equi-join on source
     "stratified_sample_hamilton": {"nested-loop join"},
+    # the drift twin runs stratified_sample_hamilton's allowlisted
+    # shape twice (totals c0/c1, floor sums a0/a1 — all 1-row
+    # broadcasts onto the |sources|-row table); the corpus is touched
+    # once in the counting agg
+    "stratified_sample_hamilton_drift": {"nested-loop join"},
+    # 1-row (total docs, total chars) broadcast cross-joined onto the
+    # 16-row shard table for the exact share ratios — the bounded
+    # global-scalar pattern
+    "shard_balance_report": {"nested-loop join"},
 }
 
 

@@ -147,6 +147,11 @@ ROUND_ALLOWLIST = {
     "corr_by_group": "TRANSCENDENTAL (sqrt denominator)",
     "dsir_importance_select": "STAGED_9DP (ln ratio terms)",
     "embedding_binary_quant_topk": "TRANSCENDENTAL (cosine, 4dp)",
+    "embedding_dim_stats": (
+        "STAGED_9DP (per-value round(float→double, 9) -> DECIMAL(18,9) "
+        "sum; floats are dyadic and 9dp halves are not, so exact halves "
+        "cannot occur — CAST-pinned on both sides)"
+    ),
     "embedding_mrl_topk": "TRANSCENDENTAL (cosine, 4dp)",
     "embedding_pairs_exact": "TRANSCENDENTAL (cosine, 4dp)",
     "embedding_scalar_quantization": (

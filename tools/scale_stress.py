@@ -279,6 +279,26 @@ DOCS_QUERIES = (
     "dedup_keep_best",
     # round-15: one corpus scan + a single ntile window + 4-row agg
     "curriculum_length_buckets",
+    # round-16: incremental keep-best — contracted-graph CC + keeper
+    # argmax; pair volume grows with replication (near-dup clusters
+    # densify), judge like dedup_keep_best
+    "dedup_keep_best_incremental",
+    # round-16: two apportionments on the |sources|-row count table —
+    # expect ~linear (one counting agg over the corpus)
+    "stratified_sample_hamilton_drift",
+    # round-16: map-only conditional sums + 4 constant rows — ~linear
+    "filter_funnel_attrition",
+    # round-16: one fingerprint window — a single hash shuffle, ~linear
+    "dedup_soft_weights",
+    # round-16: map-side hash + 16-group agg — ~linear scan cost
+    "shard_balance_report",
+    # round-16: distinct (snap, gram) explode + gram-keyed MIN agg —
+    # gram volume grows ~linearly with copies, dedup to the same
+    # distinct grams per snapshot (replicas re-use text), expect
+    # sublinear
+    "ngram_novelty_by_snapshot",
+    # round-16: scorer scan + lang join + one ntile window — ~linear
+    "quality_calibration_bins",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -353,6 +373,9 @@ EMB_QUERIES = (
     # expect ~linear stage-1-bound behavior
     "embedding_mrl_topk",
     "embedding_binary_quant_topk",
+    # round-16: posexplode + 64-group agg with map-side combine —
+    # expect ~linear
+    "embedding_dim_stats",
 )
 
 
