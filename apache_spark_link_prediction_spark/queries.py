@@ -12065,6 +12065,30 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     big shuffles are the basket self-join per level, each pre-pruned
     by the previous level's RELATIVE support floor — the Apriori cut
     is what keeps level k from being the k-way cross product."""
+    t3 = _triples_support(spark, sf_dir).filter(
+        F.col("support") >= F.col("s")
+    )
+    return (
+        t3.select(
+            F.col("i1").cast("long"),
+            F.col("i2").cast("long"),
+            F.col("i3").cast("long"),
+            F.col("support").cast("long"),
+        )
+        .orderBy(F.col("support").desc(), "i1", "i2", "i3")
+        .limit(100)
+    )
+
+
+def _triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (i1, i2, i3, support, s) table behind frequent_triples,
+    UNFILTERED (the relative-support cut and top-100 are applied by the
+    caller) — factored out (round 16, VERDICT r15 item 6) so
+    tools/output_soak.py can measure the op's OUTPUT MASS in-plan:
+    SUM(support) over this frame equals the ordered-in-basket triple
+    stream the support-count join materializes (the quantity the r15
+    adjudication identified as the op's true cost driver), making
+    wall-per-output-row a computable invariant at every soak tier."""
     li = load_table(spark, sf_dir, "lineitem")
     b = li.select(
         "l_orderkey", (F.col("l_partkey") % 50).alias("item")
@@ -12119,18 +12143,8 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i1", "i2", "i3")
         .agg(F.count(F.lit(1)).alias("support"))
         .crossJoin(F.broadcast(ms))
-        .filter(F.col("support") >= F.col("s"))
     )
-    return (
-        t3.select(
-            F.col("i1").cast("long"),
-            F.col("i2").cast("long"),
-            F.col("i3").cast("long"),
-            F.col("support").cast("long"),
-        )
-        .orderBy(F.col("support").desc(), "i1", "i2", "i3")
-        .limit(100)
-    )
+    return t3
 
 
 _COVERAGE_KS = (10, 100, 1000)
@@ -13003,9 +13017,14 @@ def ngram_novelty_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("doc_id")
     # ntile over the FULL corpus, then drop zero-token docs — the
     # oracle assigns quartiles before its WHERE, and filtering first
-    # would shift the boundaries
+    # would shift the boundaries. The single-partition ntile sort runs
+    # on the NARROW (doc_id) projection and the text joins back after
+    # (carrying text through a one-partition window sort is the
+    # classic wide-row window smell).
+    snap = docs.select("doc_id", F.ntile(4).over(w).alias("snap"))
     d = (
-        docs.select("doc_id", "text", F.ntile(4).over(w).alias("snap"))
+        docs.select("doc_id", "text")
+        .join(snap, "doc_id")
         .filter(F.size(tokenize("text")) > 0)
         .select("snap", F.explode(word_shingles("text", 3)).alias("gram"))
     )
@@ -13145,72 +13164,73 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-15 accounting (251 entries: 229 oracle-backed, 22
+# Round-16 accounting (259 entries: 237 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
-#   EIGHT round-15 registrations lead (rater_agreement_kappa,
-#   frequent_triples, vocab_coverage_curve, tokenizer_fertility_by_lang,
-#   source_overlap_matrix, stratified_sample_hamilton, dedup_keep_best,
-#   curriculum_length_buckets — all oracle-backed, never graded); the
-#   remaining 42 slots are pure oldest-first rotation per VERDICT r14
-#   item 4 — the rest of the r10 green cohort, then the r11 cohort.
+#   EIGHT round-16 registrations lead (dedup_keep_best_incremental,
+#   stratified_sample_hamilton_drift, filter_funnel_attrition,
+#   dedup_soft_weights, shard_balance_report, ngram_novelty_by_snapshot,
+#   quality_calibration_bins, embedding_dim_stats — all oracle-backed,
+#   never graded); the remaining 42 slots are pure oldest-first
+#   rotation per VERDICT r14 item 4 — the rest of the r11 green cohort,
+#   then the start of the r12 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 15
+_WINDOW_ROUND = 16
 
 _WINDOW_THIS_ROUND = [
-    "rater_agreement_kappa",  # never graded
-    "frequent_triples",  # never graded
-    "vocab_coverage_curve",  # never graded
-    "tokenizer_fertility_by_lang",  # never graded
-    "source_overlap_matrix",  # never graded
-    "stratified_sample_hamilton",  # never graded
-    "dedup_keep_best",  # never graded
-    "curriculum_length_buckets",  # never graded
-    "tpch_q21_waiting_supplier",  # last green r10
-    "tpch_q22_idle_customers",  # last green r10
-    "bm25_scoring",  # last green r10
-    "bigram_next_token",  # last green r10
-    "graph_khop_reachability",  # last green r10
-    "winsorize_by_group",  # last green r10
-    "table_profile",  # last green r10
-    "corr_by_group",  # last green r10
-    "incremental_agg_merge",  # last green r10
-    "variant_props_extract",  # last green r10
-    "streaming_static_join",  # last green r10
-    "array_hof_suite",  # last green r10
-    "null_semantics_suite",  # last green r10
-    "k_anonymity_release",  # last green r10
-    "ndcg_retrieval_eval",  # last green r10
-    "interpolate_missing_daily",  # last green r10
-    "asof_join_pandas",  # last green r10
-    "multi_distinct_agg",  # last green r10
-    "sql_lateral_topk",  # last green r10
-    "snapshot_diff_audit",  # last green r10
-    "trigram_search_index",  # last green r10
-    "count_min_freq",  # last green r10
-    "multimodal_audio_centroid_tone",  # last green r10
-    "crossvalidate_counts",  # last green r11
-    "distinct_agg",  # last green r11
-    "set_except",  # last green r11
-    "sample_bernoulli",  # last green r11
-    "salted_skew_join",  # last green r11
-    "streaming_text_curation",  # last green r11
-    "streaming_embedding_ingest",  # last green r11
-    "cube_agg",  # last green r11
-    "bigram_lm_perplexity",  # last green r11
-    "span_corruption_mask",  # last green r11
-    "winnowing_fingerprints",  # last green r11
-    "winnowing_candidate_pairs",  # last green r11
-    "dedup_clusters_exact",  # last green r11
-    "multimodal_audio_energy",  # last green r11
-    "asof_join_events",  # last green r11
-    "doc_rolling_hash",  # last green r11
-    "rolling_range_window",  # last green r11
-    "approx_distinct_agg",  # last green r11
-    "approx_quantile_agg",  # last green r11
+    "dedup_keep_best_incremental",  # never graded
+    "stratified_sample_hamilton_drift",  # never graded
+    "filter_funnel_attrition",  # never graded
+    "dedup_soft_weights",  # never graded
+    "shard_balance_report",  # never graded
+    "ngram_novelty_by_snapshot",  # never graded
+    "quality_calibration_bins",  # never graded
+    "embedding_dim_stats",  # never graded
+    "set_except_all",  # last green r11
+    "set_intersect_all",  # last green r11
+    "scd2_history",  # last green r11
+    "unpivot_measures",  # last green r11
+    "tpch_q7_volume_shipping",  # last green r11
+    "funnel_view_click_purchase",  # last green r11
+    "event_anomaly_mad",  # last green r11
+    "rolling_distinct_users_hll",  # last green r11
+    "python_datasource_agg",  # last green r11
+    "multimodal_png_roundtrip",  # last green r11
+    "curation_pipeline_e2e",  # last green r11
+    "udtf_chunk_text",  # last green r11
+    "pandas_udf_cosine",  # last green r11
+    "weighted_sample_ares",  # last green r11
+    "ks_drift_sources",  # last green r11
+    "gini_revenue_concentration",  # last green r11
+    "token_entropy",  # last green r11
+    "event_debounce",  # last green r11
+    "arrow_vec_norms",  # last green r11
+    "chi_square_independence",  # last green r11
+    "bigram_pmi",  # last green r11
+    "image_phash_class_gate",  # last green r11
+    "sql_recursive_cte",  # last green r11
+    "datetime_semantics_suite",  # last green r11
+    "string_semantics_suite",  # last green r11
+    "tpch_q2_min_cost_supplier",  # last green r11
+    "tpch_q9_product_profit",  # last green r11
+    "tpch_q11_important_stock",  # last green r11
+    "tpch_q20_excess_inventory",  # last green r11
+    "tpch_q16_supplier_count",  # last green r11
+    "s1_scan_project_filter",  # last green r12
+    "pair_features_flagship",  # last green r12
+    "pair_multiset_common_tokens",  # last green r12
+    "left_existence_label",  # last green r12
+    "global_count",  # last green r12
+    "tpch_q1_agg",  # last green r12
+    "window_topk_per_group",  # last green r12
+    "window_running_sum",  # last green r12
+    "set_intersect",  # last green r12
+    "sessionize_events",  # last green r12
+    "tumbling_window_agg",  # last green r12
+    "dedup_exact",  # last green r12
 ]
 
 
