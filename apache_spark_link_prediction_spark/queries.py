@@ -13137,6 +13137,385 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-16 batch 2: evaluation + curation-telemetry tier ------------
+
+
+_LANG_CONFUSION_ORACLE = f"""
+    WITH p AS ({_lang_oracle()})
+    SELECT d.lang AS lang_true, p.lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((1000000 * count(*))
+                // SUM(count(*)) OVER (PARTITION BY d.lang) AS BIGINT)
+             AS share_of_true_micro
+    FROM documents d JOIN p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+"""
+
+
+@register("lang_confusion_matrix", _LANG_CONFUSION_ORACLE)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language ID against the
+    corpus's labeled lang column — the accuracy audit a curation team
+    runs before trusting lang-ID-driven filtering or per-language
+    mixture weights (lang_id emits predictions; THIS says where they
+    go wrong, per true language, with exact micro-unit row shares).
+    An n-gram/marker classifier's typical failure (short docs → 'und',
+    cognate languages confused) shows up as off-diagonal mass.
+
+    Plan shape at 100 TB: the predictor is a map-only marker
+    intersection; one (lang_true, lang_pred) agg + one |langs|-row
+    window — nothing beyond a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        detect_language("text").alias("lang_pred"),
+    )
+    cm = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("lang_true")
+    return cm.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        micro_div(F.col("n"), F.sum("n").over(wt)).alias(
+            "share_of_true_micro"
+        ),
+    )
+
+
+_ROUGE_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                 a.toks AS ta, b.toks AS tb,
+                 CASE WHEN len(a.toks) >= 2
+                      THEN list_transform(range(0, len(a.toks) - 1),
+                             i -> a.toks[i+1] || ' ' || a.toks[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END AS ga,
+                 CASE WHEN len(b.toks) >= 2
+                      THEN list_transform(range(0, len(b.toks) - 1),
+                             i -> b.toks[i+1] || ' ' || b.toks[i+2])
+                      ELSE CAST([] AS VARCHAR[]) END AS gb
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+    ca AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(ta) AS tok FROM p) GROUP BY ALL),
+    cb AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(tb) AS tok FROM p) GROUP BY ALL),
+    m1 AS (SELECT src_id, dst_id, SUM(LEAST(ca.c, cb.c)) AS clip
+           FROM ca JOIN cb USING (src_id, dst_id, tok) GROUP BY ALL),
+    ba AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(ga) AS tok FROM p) GROUP BY ALL),
+    bb AS (SELECT src_id, dst_id, tok, count(*) AS c
+           FROM (SELECT src_id, dst_id, unnest(gb) AS tok FROM p) GROUP BY ALL),
+    m2 AS (SELECT src_id, dst_id, SUM(LEAST(ba.c, bb.c)) AS clip
+           FROM ba JOIN bb USING (src_id, dst_id, tok) GROUP BY ALL)
+    SELECT p.src_id, p.dst_id,
+           CAST(COALESCE(m1.clip, 0) AS BIGINT) AS unigram_clip,
+           CAST(COALESCE(m2.clip, 0) AS BIGINT) AS bigram_clip,
+           CAST(CASE WHEN len(p.ta) + len(p.tb) = 0 THEN 0
+                     ELSE (2000000 * COALESCE(m1.clip, 0))
+                          // (len(p.ta) + len(p.tb)) END AS BIGINT)
+             AS rouge1_f1_micro,
+           CAST(CASE WHEN len(p.ga) + len(p.gb) = 0 THEN 0
+                     ELSE (2000000 * COALESCE(m2.clip, 0))
+                          // (len(p.ga) + len(p.gb)) END AS BIGINT)
+             AS rouge2_f1_micro
+    FROM p LEFT JOIN m1 USING (src_id, dst_id)
+           LEFT JOIN m2 USING (src_id, dst_id)
+"""
+
+
+@register("rouge_ngram_overlap", _ROUGE_ORACLE)
+def rouge_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F1 with exact CLIPPED (multiset) n-gram counts —
+    the summarization/candidate-vs-reference eval every generation
+    pipeline scores at corpus scale, in exact BIGINT micro-units:
+    F1 = 2·clip/(len_cand + len_ref) (the precision/recall harmonic
+    mean collapses to this identity for counted overlaps, same
+    collapse as confusion_matrix_macro_f1's). Clipped counting (each
+    gram counts up to its min multiplicity — NOT set intersection) is
+    what makes it ROUGE; the multiset fold reuses
+    common_token_count_multiset's HOF recipe. Pair source: adjacent
+    doc ids — the deterministic pair stream both engines share
+    (pair_multiset_common_tokens' convention); production swaps in
+    (candidate_id, reference_id) keys.
+
+    Plan shape at 100 TB: one self-join on an equality key (id+1 — at
+    scale, the cand/ref key), per-pair HOFs stay codegen map-side."""
+    from .functions.pairwise import common_token_count_multiset
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bigrams(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select("doc_id", tokenize("text").alias("toks"))
+    p = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("src_id"),
+            F.col("b.doc_id").alias("dst_id"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+            bigrams(F.col("a.toks")).alias("ga"),
+            bigrams(F.col("b.toks")).alias("gb"),
+        )
+    )
+    clip1 = common_token_count_multiset("ta", "tb").cast("long")
+    clip2 = common_token_count_multiset("ga", "gb").cast("long")
+    zero = F.lit(0).cast("long")
+    den1 = (F.size("ta") + F.size("tb")).cast("long")
+    den2 = (F.size("ga") + F.size("gb")).cast("long")
+    return p.select(
+        "src_id",
+        "dst_id",
+        clip1.alias("unigram_clip"),
+        clip2.alias("bigram_clip"),
+        F.when(den1 == 0, zero)
+        .otherwise(exact_div(F.lit(2_000_000).cast("long") * clip1, den1))
+        .alias("rouge1_f1_micro"),
+        F.when(den2 == 0, zero)
+        .otherwise(exact_div(F.lit(2_000_000).cast("long") * clip2, den2))
+        .alias("rouge2_f1_micro"),
+    )
+
+
+_PACK_EFF_ORACLE = f"""
+    WITH d AS (SELECT doc_id, source, CAST(len({_toks_sql('text')}) AS INT) AS n_tokens
+               FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens)
+                        / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT pack_id) * {_PACK_BUDGET} AS BIGINT) AS capacity,
+           CAST((1000000 * SUM(n_tokens))
+                // (count(DISTINCT pack_id) * {_PACK_BUDGET}) AS BIGINT)
+             AS utilization_micro,
+           CAST(COALESCE(SUM(CASE WHEN n_tokens > {_PACK_BUDGET} THEN 1 END), 0)
+                AS BIGINT) AS n_overflow_docs
+    FROM packed GROUP BY source
+"""
+
+
+@register("packing_efficiency_report", _PACK_EFF_ORACLE)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-utilization report over pack_sequences' deterministic
+    packing — the telemetry a training loader publishes per source
+    stream: docs, packs, token mass, capacity (packs × {_PACK_BUDGET}),
+    exact micro-unit utilization (can exceed 10^6 when oversize docs
+    overflow their pack — n_overflow_docs counts them), so a mixture
+    planner sees which sources waste sequence budget on padding before
+    an epoch burns it. All-integer.
+
+    Plan shape at 100 TB: pack_sequences' one shuffle (source key,
+    cumsum window) + one per-source agg."""
+    packed = pack_sequences(spark, sf_dir)
+    B = F.lit(_PACK_BUDGET).cast("long")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("pack_id").cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.count_distinct("pack_id") * B).cast("long").alias("capacity"),
+        micro_div(
+            F.sum("n_tokens"), F.count_distinct("pack_id") * B
+        ).alias("utilization_micro"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_tokens") > _PACK_BUDGET, 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_overflow_docs"),
+    )
+
+
+_CHURN_ORACLE = f"""
+    WITH d AS (
+      SELECT source,
+             ({_rolling_hash_sql("'churn:' || CAST(doc_id AS VARCHAR)")}) % 4
+               AS h
+      FROM documents),
+    f AS (SELECT source,
+                 CASE WHEN h != 0 THEN 1 ELSE 0 END AS in_a,
+                 CASE WHEN h != 1 THEN 1 ELSE 0 END AS in_b
+          FROM d)
+    SELECT source,
+           CAST(SUM(in_a) AS BIGINT) AS n_t0,
+           CAST(SUM(in_b) AS BIGINT) AS n_t1,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+           CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS n_added,
+           CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_removed,
+           CAST((1000000 * (SUM(in_b * (1 - in_a)) + SUM(in_a * (1 - in_b))))
+                // (SUM(in_a * in_b) + SUM(in_b * (1 - in_a))
+                    + SUM(in_a * (1 - in_b))) AS BIGINT) AS churn_micro
+    FROM f GROUP BY source
+"""
+
+
+@register("corpus_snapshot_churn", _CHURN_ORACLE)
+def corpus_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus churn between two crawl snapshots — CDC for
+    corpora: additions, removals, the stable intersection, and the
+    exact micro-unit churn rate (= Jaccard DISTANCE of the id sets:
+    (added+removed)/(common+added+removed)) — the stability telemetry
+    a recrawl pipeline reads before re-running dedup/mixture on a new
+    snapshot (high churn → re-cluster; near-zero → incremental tiers
+    suffice, cf. dedup_keep_best_incremental). Snapshots are overlapping
+    deterministic hash slices (T0 drops hash%4==0, T1 drops hash%4==1),
+    so both directions of churn are exercised at every SF.
+
+    Plan shape at 100 TB: membership is a map-side hash expression
+    on the id — one scan, one per-source agg; the real pipeline feeds
+    two snapshot manifests through the same conditional sums."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = doc_rolling_hash(
+        F.concat(F.lit("churn:"), F.col("doc_id").cast("string"))
+    ) % 4
+    f = docs.select(
+        "source",
+        (h != 0).cast("int").alias("in_a"),
+        (h != 1).cast("int").alias("in_b"),
+    )
+    added = F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long")
+    removed = F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+    common = F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+    return f.groupBy("source").agg(
+        F.sum("in_a").cast("long").alias("n_t0"),
+        F.sum("in_b").cast("long").alias("n_t1"),
+        common.alias("n_common"),
+        added.alias("n_added"),
+        removed.alias("n_removed"),
+        micro_div(added + removed, common + added + removed).alias(
+            "churn_micro"
+        ),
+    )
+
+
+_WJACCARD_THRESHOLD = 700_000  # micro-units
+
+_WJACCARD_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct({_toks_sql('text')}) AS toks
+      FROM documents),
+    n AS (SELECT count(*) AS nd FROM d),
+    df AS (SELECT tok, count(*) AS df
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY tok),
+    w AS (SELECT tok, 1 + ((SELECT nd FROM n) // df) AS wt FROM df),
+    sw AS (SELECT doc_id, SUM(w.wt) AS s
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
+           JOIN w USING (tok) GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                 list_intersect(a.toks, b.toks) AS inter
+          FROM d a JOIN d b ON a.source = b.source AND b.doc_id > a.doc_id
+                            AND b.doc_id - a.doc_id <= 400),
+    iw AS (SELECT src_id, dst_id, SUM(w.wt) AS i
+           FROM (SELECT src_id, dst_id, unnest(inter) AS tok FROM p) t
+           JOIN w USING (tok) GROUP BY src_id, dst_id)
+    SELECT iw.src_id, iw.dst_id,
+           CAST((1000000 * iw.i) // (sa.s + sb.s - iw.i) AS BIGINT)
+             AS wjaccard_micro
+    FROM iw JOIN sw sa ON sa.doc_id = iw.src_id
+            JOIN sw sb ON sb.doc_id = iw.dst_id
+    WHERE (1000000 * iw.i) // (sa.s + sb.s - iw.i) >= {_WJACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_weighted_jaccard", _WJACCARD_ORACLE)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs — plain Jaccard counts a
+    shared stopword and a shared rare term equally; weighting each
+    token by an integer rarity weight (1 + N div df — the exact-
+    arithmetic stand-in for IDF, no ln in the hash path) makes shared
+    RARE content dominate, the upgrade real near-dup pipelines apply
+    when boilerplate tokens cause false merges. Weighted J =
+    Σ_{{t∈A∩B}} w(t) / Σ_{{t∈A∪B}} w(t), exact BIGINT micro-units via
+    the inclusion-exclusion denominator (s_A + s_B − inter). Same
+    (source, id-window) blocking as dedup_token_jaccard.
+
+    Plan shape at 100 TB: df/weights are one token-keyed agg (vocab-
+    sized, NOT broadcast — joined by token hash); per-doc weight sums
+    one explode+join+agg; the pair tier reuses the blocked join and
+    only EXPLODES the intersection tokens (bounded by the blocked
+    candidate volume, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    wts = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            (F.lit(1).cast("long") + exact_div(F.col("nd"), F.col("df"))).alias("wt"),
+        )
+    )
+    sw = (
+        tok.join(wts, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("long").alias("s"))
+    )
+    W = 400
+    a = d.select(
+        "source",
+        F.explode(
+            F.array(
+                (F.col("doc_id") / W).cast("long"),
+                (F.col("doc_id") / W).cast("long") + 1,
+            )
+        ).alias("bucket"),
+        F.col("doc_id").alias("src_id"),
+        F.col("toks").alias("ta"),
+    )
+    b = d.select(
+        "source",
+        (F.col("doc_id") / W).cast("long").alias("bucket"),
+        F.col("doc_id").alias("dst_id"),
+        F.col("toks").alias("tb"),
+    )
+    p = (
+        a.join(b, ["source", "bucket"])
+        .filter(
+            (F.col("dst_id") > F.col("src_id"))
+            & (F.col("dst_id") - F.col("src_id") <= W)
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            F.array_intersect("ta", "tb").alias("inter"),
+        )
+    )
+    iw = (
+        p.select("src_id", "dst_id", F.explode("inter").alias("tok"))
+        .join(wts, "tok")
+        .groupBy("src_id", "dst_id")
+        .agg(F.sum("wt").cast("long").alias("i"))
+    )
+    wj = micro_div(F.col("i"), F.col("sa") + F.col("sb") - F.col("i"))
+    return (
+        iw.join(sw.select(F.col("doc_id").alias("src_id"), F.col("s").alias("sa")), "src_id")
+        .join(sw.select(F.col("doc_id").alias("dst_id"), F.col("s").alias("sb")), "dst_id")
+        .select("src_id", "dst_id", wj.alias("wjaccard_micro"))
+        .filter(F.col("wjaccard_micro") >= _WJACCARD_THRESHOLD)
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -13164,15 +13543,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (259 entries: 237 oracle-backed, 22
+# Round-16 accounting (264 entries: 242 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
-#   EIGHT round-16 registrations lead (dedup_keep_best_incremental,
+#   THIRTEEN round-16 registrations lead (dedup_keep_best_incremental,
 #   stratified_sample_hamilton_drift, filter_funnel_attrition,
 #   dedup_soft_weights, shard_balance_report, ngram_novelty_by_snapshot,
-#   quality_calibration_bins, embedding_dim_stats — all oracle-backed,
-#   never graded); the remaining 42 slots are pure oldest-first
-#   rotation per VERDICT r14 item 4 — the rest of the r11 green cohort,
-#   then the start of the r12 cohort.
+#   quality_calibration_bins, embedding_dim_stats, lang_confusion_matrix,
+#   rouge_ngram_overlap, packing_efficiency_report, corpus_snapshot_churn,
+#   dedup_weighted_jaccard — all oracle-backed, never graded); the
+#   remaining 37 slots are pure oldest-first rotation per VERDICT r14
+#   item 4 — the rest of the r11 green cohort, then the start of the
+#   r12 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -13189,6 +13570,11 @@ _WINDOW_THIS_ROUND = [
     "ngram_novelty_by_snapshot",  # never graded
     "quality_calibration_bins",  # never graded
     "embedding_dim_stats",  # never graded
+    "lang_confusion_matrix",  # never graded
+    "rouge_ngram_overlap",  # never graded
+    "packing_efficiency_report",  # never graded
+    "corpus_snapshot_churn",  # never graded
+    "dedup_weighted_jaccard",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -13226,11 +13612,6 @@ _WINDOW_THIS_ROUND = [
     "global_count",  # last green r12
     "tpch_q1_agg",  # last green r12
     "window_topk_per_group",  # last green r12
-    "window_running_sum",  # last green r12
-    "set_intersect",  # last green r12
-    "sessionize_events",  # last green r12
-    "tumbling_window_agg",  # last green r12
-    "dedup_exact",  # last green r12
 ]
 
 

@@ -163,6 +163,11 @@ ALLOW = {
     # 16-row shard table for the exact share ratios — the bounded
     # global-scalar pattern
     "shard_balance_report": {"nested-loop join"},
+    # 1-row corpus-count scalar (N for the 1 + N div df rarity weight)
+    # cross-joined onto the vocab-sized df table — the bounded
+    # global-scalar pattern; the pair tier itself is the blocked
+    # equi-join
+    "dedup_weighted_jaccard": {"nested-loop join"},
 }
 
 

@@ -314,6 +314,10 @@ SIGNED_DIV_ALLOWLIST = {
     "window_functions_suite": (
         "rn - 1 >= 0: row_number() starts at 1."
     ),
+    "corpus_snapshot_churn": (
+        "in_a/in_b are 0/1 flags, so (1 - in_a) and (1 - in_b) are >= 0 "
+        "and the numerator is a sum of products of non-negatives."
+    ),
 }
 
 

@@ -299,6 +299,18 @@ DOCS_QUERIES = (
     "ngram_novelty_by_snapshot",
     # round-16: scorer scan + lang join + one ntile window — ~linear
     "quality_calibration_bins",
+    # round-16 batch 2: map-only predictor + small agg — ~linear
+    "lang_confusion_matrix",
+    # round-16 batch 2: adjacent-id self-join + per-pair HOFs — ~linear
+    "rouge_ngram_overlap",
+    # round-16 batch 2: pack window + per-source agg — ~linear
+    "packing_efficiency_report",
+    # round-16 batch 2: map-side hash membership + per-source agg — ~linear
+    "corpus_snapshot_churn",
+    # round-16 batch 2: df agg + weight joins + blocked pair tier; the
+    # pair/intersection volume densifies under replication — judge like
+    # the dedup pair family
+    "dedup_weighted_jaccard",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
