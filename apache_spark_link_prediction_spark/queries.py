@@ -12861,46 +12861,265 @@ def filter_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SOFT_WEIGHTS_ORACLE = """
-    WITH f AS (
-      SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-      FROM documents)
-    SELECT doc_id,
-           CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size,
-           CAST(1000000 // count(*) OVER (PARTITION BY fp) AS BIGINT)
-             AS weight_micro
-    FROM f
+# Near-dup connected components as shared oracle CTEs (the
+# _KEEP_BEST_ORACLE recursive closure over the blocked token-Jaccard
+# pairs): comp maps every paired node to its min-id component; labeled
+# extends to the whole corpus (singletons → themselves).
+_NEARDUP_COMP_CTES = f"""pairs AS ({_TOKEN_JACCARD_ORACLE}),
+    edges AS (
+      SELECT src_id AS a, dst_id AS b FROM pairs
+      UNION
+      SELECT dst_id AS a, src_id AS b FROM pairs
+    ),
+    closure(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a
+    ),
+    comp AS (SELECT node, MIN(reach) AS comp FROM closure GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(m.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp m ON d.doc_id = m.node)"""
+
+
+_SOFT_WEIGHTS_ORACLE = f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTES},
+    sz AS (SELECT comp, count(*) AS cs FROM labeled GROUP BY comp)
+    SELECT l.doc_id,
+           CAST(sz.cs AS BIGINT) AS cluster_size,
+           CAST(1000000 // sz.cs AS BIGINT) AS weight_micro
+    FROM labeled l JOIN sz USING (comp)
 """
 
 
 @register("dedup_soft_weights", _SOFT_WEIGHTS_ORACLE)
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT dedup — per-doc sampling weight 1/cluster_size (exact
-    BIGINT micro-units) over the exact-fingerprint clusters, the
-    alternative to hard removal when duplicates carry signal (a doc
-    duplicated k× is sampled at 1/k so every CONTENT has equal
-    expected exposure per epoch; hard dedup is the weight-threshold
-    special case). Emits every doc with its cluster size and weight —
-    the sampler's input table, downstream of dedup_exact's keeper
-    view.
+    BIGINT micro-units) over the NEAR-DUP clusters (token-Jaccard
+    components — exact-fingerprint clusters are all singletons on this
+    fixture, which would make the gate green but vacuous; near-dup
+    clusters run to size ~22 at sf0.01), the alternative to hard
+    removal when duplicates carry signal: a doc duplicated k× is
+    sampled at 1/k so every CONTENT has equal expected exposure per
+    epoch; hard dedup is the weight-threshold special case. Emits
+    every doc with its cluster size and weight — the sampler's input
+    table.
 
-    Plan shape at 100 TB: one fingerprint projection (map-only md5)
-    and one window count per fingerprint partition — a single hash
-    shuffle, no join, nothing pairwise."""
-    from .functions.textstats import doc_fingerprint
+    Plan shape at 100 TB: components over the PAIR set (≪ corpus),
+    one per-cluster count, one broadcast-size join back — nothing
+    corpus-quadratic (dedup_keep_best's shape minus the argmax)."""
+    from .operators.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("fp")
+    comp = dedup_clusters(docs, dedup_token_jaccard(spark, sf_dir))
+    sz = comp.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sz, "keeper_id").select(
+        "doc_id",
+        "cluster_size",
+        exact_div(
+            F.lit(1_000_000).cast("long"), F.col("cluster_size")
+        ).alias("weight_micro"),
+    )
+
+
+_CLUSTER_HIST_ORACLE = f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTES},
+    sz AS (SELECT comp, count(*) AS cs FROM labeled GROUP BY comp)
+    SELECT CAST(cs AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cs) AS BIGINT) AS n_docs,
+           CAST((1000000 * SUM(cs)) // (SELECT count(*) FROM documents)
+                AS BIGINT) AS corpus_share_micro
+    FROM sz GROUP BY cs
+"""
+
+
+@register("dedup_cluster_size_histogram", _CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup report every
+    curation run logs (how much of the corpus sits in size-k duplicate
+    clusters): per size, the cluster count, doc mass, and exact
+    micro-unit corpus share. The shape of this histogram decides
+    policy — a fat tail of large clusters means boilerplate/templating
+    (collapse hard), a thin one means organic near-dups (soft-weight,
+    cf. dedup_soft_weights).
+
+    Plan shape at 100 TB: components over the pair set, two tiny aggs
+    (per-cluster count, per-size histogram), one 1-row corpus-count
+    scalar for the shares."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_clusters(docs, dedup_token_jaccard(spark, sf_dir))
+    sz = comp.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cs"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("td"))
     return (
-        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
-        .select(
-            "doc_id",
-            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-            exact_div(
-                F.lit(1_000_000).cast("long"), F.count(F.lit(1)).over(w)
-            ).alias("weight_micro"),
+        sz.groupBy("cs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cs").cast("long").alias("n_docs"),
         )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cs").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            micro_div(F.col("n_docs"), F.col("td")).alias(
+                "corpus_share_micro"
+            ),
+        )
+    )
+
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+    WITH d AS (
+      SELECT source,
+             ({_rolling_hash_sql("'fold:' || CAST(doc_id AS VARCHAR)")})
+               % {_KFOLD_K} AS fold
+      FROM documents),
+    c AS (SELECT source, fold, count(*) AS n FROM d GROUP BY source, fold)
+    SELECT source, CAST(fold AS BIGINT) AS fold,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY source)
+                AS BIGINT) AS fold_share_micro
+    FROM c
+"""
+
+
+@register("kfold_assignment", _KFOLD_ORACLE)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLD_K}-fold cross-validation assignment —
+    fold = salted rolling hash of the doc id mod k, the seedless,
+    engine-reproducible split (train_test_split_hash's convention,
+    extended to k folds): disjoint and complete BY CONSTRUCTION (every
+    id hashes to exactly one fold), stable under corpus growth (a
+    doc's fold never changes when others arrive — the property a
+    cached-embedding/eval pipeline needs). Emits the per-(source,
+    fold) count table with exact micro-unit shares — the balance audit
+    that catches a bad salt before a model trains on it.
+
+    Plan shape at 100 TB: one map-side hash + one grouped agg + a
+    |sources×k|-row window."""
+    from .functions.textstats import doc_rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = doc_rolling_hash(
+        F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
+    ) % _KFOLD_K
+    c = docs.select("source", fold.alias("fold")).groupBy(
+        "source", "fold"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("source")
+    return c.select(
+        "source",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_docs"),
+        micro_div(F.col("n"), F.sum("n").over(ws)).alias(
+            "fold_share_micro"
+        ),
+    )
+
+
+_SOURCE_QUALITY_ORACLE = f"""
+    WITH q AS ({_QSCORE_ORACLE}),
+    g AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             COALESCE(list_sum(list_transform(toks,
+                        t -> CAST(length(t) AS BIGINT))), 0) AS sum_len,
+             CAST(len(list_filter({list(_GOPHER_STOPS)},
+                      s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+               AS BIGINT) AS alpha_hits
+      FROM (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents)),
+    p AS (SELECT doc_id,
+                 CAST(n_words BETWEEN 20 AND 100000
+                      AND sum_len BETWEEN 2 * n_words AND 12 * n_words
+                      AND stop_hits >= 2
+                      AND 5 * alpha_hits >= 4 * n_words AS INT) AS passes
+          FROM g),
+    j AS (SELECT d.source, q.score_milli, q.n_tok, p.passes
+          FROM documents d JOIN q ON q.doc_id = d.doc_id
+                           JOIN p ON p.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(passes) AS BIGINT) AS n_pass,
+           CAST((1000000 * SUM(passes)) // count(*) AS BIGINT)
+             AS pass_rate_micro,
+           CAST(sign(SUM(score_milli))
+                * (abs(SUM(score_milli)) // count(*)) AS BIGINT)
+             AS mean_score_milli,
+           CAST((1000000 * SUM(n_tok)) // count(*) AS BIGINT)
+             AS mean_tokens_micro
+    FROM j GROUP BY source
+"""
+
+
+@register("source_quality_report", _SOURCE_QUALITY_ORACLE)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard — the table a mixture designer
+    actually reads: doc count, Gopher-rule pass count and exact
+    micro-unit pass rate, mean linear-scorer score (signed
+    magnitude-division — corpus scores ARE negative here, the
+    signed_exact_div house form), and mean token count per source.
+    Composes quality_linear_scorer + the Gopher rules per source, so
+    re-weighting decisions never rescan text.
+
+    Plan shape at 100 TB: two map-only per-doc signal scans joined on
+    doc_id (co-partitioned — same source table) + one per-source agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_linear_scorer(spark, sf_dir).select(
+        "doc_id", "score_milli", "n_tok"
+    )
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    j = docs.select("doc_id", "source").join(q, "doc_id").join(g, "doc_id")
+    n = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("passes").cast("long").alias("n_pass"),
+        micro_div(F.sum("passes"), n).alias("pass_rate_micro"),
+        signed_exact_div(F.sum("score_milli"), n).alias("mean_score_milli"),
+        micro_div(F.sum("n_tok"), n).alias("mean_tokens_micro"),
+    )
+
+
+_TOKLEN_ORACLE = f"""
+    WITH t AS (
+      SELECT CAST(length(tok) AS BIGINT) AS token_len
+      FROM (SELECT unnest({_toks_sql('text')}) AS tok FROM documents)),
+    c AS (SELECT token_len, count(*) AS n FROM t GROUP BY token_len)
+    SELECT token_len, CAST(n AS BIGINT) AS n_tokens,
+           CAST((1000000 * n) // SUM(n) OVER () AS BIGINT) AS share_micro
+    FROM c
+"""
+
+
+@register("token_length_distribution", _TOKLEN_ORACLE)
+def token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram with exact micro-unit shares —
+    the first chart a tokenizer/vocab design reads (length mass
+    decides merges worth learning; a spike at length 1 means
+    fragmentation, a long tail means ids/urls leaking through
+    cleaning; tokenizer_fertility_by_lang is the per-language
+    downstream twin).
+
+    Plan shape at 100 TB: explode is map-side, the agg keys on
+    ~dozens of lengths (map-side combine collapses each partition),
+    and the share window runs on the histogram rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(tokenize("text")).alias("tok")
+    ).select(F.length("tok").cast("long").alias("token_len"))
+    c = t.groupBy("token_len").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return c.select(
+        "token_len",
+        F.col("n").cast("long").alias("n_tokens"),
+        micro_div(F.col("n"), F.sum("n").over(w)).alias("share_micro"),
     )
 
 
@@ -13543,17 +13762,19 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (264 entries: 242 oracle-backed, 22
+# Round-16 accounting (268 entries: 246 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
-#   THIRTEEN round-16 registrations lead (dedup_keep_best_incremental,
-#   stratified_sample_hamilton_drift, filter_funnel_attrition,
-#   dedup_soft_weights, shard_balance_report, ngram_novelty_by_snapshot,
-#   quality_calibration_bins, embedding_dim_stats, lang_confusion_matrix,
-#   rouge_ngram_overlap, packing_efficiency_report, corpus_snapshot_churn,
-#   dedup_weighted_jaccard — all oracle-backed, never graded); the
-#   remaining 37 slots are pure oldest-first rotation per VERDICT r14
-#   item 4 — the rest of the r11 green cohort, then the start of the
-#   r12 cohort.
+#   SEVENTEEN round-16 registrations lead (batch 1:
+#   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
+#   filter_funnel_attrition, dedup_soft_weights, shard_balance_report,
+#   ngram_novelty_by_snapshot, quality_calibration_bins,
+#   embedding_dim_stats; batch 2: lang_confusion_matrix,
+#   rouge_ngram_overlap, packing_efficiency_report,
+#   corpus_snapshot_churn, dedup_weighted_jaccard; batch 3:
+#   dedup_cluster_size_histogram, kfold_assignment,
+#   source_quality_report, token_length_distribution — all
+#   oracle-backed, never graded); the remaining 33 slots are pure
+#   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -13575,6 +13796,10 @@ _WINDOW_THIS_ROUND = [
     "packing_efficiency_report",  # never graded
     "corpus_snapshot_churn",  # never graded
     "dedup_weighted_jaccard",  # never graded
+    "dedup_cluster_size_histogram",  # never graded
+    "kfold_assignment",  # never graded
+    "source_quality_report",  # never graded
+    "token_length_distribution",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -13608,10 +13833,6 @@ _WINDOW_THIS_ROUND = [
     "s1_scan_project_filter",  # last green r12
     "pair_features_flagship",  # last green r12
     "pair_multiset_common_tokens",  # last green r12
-    "left_existence_label",  # last green r12
-    "global_count",  # last green r12
-    "tpch_q1_agg",  # last green r12
-    "window_topk_per_group",  # last green r12
 ]
 
 

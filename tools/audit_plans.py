@@ -168,6 +168,10 @@ ALLOW = {
     # global-scalar pattern; the pair tier itself is the blocked
     # equi-join
     "dedup_weighted_jaccard": {"nested-loop join"},
+    # 1-row corpus-count scalar cross-joined onto the ~dozens-row
+    # size histogram for the exact corpus shares — the bounded
+    # global-scalar pattern
+    "dedup_cluster_size_histogram": {"nested-loop join"},
 }
 
 

@@ -311,6 +311,16 @@ DOCS_QUERIES = (
     # pair/intersection volume densifies under replication — judge like
     # the dedup pair family
     "dedup_weighted_jaccard",
+    # round-16 batch 3: components over the pair set + histogram aggs —
+    # judge like dedup_keep_best (pair volume densifies)
+    "dedup_cluster_size_histogram",
+    # round-16 batch 3: map-side hash + small agg/window — ~linear
+    "kfold_assignment",
+    # round-16 batch 3: two map-only signal scans + per-source agg —
+    # ~linear
+    "source_quality_report",
+    # round-16 batch 3: explode + ~dozens-key agg — ~linear
+    "token_length_distribution",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
