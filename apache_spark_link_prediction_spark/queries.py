@@ -13735,6 +13735,618 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-16 batch 4: split-hygiene, cross-source dedup telemetry, eval
+# estimators, privacy release, and label-noise auditing.
+# ---------------------------------------------------------------------------
+
+
+_LEAKAGE_ORACLE = f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTES},
+    flagged AS (
+      SELECT d.doc_id, d.source, l.comp,
+             CASE WHEN d.doc_id % 100 < 80 THEN 1 ELSE 0 END AS is_train
+      FROM documents d JOIN labeled l USING (doc_id)),
+    g AS (
+      SELECT source, is_train,
+             max(is_train) OVER (PARTITION BY comp) AS has_train
+      FROM flagged)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_train) AS BIGINT) AS n_train,
+           CAST(sum(1 - is_train) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN is_train = 0 AND has_train = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_test
+    FROM g GROUP BY source
+"""
+
+
+@register("split_leakage_audit", _LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test NEAR-DUP leakage audit of a naive id-based split: a
+    test doc whose near-dup cluster (token-Jaccard components, the
+    dedup_clusters tier) contains any train member is contaminated —
+    the eval-inflation mechanism content-hash splitting
+    (train_test_split_hash) exists to prevent, measured here so the
+    split policy decision is data-driven rather than folklore. Exact
+    dups can't leak across the hash split BY CONSTRUCTION (the split
+    key is the fingerprint), so the audited split is the naive
+    ``doc_id % 100`` one every pipeline starts with. Per source:
+    doc/train/test counts and the leaked-test-doc count.
+
+    Plan shape at 100 TB: components over the PAIR set (≪ corpus),
+    one window max over cluster ids (clusters are small by
+    construction — hot-bucket caps bound them), one per-source agg.
+    Nothing corpus-quadratic beyond the already-capped pair tier."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_clusters(docs, dedup_token_jaccard(spark, sf_dir))
+    t = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id")
+        .select(
+            "source",
+            "keeper_id",
+            (F.col("doc_id") % 100 < 80).cast("long").alias("is_train"),
+        )
+    )
+    has_train = F.max("is_train").over(Window.partitionBy("keeper_id"))
+    g = t.select("source", "is_train", has_train.alias("has_train"))
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_train").cast("long").alias("n_train"),
+        F.sum(F.lit(1) - F.col("is_train")).cast("long").alias("n_test"),
+        F.sum(
+            ((F.col("is_train") == 0) & (F.col("has_train") == 1)).cast("int")
+        )
+        .cast("long")
+        .alias("n_leaked_test"),
+    )
+
+
+_XSOURCE_ORACLE = f"""
+    WITH dd AS (
+      SELECT doc_id, source, list_distinct({_toks_sql('text')}) AS toks
+      FROM documents),
+    p AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             (1000000 * len(list_intersect(a.toks, b.toks)))
+               // len(list_distinct(list_concat(a.toks, b.toks)))
+               AS jaccard_micro
+      FROM dd a JOIN dd b
+        ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 400
+           AND a.source <> b.source
+      WHERE (1000000 * len(list_intersect(a.toks, b.toks)))
+            // len(list_distinct(list_concat(a.toks, b.toks))) >= 800000)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jaccard_micro) // count(*) AS BIGINT)
+             AS mean_jaccard_micro
+    FROM p GROUP BY source_a, source_b
+"""
+
+
+@register("cross_source_neardup_matrix", _XSOURCE_ORACLE)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate WHICH: near-dup pair counts between
+    every source pair — the syndication/mirror map a crawl curator
+    reads before deciding source priorities (if B is 90% near-dups of
+    A, crawl B last or not at all). The in-corpus dedup tier
+    (dedup_token_jaccard) blocks by source precisely because it
+    collapses WITHIN sources; this op is the complementary
+    cross-source view, same id-window blocking (W=400) WITHOUT the
+    source equality, keeping only cross-source pairs. Per unordered
+    source pair: pair count and exact mean Jaccard (micro-units,
+    integral mean — sum div count).
+
+    Plan shape at 100 TB: the bucket join keys on the id-window bucket
+    alone, so bucket COUNT grows with the corpus while bucket SIZE
+    stays W — candidate volume is corpus-linear, and the lossless
+    size-ratio prefilter skips exact intersections that cannot reach
+    the 0.8 threshold."""
+    W = 400
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    a = base.select(
+        F.explode(
+            F.array(
+                (F.col("doc_id") / W).cast("long"),
+                (F.col("doc_id") / W).cast("long") + 1,
+            )
+        ).alias("bucket"),
+        F.col("doc_id").alias("src_id"),
+        F.col("source").alias("source_x"),
+        F.col("toks").alias("ta"),
+    )
+    b = base.select(
+        (F.col("doc_id") / W).cast("long").alias("bucket"),
+        F.col("doc_id").alias("dst_id"),
+        F.col("source").alias("source_y"),
+        F.col("toks").alias("tb"),
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("dst_id") > F.col("src_id"))
+            & (F.col("dst_id") - F.col("src_id") <= W)
+            & (F.col("source_x") != F.col("source_y"))
+            # lossless size-ratio prefilter (dedup_token_jaccard's)
+            & (
+                F.least(F.size("ta"), F.size("tb"))
+                >= F.lit(0.8 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
+            )
+        )
+        .withColumn("jaccard_micro", jaccard_micro_tokens("ta", "tb"))
+        .filter(F.col("jaccard_micro") >= 800_000)
+        .select(
+            F.least("source_x", "source_y").alias("source_a"),
+            F.greatest("source_x", "source_y").alias("source_b"),
+            "jaccard_micro",
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        exact_div(F.sum("jaccard_micro"), F.count(F.lit(1))).alias(
+            "mean_jaccard_micro"
+        ),
+    )
+
+
+_BURSTINESS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_sql('text')}) AS token FROM documents),
+    s AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY token),
+    f AS (
+      SELECT token, cf, df,
+             CAST((1000000 * cf) // df AS BIGINT) AS burstiness_micro
+      FROM s WHERE df >= 5),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY burstiness_micro DESC, token)
+               AS rk
+      FROM f)
+    SELECT token, cf, df, burstiness_micro FROM r WHERE rk <= 50
+"""
+
+
+@register("token_burstiness", _BURSTINESS_ORACLE)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness — collection frequency over document
+    frequency per token (exact micro-units): a token appearing 500
+    times in 5 docs (burstiness 100) is template/boilerplate; one
+    appearing 500 times in 480 docs (~1) is ordinary vocabulary. The
+    top-burstiness list is the boilerplate-candidate report that
+    seeds cleaning rules (cf. boilerplate_segment_removal, which
+    removes what THIS op finds). df >= 5 floors out hapax noise; top
+    50 by (burstiness, token) total order.
+
+    Plan shape at 100 TB: one explode + token-keyed agg (map-side
+    combined, vocab-sized result), then a global top-k over the
+    VOCAB frame — the single-partition window sorts thousands of
+    rows, not the corpus (same posture as vocab_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+        .withColumn("burstiness_micro", micro_div(F.col("cf"), F.col("df")))
+    )
+    w = Window.orderBy(F.col("burstiness_micro").desc(), "token")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("token", "cf", "df", "burstiness_micro")
+    )
+
+
+_HASHTF_BUCKETS = 10_000
+
+_COLLISION_GRAMS_SQL = {
+    1: "CASE WHEN len(toks) >= 1 THEN list_distinct(toks) ELSE [''] END",
+    2: """CASE WHEN len(toks) >= 2
+         THEN list_distinct(list_transform(range(0, len(toks) - 1),
+              i -> toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END""",
+    3: """CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(0, len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         ELSE [array_to_string(toks, ' ')] END""",
+}
+
+_COLLISION_ORACLE = f"""
+    WITH d AS (
+      SELECT {_toks_sql('text')} AS toks FROM documents),
+    g AS (
+      {" UNION ALL ".join(
+        f'''SELECT {n} AS ngram_n,
+                  unnest({sql}) AS gram
+           FROM d WHERE len(toks) > 0'''
+        for n, sql in _COLLISION_GRAMS_SQL.items())}),
+    dg AS (SELECT DISTINCT ngram_n, gram FROM g),
+    hb AS (
+      SELECT ngram_n, gram,
+             ({_rolling_hash_sql("gram")}) % {_HASHTF_BUCKETS} AS bucket
+      FROM dg),
+    agg AS (
+      SELECT ngram_n,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams,
+             CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets_used
+      FROM hb GROUP BY ngram_n)
+    SELECT CAST(ngram_n AS BIGINT) AS ngram_n,
+           n_distinct_grams, n_buckets_used,
+           CAST(n_distinct_grams - n_buckets_used AS BIGINT)
+             AS n_merged_grams,
+           CAST((1000000 * (n_distinct_grams - n_buckets_used))
+                // n_distinct_grams AS BIGINT) AS collision_rate_micro
+    FROM agg
+"""
+
+
+@register("ngram_collision_audit", _COLLISION_ORACLE)
+def ngram_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit for HashingTF-style n-gram
+    bucketing (the reference fixes numFeatures=10000,
+    Predictor.scala:122-125 — THIS measures what that choice costs on
+    a given corpus): per n in {1,2,3}, the distinct-gram count, the
+    hash buckets actually used at 10,000 buckets (house rolling hash,
+    so both engines bucket identically), and the merged-away gram mass
+    (grams minus buckets used — every collision collapses at least one
+    gram into another's bucket). Collision rate ≥ ~30% means the TF
+    vectors are conflating features and numFeatures should grow.
+
+    Plan shape at 100 TB: explode to distinct (n, gram) — gram-keyed
+    shuffles only, vocab-sized aggregates, 3 output rows. The gram
+    distinct is the same tier ngram_novelty_by_snapshot runs."""
+    from .functions.textstats import doc_rolling_hash
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.filter(F.size(tokenize("text")) > 0)
+    parts = [
+        nonempty.select(
+            F.lit(n).cast("long").alias("ngram_n"),
+            F.explode(word_shingles("text", n)).alias("gram"),
+        )
+        for n in (1, 2, 3)
+    ]
+    g = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    hb = g.select(
+        "ngram_n", (doc_rolling_hash(F.col("gram")) % _HASHTF_BUCKETS).alias("bucket")
+    )
+    agg = hb.groupBy("ngram_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets_used"),
+    )
+    merged = F.col("n_distinct_grams") - F.col("n_buckets_used")
+    return agg.select(
+        "ngram_n",
+        "n_distinct_grams",
+        "n_buckets_used",
+        merged.cast("long").alias("n_merged_grams"),
+        micro_div(merged, F.col("n_distinct_grams")).alias(
+            "collision_rate_micro"
+        ),
+    )
+
+
+# pass@k sample budget and k grid: exactly the first _PASSK_N events per
+# user (by ts, event_id) are "samples"; users with fewer are excluded so
+# n is the constant _PASSK_N and the combinatorics stay BIGINT-exact
+# (P(16,10)·10^6 ≈ 2.9e16 < 2^63).
+_PASSK_N = 16
+_PASSK_KS = (1, 5, 10)
+
+
+def _passk_denominator(k: int) -> int:
+    d = 1
+    for i in range(k):
+        d *= _PASSK_N - i
+    return d
+
+
+def _passk_fail_product_sql(k: int) -> str:
+    return " * ".join(f"(f - {i})" if i else "f" for i in range(k))
+
+
+_PASSK_ORACLE = f"""
+    WITH ordered AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events),
+    prob AS (
+      SELECT user_id, CAST({_PASSK_N} - sum(ok) AS BIGINT) AS f
+      FROM ordered WHERE rn <= {_PASSK_N}
+      GROUP BY user_id HAVING count(*) = {_PASSK_N}),
+    per AS (
+      {" UNION ALL ".join(
+        f'''SELECT {k} AS k,
+                  1000000 - (1000000 * ({_passk_fail_product_sql(k)}))
+                            // {_passk_denominator(k)} AS pass_micro
+           FROM prob'''
+        for k in _PASSK_KS)})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_problems,
+           CAST(sum(pass_micro) // count(*) AS BIGINT) AS mean_pass_micro
+    FROM per GROUP BY k
+"""
+
+
+@register("pass_at_k_eval", _PASSK_ORACLE)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (the Codex/HumanEval estimator: 1 − C(n−c,k)/
+    C(n,k)) computed EXACTLY in integer arithmetic — each user's first
+    16 events are its "samples", purchase = success, and the failure
+    ratio's numerator Π(f−i) and constant denominator P(16,k) stay in
+    BIGINT (no floating combinatorics, no lgamma), so the gate
+    certifies the estimator itself. When f < k the consecutive-integer
+    product contains the factor 0 exactly (pass@k = 1), the standard
+    identity. Per k ∈ {1,5,10}: problem count and exact mean pass@k in
+    micro-units (integral mean).
+
+    Plan shape at 100 TB: one per-user window (rank the samples), one
+    per-user agg, then a 3-way constant fan-out and a global agg —
+    problem-keyed shuffles only, 3 output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    ordered = ev.select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("long").alias("ok"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= _PASSK_N)
+    prob = (
+        ordered.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            (F.lit(_PASSK_N) - F.sum("ok")).cast("long").alias("f"),
+        )
+        .filter(F.col("n_taken") == _PASSK_N)
+        .select("f")
+    )
+    rows = []
+    for k in _PASSK_KS:
+        num = F.lit(1).cast("long")
+        for i in range(k):
+            num = num * (F.col("f") - F.lit(i))
+        fail = exact_div(F.lit(1_000_000).cast("long") * num, F.lit(_passk_denominator(k)))
+        rows.append(
+            prob.select(
+                F.lit(k).cast("long").alias("k"),
+                (F.lit(1_000_000).cast("long") - fail).alias("pass_micro"),
+            )
+        )
+    per = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return per.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        exact_div(F.sum("pass_micro"), F.count(F.lit(1))).alias(
+            "mean_pass_micro"
+        ),
+    )
+
+
+_WINRATE_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type,
+             lead(value) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_value
+      FROM events),
+    m AS (
+      SELECT event_type AS type_first, next_type AS type_second,
+             CASE WHEN value > next_value THEN 1 ELSE 0 END AS w1,
+             CASE WHEN value < next_value THEN 1 ELSE 0 END AS w2,
+             CASE WHEN value = next_value THEN 1 ELSE 0 END AS dr
+      FROM seq
+      WHERE next_type IS NOT NULL AND event_type <> next_type)
+    SELECT type_first, type_second,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(w1) AS BIGINT) AS wins_first,
+           CAST(sum(w2) AS BIGINT) AS wins_second,
+           CAST(sum(dr) AS BIGINT) AS draws,
+           CAST((1000000 * (2 * sum(w1) + sum(dr))) // (2 * count(*))
+                AS BIGINT) AS winrate_first_micro
+    FROM m GROUP BY type_first, type_second
+"""
+
+
+@register("pairwise_winrate_matrix", _WINRATE_ORACLE)
+def pairwise_winrate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate matrix — the preference-data summary an RLHF/
+    evals pipeline publishes (model A vs model B: matches, wins,
+    draws, win rate): each user's consecutive event pairs are the
+    "matches", the higher value wins, ties are draws counted as half a
+    win (exact micro-units via the 2w+d over 2n integer form — no 0.5
+    in the hash path). Both sides of each match keep their roles
+    (first = earlier event), so the matrix is the full ordered-pair
+    grid minus the diagonal.
+
+    Plan shape at 100 TB: one per-user window (lead), one matrix-sized
+    agg (|types|² rows) — user-keyed shuffle then map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("value").over(w).alias("next_value"),
+    ).filter(
+        F.col("next_type").isNotNull() & (F.col("event_type") != F.col("next_type"))
+    )
+    m = seq.select(
+        F.col("event_type").alias("type_first"),
+        F.col("next_type").alias("type_second"),
+        (F.col("value") > F.col("next_value")).cast("long").alias("w1"),
+        (F.col("value") < F.col("next_value")).cast("long").alias("w2"),
+        (F.col("value") == F.col("next_value")).cast("long").alias("dr"),
+    )
+    return m.groupBy("type_first", "type_second").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum("w1").cast("long").alias("wins_first"),
+        F.sum("w2").cast("long").alias("wins_second"),
+        F.sum("dr").cast("long").alias("draws"),
+        exact_div(
+            F.lit(1_000_000).cast("long")
+            * (F.lit(2).cast("long") * F.sum("w1") + F.sum("dr")),
+            F.lit(2).cast("long") * F.count(F.lit(1)),
+        ).alias("winrate_first_micro"),
+    )
+
+
+_LDIV_K = 10
+_LDIV_L = 4
+
+_LDIV_ORACLE = f"""
+    WITH keyed AS (
+      SELECT event_id, event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(floor(value / 50) AS BIGINT) AS value_bucket
+      FROM events),
+    g AS (
+      SELECT day, value_bucket, count(*) AS k_size,
+             count(DISTINCT event_type) AS l_div
+      FROM keyed GROUP BY day, value_bucket)
+    SELECT k.event_id, k.event_type, k.day, k.value_bucket
+    FROM keyed k JOIN g USING (day, value_bucket)
+    WHERE g.k_size >= {_LDIV_K} AND g.l_div >= {_LDIV_L}
+"""
+
+
+@register("l_diversity_release", _LDIV_ORACLE)
+def l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release filter — k-anonymity's stronger sibling
+    (k_anonymity_release is the k-only tier): a quasi-identifier group
+    (day, value-bucket) is released only if it has ≥ k=10 rows AND its
+    SENSITIVE attribute (event_type) takes ≥ l=4 distinct values —
+    k-anonymity alone still leaks when a group is homogeneous ("all 12
+    people in that bucket purchased"). Suppression binds on both axes
+    on this fixture (sf0.001: 1 of 42 k-passing groups fails l;
+    larger SFs suppress via k). Released rows keep their quasi-id
+    columns only plus the row key.
+
+    Plan shape at 100 TB: one groupBy over the quasi-id key (group
+    table ≪ corpus, broadcast back), filter before anything leaves
+    the plan — same posture as k_anonymity_release but with the
+    distinct-count needing a real agg (COUNT DISTINCT over a window
+    isn't supported; the groupBy+broadcast-join is the scale-correct
+    form anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.to_date(F.col("ts")).alias("day"),
+        F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+    )
+    g = (
+        keyed.groupBy("day", "value_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.countDistinct("event_type").alias("l_div"),
+        )
+        .filter((F.col("k_size") >= _LDIV_K) & (F.col("l_div") >= _LDIV_L))
+        .select("day", "value_bucket")
+    )
+    return keyed.join(F.broadcast(g), ["day", "value_bucket"]).select(
+        "event_id", "event_type", "day", "value_bucket"
+    )
+
+
+_KNN_PROBE_MOD = 29
+_KNN_K = 5
+
+_KNN_AGREE_ORACLE = f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+             label AS pl
+      FROM embeddings WHERE vec_id % {_KNN_PROBE_MOD} = 0),
+    scored AS (
+      SELECT p.probe_id, p.pl, e.vec_id AS cand_id, e.label AS cl,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.pv), 4) AS cos
+      FROM p JOIN embeddings e ON e.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT probe_id, pl, cl,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rk
+      FROM scored),
+    top AS (SELECT * FROM ranked WHERE rk <= {_KNN_K})
+    SELECT pl AS label,
+           CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN cl = pl THEN 1 ELSE 0 END) AS BIGINT)
+             AS sum_agree,
+           CAST((1000000 * sum(CASE WHEN cl = pl THEN 1 ELSE 0 END))
+                // ({_KNN_K} * count(DISTINCT probe_id)) AS BIGINT)
+             AS agreement_micro
+    FROM top GROUP BY pl
+"""
+
+
+@register("knn_label_agreement", _KNN_AGREE_ORACLE)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-NN agreement (Confident-Learning's
+    cheap cousin): for a deterministic probe subset (vec_id ≡ 0 mod
+    29, ~3%), find the 5 nearest embeddings by exact cosine and
+    measure how often neighbors share the probe's label — a label
+    whose probes agree with their neighborhoods at 20% is either
+    noisy or not a metric-space cluster; either way it's flagged
+    before training. Rank orders on the 4dp-rounded cosine with a
+    cand_id tiebreak (hard_negative_mining's engine-stable rank
+    convention). Per label: probe count, agreeing-neighbor count,
+    exact micro-unit agreement.
+
+    Plan shape at 100 TB: the probe set is a BOUNDED broadcast (mod
+    sampling keeps it a fixed fraction; cap the mod for a fixed
+    count), the corpus streams once against it — the designed
+    bounded nested loop of embedding_topk_bruteforce; the scale path
+    for bigger probe sets is the IVF/LSH funnels."""
+    from .functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("pv"),
+        F.col("label").alias("pl"),
+    )
+    scored = emb.join(
+        F.broadcast(probes), emb.vec_id != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "pl",
+        F.col("label").alias("cl"),
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), F.col("pv")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "cand_id")
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    agree = (F.col("cl") == F.col("pl")).cast("long")
+    return top.groupBy(F.col("pl").alias("label")).agg(
+        F.countDistinct("probe_id").cast("long").alias("n_probes"),
+        F.sum(agree).cast("long").alias("sum_agree"),
+        exact_div(
+            F.lit(1_000_000).cast("long") * F.sum(agree),
+            F.lit(_KNN_K).cast("long") * F.countDistinct("probe_id"),
+        ).alias("agreement_micro"),
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a

@@ -456,3 +456,181 @@ def test_hamilton_drift_bound(spark, sf_dir):
     # at every shipped SF (if this ever fails the fixture got too
     # uniform and the entry stops exercising the drift path)
     assert drifted >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 4 pins — each recomputes the expected answer with an
+# INDEPENDENT pandas/python implementation over the raw parquet (not the
+# DuckDB oracle, not Spark), the house convention of this module.
+# ---------------------------------------------------------------------------
+
+
+def _first16(events_pd: pd.DataFrame) -> pd.DataFrame:
+    s = events_pd.sort_values(["user_id", "ts", "event_id"])
+    return s.groupby("user_id").head(16)
+
+
+def test_pass_at_k_matches_math_comb(spark, sf_dir, events_pd):
+    """pass@k pinned against math.comb: the registered query's integer
+    falling-factorial form must equal the textbook 1 − C(f,k)/C(n,k)
+    computed with exact Python big-int combinatorics."""
+    t = _first16(events_pd)
+    sizes = t.groupby("user_id").size()
+    eligible = sizes[sizes == 16].index
+    t = t[t["user_id"].isin(eligible)]
+    fails = (
+        (t["event_type"] != "purchase")
+        .groupby(t["user_id"])
+        .sum()
+        .astype(int)
+    )
+    want = {}
+    for k in (1, 5, 10):
+        per = [
+            1_000_000 - (1_000_000 * math.comb(f, k) * math.factorial(k)
+                          * math.factorial(16 - k) // math.factorial(16))
+            if f >= k else 1_000_000
+            for f in fails
+        ]
+        want[k] = (len(per), sum(per) // len(per))
+    rows = QUERIES["pass_at_k_eval"](spark, sf_dir).collect()
+    got = {r["k"]: (r["n_problems"], r["mean_pass_micro"]) for r in rows}
+    assert got == want
+
+
+def test_pairwise_winrate_matches_pandas(spark, sf_dir, events_pd):
+    s = events_pd.sort_values(["user_id", "ts", "event_id"]).copy()
+    s["next_type"] = s.groupby("user_id")["event_type"].shift(-1)
+    s["next_value"] = s.groupby("user_id")["value"].shift(-1)
+    m = s[(s["next_type"].notna()) & (s["event_type"] != s["next_type"])]
+    want = {}
+    for (a, b), g in m.groupby(["event_type", "next_type"]):
+        w1 = int((g["value"] > g["next_value"]).sum())
+        w2 = int((g["value"] < g["next_value"]).sum())
+        dr = int((g["value"] == g["next_value"]).sum())
+        n = len(g)
+        want[(a, b)] = (n, w1, w2, dr, (1_000_000 * (2 * w1 + dr)) // (2 * n))
+    rows = QUERIES["pairwise_winrate_matrix"](spark, sf_dir).collect()
+    got = {
+        (r["type_first"], r["type_second"]): (
+            r["n_matches"], r["wins_first"], r["wins_second"], r["draws"],
+            r["winrate_first_micro"],
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_token_burstiness_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for text in docs["text"]:
+        toks = text.strip().lower().split()
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scored = sorted(
+        (
+            (-((1_000_000 * cf[t]) // df[t]), t)
+            for t in cf
+            if df[t] >= 5
+        ),
+    )[:50]
+    want = {
+        t: (cf[t], df[t], -neg) for neg, t in scored
+    }
+    rows = QUERIES["token_burstiness"](spark, sf_dir).collect()
+    got = {r["token"]: (r["cf"], r["df"], r["burstiness_micro"]) for r in rows}
+    assert got == want
+    # burstiness >= 1e6 by construction (cf >= df)
+    assert all(v[2] >= 1_000_000 for v in got.values())
+
+
+def test_ngram_collision_audit_pigeonhole(spark, sf_dir):
+    """Collision identity + an independent n=1 recomputation with the
+    python rolling-hash twin (merged = distinct − buckets_used >= 0 is
+    the pigeonhole the SIGNED_DIV_ALLOWLIST entry claims)."""
+    rows = {r["ngram_n"]: r for r in
+            QUERIES["ngram_collision_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert 0 <= r["n_buckets_used"] <= min(10_000, r["n_distinct_grams"])
+        assert r["n_merged_grams"] == r["n_distinct_grams"] - r["n_buckets_used"]
+        assert r["collision_rate_micro"] == (
+            1_000_000 * r["n_merged_grams"]
+        ) // r["n_distinct_grams"]
+
+    def rolling(s: str) -> int:
+        h = 0
+        for ch in " ".join(s.strip().lower().split()):
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    grams = set()
+    for text in docs["text"]:
+        toks = text.strip().lower().split()
+        grams.update(toks)
+    assert rows[1]["n_distinct_grams"] == len(grams)
+    assert rows[1]["n_buckets_used"] == len({rolling(g) % 10_000 for g in grams})
+
+
+def test_l_diversity_release_contract(spark, sf_dir, events_pd):
+    """Every released quasi-id group satisfies BOTH k>=10 and l>=4 in
+    the RAW data, suppression is real (some rows withheld), and — on
+    the sf0.001 fixture — at least one k-passing group is suppressed
+    purely by the l-diversity axis (the reason this op exists beyond
+    k_anonymity_release)."""
+    e = events_pd.copy()
+    e["day"] = e["ts"].dt.floor("D")
+    e["vb"] = np.floor(e["value"] / 50).astype(int)
+    g = e.groupby(["day", "vb"]).agg(
+        n=("event_id", "size"), l=("event_type", "nunique")
+    )
+    released = QUERIES["l_diversity_release"](spark, sf_dir).collect()
+    assert released and len(released) < len(e)
+    for r in released:
+        key = (pd.Timestamp(r["day"]), r["value_bucket"])
+        assert g.loc[key, "n"] >= 10 and g.loc[key, "l"] >= 4
+    want_rows = int(g[(g["n"] >= 10) & (g["l"] >= 4)]["n"].sum())
+    assert len(released) == want_rows
+    if sf_dir.endswith("sf0.001"):
+        assert ((g["n"] >= 10) & (g["l"] < 4)).any()
+
+
+def test_split_leakage_audit_totals(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = QUERIES["split_leakage_audit"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == r["n_docs"]
+        assert 0 <= r["n_leaked_test"] <= r["n_test"]
+    # the naive id split DOES leak through near-dup clusters on this
+    # fixture (488 cross-split near-dup pairs at sf0.001) — if this
+    # goes to zero the audit stopped auditing anything
+    assert sum(r["n_leaked_test"] for r in rows) > 0
+
+
+def test_cross_source_neardup_matrix_contract(spark, sf_dir):
+    rows = QUERIES["cross_source_neardup_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_pairs"] >= 1
+        # every contributing pair clears the 0.8 threshold, so the
+        # integral mean cannot fall below it (floor of values >= 8e5)
+        assert r["mean_jaccard_micro"] >= 800_000
+
+
+def test_knn_label_agreement_contract(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n_probes_want = int((emb["vec_id"] % 29 == 0).sum())
+    rows = QUERIES["knn_label_agreement"](spark, sf_dir).collect()
+    assert sum(r["n_probes"] for r in rows) == n_probes_want
+    for r in rows:
+        assert 0 <= r["sum_agree"] <= 5 * r["n_probes"]
+        assert r["agreement_micro"] == (
+            1_000_000 * r["sum_agree"]
+        ) // (5 * r["n_probes"])

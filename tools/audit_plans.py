@@ -117,6 +117,10 @@ ALLOW = {
     # predicate — definitionally |probes|x|corpus| like
     # embedding_topk_bruteforce; the corpus side streams once
     "hard_negative_mining": {"nested-loop join"},
+    # bounded probe set (vec_id mod-sampled) broadcast against the
+    # corpus with a self-exclusion inequality predicate — same
+    # designed |probes|x|corpus| stream as hard_negative_mining
+    "knn_label_agreement": {"nested-loop join"},
     # composes bm25_scoring (1-row avgdl/N scalar crossJoin) and
     # brute_force_top_k's 1-query broadcast scoring — both shapes
     # allowlisted above; the fusion itself joins two <=100-row lists

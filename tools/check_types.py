@@ -169,6 +169,10 @@ ROUND_ALLOWLIST = {
         "infeasible: lcm of neighbor degrees; documented accepted risk)"
     ),
     "hard_negative_mining": "TRANSCENDENTAL (cosine, 4dp)",
+    "knn_label_agreement": (
+        "TRANSCENDENTAL (cosine, 4dp) — rank-only: the rounded cosine "
+        "orders the top-k and never reaches the output columns"
+    ),
     "hybrid_rank_fusion_rrf": "TRANSCENDENTAL (bm25 leg ranks on 6dp ln)",
     "incremental_agg_merge": "CENTI_IDENTITY (min/max passthrough)",
     "multimodal_audio_centroid_tone": (
@@ -317,6 +321,19 @@ SIGNED_DIV_ALLOWLIST = {
     "corpus_snapshot_churn": (
         "in_a/in_b are 0/1 flags, so (1 - in_a) and (1 - in_b) are >= 0 "
         "and the numerator is a sum of products of non-negatives."
+    ),
+    "ngram_collision_audit": (
+        "n_distinct_grams - n_buckets_used >= 0: every used bucket "
+        "holds at least one distinct gram, so buckets_used <= grams "
+        "(pigeonhole)."
+    ),
+    "pass_at_k_eval": (
+        "f*(f-1)*...*(f-k+1) with f = 16 - sum(0/1 flags over exactly "
+        "16 rows) >= 0: the factors are CONSECUTIVE descending "
+        "integers, so when f < k the factor 0 is in the product "
+        "(product = 0, pass@k = 1) and when f >= k all factors are "
+        "positive — the numerator is never negative (the standard "
+        "pass@k falling-factorial identity)."
     ),
 }
 

@@ -321,6 +321,19 @@ DOCS_QUERIES = (
     "source_quality_report",
     # round-16 batch 3: explode + ~dozens-key agg — ~linear
     "token_length_distribution",
+    # round-16 batch 4: components over the pair set + a window max +
+    # per-source agg — judge like dedup_keep_best (pair densification)
+    "split_leakage_audit",
+    # round-16 batch 4: id-window bucket join WITHOUT the source block;
+    # pair volume densifies under replication — judge like the pair
+    # family
+    "cross_source_neardup_matrix",
+    # round-16 batch 4: explode + token-keyed agg + vocab-frame top-k —
+    # ~linear scan cost (vocab saturates under replication)
+    "token_burstiness",
+    # round-16 batch 4: distinct (n, gram) explode + gram-keyed aggs —
+    # same tier as ngram_novelty_by_snapshot, expect sublinear
+    "ngram_collision_audit",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -380,6 +393,15 @@ EVENTS_QUERIES = (
     # item space (mod 50), so pair/triple supports grow ~linearly and
     # the candidate set saturates — judge against basket growth
     "frequent_triples",
+    # round-16 batch 4: one per-user window + per-user agg + 3-row
+    # fan-out — ~linear (users grow, samples per user capped at 16)
+    "pass_at_k_eval",
+    # round-16 batch 4: one per-user lead window + |types|²-row agg —
+    # ~linear
+    "pairwise_winrate_matrix",
+    # round-16 batch 4: quasi-id groupBy + broadcast join-back filter —
+    # ~linear; released-row volume grows with the corpus by design
+    "l_diversity_release",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
@@ -398,6 +420,10 @@ EMB_QUERIES = (
     # round-16: posexplode + 64-group agg with map-side combine —
     # expect ~linear
     "embedding_dim_stats",
+    # round-16 batch 4: bounded probe broadcast × corpus stream + top-5
+    # window — probe count grows with the replica (mod sampling), so
+    # expect ~quadratic-in-copies wall; judge against probes×corpus
+    "knn_label_agreement",
 )
 
 
