@@ -14374,9 +14374,9 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (268 entries: 246 oracle-backed, 22
+# Round-16 accounting (276 entries: 254 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
-#   SEVENTEEN round-16 registrations lead (batch 1:
+#   TWENTY-FIVE round-16 registrations lead (batch 1:
 #   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
 #   filter_funnel_attrition, dedup_soft_weights, shard_balance_report,
 #   ngram_novelty_by_snapshot, quality_calibration_bins,
@@ -14384,9 +14384,13 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   rouge_ngram_overlap, packing_efficiency_report,
 #   corpus_snapshot_churn, dedup_weighted_jaccard; batch 3:
 #   dedup_cluster_size_histogram, kfold_assignment,
-#   source_quality_report, token_length_distribution — all
-#   oracle-backed, never graded); the remaining 33 slots are pure
-#   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
+#   source_quality_report, token_length_distribution; batch 4:
+#   split_leakage_audit, cross_source_neardup_matrix,
+#   token_burstiness, ngram_collision_audit, pass_at_k_eval,
+#   pairwise_winrate_matrix, l_diversity_release,
+#   knn_label_agreement — all oracle-backed, never graded); the
+#   remaining 25 slots are pure oldest-first rotation per VERDICT r14
+#   item 4 over the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -14412,6 +14416,14 @@ _WINDOW_THIS_ROUND = [
     "kfold_assignment",  # never graded
     "source_quality_report",  # never graded
     "token_length_distribution",  # never graded
+    "split_leakage_audit",  # never graded
+    "cross_source_neardup_matrix",  # never graded
+    "token_burstiness",  # never graded
+    "ngram_collision_audit",  # never graded
+    "pass_at_k_eval",  # never graded
+    "pairwise_winrate_matrix",  # never graded
+    "l_diversity_release",  # never graded
+    "knn_label_agreement",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -14437,14 +14449,6 @@ _WINDOW_THIS_ROUND = [
     "sql_recursive_cte",  # last green r11
     "datetime_semantics_suite",  # last green r11
     "string_semantics_suite",  # last green r11
-    "tpch_q2_min_cost_supplier",  # last green r11
-    "tpch_q9_product_profit",  # last green r11
-    "tpch_q11_important_stock",  # last green r11
-    "tpch_q20_excess_inventory",  # last green r11
-    "tpch_q16_supplier_count",  # last green r11
-    "s1_scan_project_filter",  # last green r12
-    "pair_features_flagship",  # last green r12
-    "pair_multiset_common_tokens",  # last green r12
 ]
 
 
