@@ -13846,48 +13846,10 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays W — candidate volume is corpus-linear, and the lossless
     size-ratio prefilter skips exact intersections that cannot reach
     the 0.8 threshold."""
-    W = 400
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    a = base.select(
-        F.explode(
-            F.array(
-                (F.col("doc_id") / W).cast("long"),
-                (F.col("doc_id") / W).cast("long") + 1,
-            )
-        ).alias("bucket"),
-        F.col("doc_id").alias("src_id"),
-        F.col("source").alias("source_x"),
-        F.col("toks").alias("ta"),
-    )
-    b = base.select(
-        (F.col("doc_id") / W).cast("long").alias("bucket"),
-        F.col("doc_id").alias("dst_id"),
-        F.col("source").alias("source_y"),
-        F.col("toks").alias("tb"),
-    )
-    pairs = (
-        a.join(b, ["bucket"])
-        .filter(
-            (F.col("dst_id") > F.col("src_id"))
-            & (F.col("dst_id") - F.col("src_id") <= W)
-            & (F.col("source_x") != F.col("source_y"))
-            # lossless size-ratio prefilter (dedup_token_jaccard's)
-            & (
-                F.least(F.size("ta"), F.size("tb"))
-                >= F.lit(0.8 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
-            )
-        )
-        .withColumn("jaccard_micro", jaccard_micro_tokens("ta", "tb"))
-        .filter(F.col("jaccard_micro") >= 800_000)
-        .select(
-            F.least("source_x", "source_y").alias("source_a"),
-            F.greatest("source_x", "source_y").alias("source_b"),
-            "jaccard_micro",
-        )
-    )
+    pairs = _xsource_pair_stream(docs, docs)
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         exact_div(F.sum("jaccard_micro"), F.count(F.lit(1))).alias(
@@ -14347,6 +14309,339 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-16 batch 5: temporal hygiene, funnel latency, robust embedding
+# audit, exact quartiles, and the incremental cross-source matrix.
+# ---------------------------------------------------------------------------
+
+
+_TSPLIT_CUT = "2024-01-15 00:00:00"
+
+_TSPLIT_ORACLE = f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             max(CASE WHEN CAST(ts AS TIMESTAMP)
+                        < TIMESTAMP '{_TSPLIT_CUT}' THEN 1 ELSE 0 END)
+               AS has_before,
+             max(CASE WHEN CAST(ts AS TIMESTAMP)
+                        >= TIMESTAMP '{_TSPLIT_CUT}' THEN 1 ELSE 0 END)
+               AS has_after,
+             sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                        < TIMESTAMP '{_TSPLIT_CUT}' THEN 1 ELSE 0 END)
+               AS n_b,
+             count(*) AS n_all
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(sum(n_b) AS BIGINT) AS n_before,
+           CAST(sum(n_all - n_b) AS BIGINT) AS n_after,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(has_before * has_after) AS BIGINT) AS n_users_spanning,
+           CAST((1000000 * sum(has_before * has_after)) // count(*)
+                AS BIGINT) AS span_share_micro
+    FROM per_user GROUP BY event_type
+"""
+
+
+@register("temporal_split_audit", _TSPLIT_ORACLE)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-split leakage audit — the time-series twin of
+    split_leakage_audit: a time-cut split (train < cut <= eval) is only
+    leak-free at the EVENT level; any user active on both sides leaks
+    user-level signal (their eval behavior is partially memorized from
+    their train rows — the reason user-level temporal evals hold out
+    USERS, not timestamps). Per event type: row counts on each side,
+    user count, users spanning the cut, and the exact micro-unit
+    spanning share that decides event-level vs user-level holdout.
+
+    Plan shape at 100 TB: one (type, user)-keyed agg with map-side
+    combine, then a |types|-row rollup — single shuffle on the
+    composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    before = (F.col("ts").cast("timestamp") < F.lit(_TSPLIT_CUT).cast("timestamp"))
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.max(before.cast("long")).alias("has_before"),
+        F.max((~before).cast("long")).alias("has_after"),
+        F.sum(before.cast("long")).alias("n_b"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    span = F.col("has_before") * F.col("has_after")
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_b").cast("long").alias("n_before"),
+        F.sum(F.col("n_all") - F.col("n_b")).cast("long").alias("n_after"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(span).cast("long").alias("n_users_spanning"),
+        exact_div(
+            F.lit(1_000_000).cast("long") * F.sum(span), F.count(F.lit(1))
+        ).alias("span_share_micro"),
+    )
+
+
+_TTC_ORACLE = """
+    WITH s AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+                           AND CAST(e.ts AS TIMESTAMP) > s.s_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    j AS (
+      SELECT CAST(date_trunc('day', s.s_ts) AS DATE) AS cohort_day,
+             p.p_us - epoch_us(s.s_ts) AS lat_us
+      FROM s LEFT JOIN p ON s.user_id = p.user_id)
+    SELECT cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(lat_us) AS BIGINT) AS n_converted,
+           CAST((1000000 * count(lat_us)) // count(*) AS BIGINT)
+             AS conversion_micro,
+           quantile_cont(lat_us, 0.5) AS median_latency_us
+    FROM j GROUP BY cohort_day
+"""
+
+
+@register("event_time_to_convert", _TTC_ORACLE)
+def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency by signup cohort: each user's first signup to
+    their first STRICTLY-LATER purchase, exact µs via unix_micros (no
+    float epochs), cohorted by signup day. The median is Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` over BIGINT micros — the
+    p=0.5 interpolation is a dyadic midpoint of integers, so the
+    DOUBLE median is exact in both engines with NO rounding (the
+    fully-exact corner of the quantile tier; percentile_agg handles
+    the non-dyadic general case). conversion_micro is the funnel's
+    integral conversion share.
+
+    Plan shape at 100 TB: two user-keyed aggs (first signup, first
+    qualifying purchase — the purchase side joins the bounded
+    per-user signup frame), one cohort-day rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(ts > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(ts)).alias("p_us"))
+    )
+    j = s.join(p, "user_id", "left").select(
+        F.to_date("s_ts").alias("cohort_day"),
+        (F.col("p_us") - F.unix_micros(F.col("s_ts"))).alias("lat_us"),
+    )
+    return j.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count("lat_us").cast("long").alias("n_converted"),
+        exact_div(
+            F.lit(1_000_000).cast("long") * F.count("lat_us"),
+            F.count(F.lit(1)),
+        ).alias("conversion_micro"),
+        F.expr("percentile(lat_us, 0.5)").alias("median_latency_us"),
+    )
+
+
+_NORM_OUTLIER_ORACLE = """
+    WITH sq AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               AS sqn
+      FROM (SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings)
+      GROUP BY vec_id, label),
+    med AS (SELECT label, quantile_cont(sqn, 0.5) AS med
+            FROM sq GROUP BY label),
+    dev AS (SELECT s.label, abs(s.sqn - m.med) AS ad
+            FROM sq s JOIN med m USING (label)),
+    mad AS (SELECT label, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY label)
+    SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT)
+             AS n_outliers,
+           round(min(m.mad), 6) AS mad6
+    FROM dev d JOIN mad m USING (label)
+    GROUP BY d.label
+"""
+
+
+@register("embedding_norm_outlier_audit", _NORM_OUTLIER_ORACLE)
+def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health check: per label, vectors whose SQUARED
+    L2 norm sits beyond 3×MAD of the label's median — collapsed or
+    exploding norms are the classic symptom of a bad encode batch
+    (truncated inputs, wrong preprocessing), and catching them per
+    label localizes which slice re-encodes. Squared norms avoid the
+    sqrt (staying in the exactly-summable tier): each x² rounds to 9dp
+    and sums as DECIMAL(18,9) — exact and order-insensitive in both
+    engines (embedding_dim_stats' STAGED_9DP convention); median/MAD
+    are the exact interpolated percentile pairing
+    (event_anomaly_mad's convention, here over embeddings).
+
+    Plan shape at 100 TB: one posexplode + vec-keyed agg, two grouped
+    exact percentiles over the label-keyed norm frame (≪ corpus, and
+    mergeable-sketch approx_percentile is the documented swap at
+    scale), one broadcast join back."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.explode(F.col("embedding").cast("array<double>")).alias("x"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("sqn")
+        )
+    )
+    med = sq.groupBy("label").agg(F.expr("percentile(sqn, 0.5)").alias("med"))
+    dev = sq.join(F.broadcast(med), "label").select(
+        "label", F.abs(F.col("sqn") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("label").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.min("mad"), 6).alias("mad6"),
+        )
+    )
+
+
+_QUARTILES_ORACLE = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+    FROM documents GROUP BY source
+"""
+
+
+@register("length_quartiles_by_source", _QUARTILES_ORACLE)
+def length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quartiles with NO rounding anywhere:
+    at p ∈ {0.25, 0.5, 0.75} the interpolation fraction over (n−1) is
+    dyadic, so the interpolated quantile of BIGINT n_chars is an exact
+    dyadic DOUBLE — bit-identical in Spark ``percentile`` and DuckDB
+    ``quantile_cont`` with no rounding convention needed (the exact
+    corner of the quantile tier; see percentile_agg for the rounded
+    general case). The length profile per source is the first thing a
+    mixture designer looks at next to source_quality_report.
+
+    Plan shape at 100 TB: one grouped exact percentile (swap to
+    approx_percentile's mergeable t-digest at scale, same shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25D)").alias("q25"),
+        F.expr("percentile(n_chars, 0.50D)").alias("q50"),
+        F.expr("percentile(n_chars, 0.75D)").alias("q75"),
+    )
+
+
+def _xsource_pair_stream(a_docs: DataFrame, b_docs: DataFrame) -> DataFrame:
+    """Cross-source near-dup pairs with src drawn from ``a_docs`` and
+    dst from ``b_docs`` (src.doc_id < dst.doc_id, id-window W=400, NO
+    source blocking, Jaccard >= 0.8) — the shared pair tier of
+    cross_source_neardup_matrix and its incremental twin. Both inputs
+    must carry (doc_id, source, text)."""
+    W = 400
+    a = a_docs.select(
+        F.explode(
+            F.array(
+                (F.col("doc_id") / W).cast("long"),
+                (F.col("doc_id") / W).cast("long") + 1,
+            )
+        ).alias("bucket"),
+        F.col("doc_id").alias("src_id"),
+        F.col("source").alias("source_x"),
+        F.array_distinct(tokenize("text")).alias("ta"),
+    )
+    b = b_docs.select(
+        (F.col("doc_id") / W).cast("long").alias("bucket"),
+        F.col("doc_id").alias("dst_id"),
+        F.col("source").alias("source_y"),
+        F.array_distinct(tokenize("text")).alias("tb"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("dst_id") > F.col("src_id"))
+            & (F.col("dst_id") - F.col("src_id") <= W)
+            & (F.col("source_x") != F.col("source_y"))
+            & (
+                F.least(F.size("ta"), F.size("tb"))
+                >= F.lit(0.8 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
+            )
+        )
+        .withColumn("jaccard_micro", jaccard_micro_tokens("ta", "tb"))
+        .filter(F.col("jaccard_micro") >= 800_000)
+        .select(
+            F.least("source_x", "source_y").alias("source_a"),
+            F.greatest("source_x", "source_y").alias("source_b"),
+            "jaccard_micro",
+        )
+    )
+
+
+@register("cross_source_neardup_incremental", _XSOURCE_ORACLE)
+def cross_source_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the cross-source near-dup matrix:
+    documents with doc_id % 5 == 0 play the new crawl batch; the
+    base matrix aggregates (n, jaccard-sum per source pair) come from
+    old-old pairs only, the delta from pairs TOUCHING the new batch
+    (new-as-src vs all, plus old-as-src vs new — disjoint by
+    construction: the first has src new, the second src old), and the
+    published matrix is the ASSOCIATIVE merge of the two partial
+    aggregates. The oracle is the FULL-rebuild matrix, so incremental
+    ≡ batch is driver-hash-proven (the dedup_keep_best_incremental
+    pattern), and per-pair counts/sums merge without re-reading any
+    old-old pair.
+
+    Plan shape at 100 TB: the delta pair tier scales with the NEW
+    batch (new docs only probe their own id-window buckets); the base
+    aggregate is |sources|²-sized state, not pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def agg_matrix(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("source_a", "source_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("jaccard_micro").cast("long").alias("s"),
+        )
+
+    base = agg_matrix(_xsource_pair_stream(old, old))
+    delta = agg_matrix(
+        _xsource_pair_stream(new, docs).unionByName(
+            _xsource_pair_stream(old, new)
+        )
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("n").alias("n_pairs"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "source_a",
+        "source_b",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        exact_div(F.col("s"), F.col("n_pairs")).alias("mean_jaccard_micro"),
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -14374,7 +14669,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (276 entries: 254 oracle-backed, 22
+# Round-16 accounting (281 entries: 259 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
 #   TWENTY-FIVE round-16 registrations lead (batch 1:
 #   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
@@ -14388,9 +14683,11 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   split_leakage_audit, cross_source_neardup_matrix,
 #   token_burstiness, ngram_collision_audit, pass_at_k_eval,
 #   pairwise_winrate_matrix, l_diversity_release,
-#   knn_label_agreement — all oracle-backed, never graded); the
-#   remaining 25 slots are pure oldest-first rotation per VERDICT r14
-#   item 4 over the r11 cohort.
+#   knn_label_agreement; batch 5: temporal_split_audit,
+#   event_time_to_convert, embedding_norm_outlier_audit,
+#   length_quartiles_by_source, cross_source_neardup_incremental —
+#   all oracle-backed, never graded); the remaining 20 slots are pure
+#   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
@@ -14424,6 +14721,11 @@ _WINDOW_THIS_ROUND = [
     "pairwise_winrate_matrix",  # never graded
     "l_diversity_release",  # never graded
     "knn_label_agreement",  # never graded
+    "temporal_split_audit",  # never graded
+    "event_time_to_convert",  # never graded
+    "embedding_norm_outlier_audit",  # never graded
+    "length_quartiles_by_source",  # never graded
+    "cross_source_neardup_incremental",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -14444,11 +14746,6 @@ _WINDOW_THIS_ROUND = [
     "event_debounce",  # last green r11
     "arrow_vec_norms",  # last green r11
     "chi_square_independence",  # last green r11
-    "bigram_pmi",  # last green r11
-    "image_phash_class_gate",  # last green r11
-    "sql_recursive_cte",  # last green r11
-    "datetime_semantics_suite",  # last green r11
-    "string_semantics_suite",  # last green r11
 ]
 
 

@@ -634,3 +634,125 @@ def test_knn_label_agreement_contract(spark, sf_dir):
         assert r["agreement_micro"] == (
             1_000_000 * r["sum_agree"]
         ) // (5 * r["n_probes"])
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 5 pins.
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_split_audit_matches_pandas(spark, sf_dir, events_pd):
+    cut = pd.Timestamp("2024-01-15")
+    e = events_pd.copy()
+    e["before"] = e["ts"] < cut
+    want = {}
+    for t, g in e.groupby("event_type"):
+        by_user = g.groupby("user_id")["before"].agg(["max", "min", "sum", "size"])
+        spanning = int((by_user["max"] & ~by_user["min"]).sum())
+        users = len(by_user)
+        want[t] = (
+            int(g["before"].sum()),
+            int((~g["before"]).sum()),
+            users,
+            spanning,
+            (1_000_000 * spanning) // users,
+        )
+    rows = QUERIES["temporal_split_audit"](spark, sf_dir).collect()
+    got = {
+        r["event_type"]: (
+            r["n_before"], r["n_after"], r["n_users"],
+            r["n_users_spanning"], r["span_share_micro"],
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_event_time_to_convert_matches_pandas(spark, sf_dir, events_pd):
+    e = events_pd
+    s = e[e["event_type"] == "signup"].groupby("user_id")["ts"].min()
+    lat = {}
+    for u, s_ts in s.items():
+        p = e[(e["event_type"] == "purchase") & (e["user_id"] == u) & (e["ts"] > s_ts)]
+        lat[u] = (
+            (p["ts"].min().value - s_ts.value) // 1000 if len(p) else None
+        )  # ns -> us
+    df = pd.DataFrame(
+        {"cohort": s.dt.floor("D"), "lat": [lat[u] for u in s.index]},
+        index=s.index,
+    )
+    want = {}
+    for day, g in df.groupby("cohort"):
+        n = len(g)
+        conv = g["lat"].dropna()
+        med = float(np.percentile(conv, 50)) if len(conv) else None
+        want[pd.Timestamp(day).date()] = (
+            n, len(conv), (1_000_000 * len(conv)) // n, med
+        )
+    rows = QUERIES["event_time_to_convert"](spark, sf_dir).collect()
+    got = {
+        r["cohort_day"]: (
+            r["n_signups"], r["n_converted"], r["conversion_micro"],
+            r["median_latency_us"],
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_embedding_norm_outlier_audit_contract(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rows = QUERIES["embedding_norm_outlier_audit"](spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in rows) == len(emb)
+    assert all(0 <= r["n_outliers"] < r["n_vectors"] for r in rows)
+    assert all(r["mad6"] >= 0 for r in rows)
+    # the 3xMAD screen actually fires somewhere on this fixture
+    assert sum(r["n_outliers"] for r in rows) > 0
+    # independent integer-nano recompute of one label's outlier count
+    lab = sorted(r["label"] for r in rows)[0]
+    sub = emb[emb["label"] == lab]
+    sqn = np.array(
+        sorted(
+            sum(
+                # half-away-from-zero 9dp in integer nanos (x*x >= 0)
+                int(math.floor(float(x) * float(x) * 1e9 + 0.5))
+                for x in v
+            )
+            for v in sub["embedding"]
+        ),
+        dtype=np.int64,
+    )
+    med = np.percentile(sqn, 50)
+    ad = np.abs(sqn - med)
+    mad = np.percentile(ad, 50)
+    want_outliers = int((ad > 3 * mad).sum())
+    got = {r["label"]: r["n_outliers"] for r in rows}[lab]
+    assert got == want_outliers
+
+
+def test_length_quartiles_match_numpy(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = QUERIES["length_quartiles_by_source"](spark, sf_dir).collect()
+    assert len(rows) == docs["source"].nunique()
+    for r in rows:
+        v = docs[docs["source"] == r["source"]]["n_chars"].to_numpy()
+        assert r["n_docs"] == len(v)
+        # dyadic p over integers: numpy linear interpolation is exact
+        assert r["q25"] == float(np.percentile(v, 25))
+        assert r["q50"] == float(np.percentile(v, 50))
+        assert r["q75"] == float(np.percentile(v, 75))
+
+
+def test_cross_source_incremental_equals_batch(spark, sf_dir):
+    """Incremental ≡ batch for the cross-source matrix: the merged
+    base+delta aggregates must reproduce the full-rebuild matrix
+    row-for-row (the driver proves the same via the shared oracle)."""
+    batch = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["mean_jaccard_micro"])
+        for r in QUERIES["cross_source_neardup_matrix"](spark, sf_dir).collect()
+    }
+    inc = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["mean_jaccard_micro"])
+        for r in QUERIES["cross_source_neardup_incremental"](spark, sf_dir).collect()
+    }
+    assert inc == batch

@@ -173,6 +173,12 @@ ROUND_ALLOWLIST = {
         "TRANSCENDENTAL (cosine, 4dp) — rank-only: the rounded cosine "
         "orders the top-k and never reaches the output columns"
     ),
+    "embedding_norm_outlier_audit": (
+        "STAGED_9DP (per-value round(x*x, 9) -> DECIMAL(18,9) sum, the "
+        "embedding_dim_stats convention) + QUANTILE (median/MAD of "
+        "those exactly-equal doubles, 6dp on the emitted mad6 — the "
+        "event_anomaly_mad pairing)"
+    ),
     "hybrid_rank_fusion_rrf": "TRANSCENDENTAL (bm25 leg ranks on 6dp ln)",
     "incremental_agg_merge": "CENTI_IDENTITY (min/max passthrough)",
     "multimodal_audio_centroid_tone": (

@@ -334,6 +334,11 @@ DOCS_QUERIES = (
     # round-16 batch 4: distinct (n, gram) explode + gram-keyed aggs —
     # same tier as ngram_novelty_by_snapshot, expect sublinear
     "ngram_collision_audit",
+    # round-16 batch 5: one grouped exact percentile — ~linear scan
+    "length_quartiles_by_source",
+    # round-16 batch 5: base+delta partial-aggregate merge over the
+    # cross-source pair tier — judge like the pair family
+    "cross_source_neardup_incremental",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -402,6 +407,11 @@ EVENTS_QUERIES = (
     # round-16 batch 4: quasi-id groupBy + broadcast join-back filter —
     # ~linear; released-row volume grows with the corpus by design
     "l_diversity_release",
+    # round-16 batch 5: (type, user) agg + |types|-row rollup — ~linear
+    "temporal_split_audit",
+    # round-16 batch 5: two user-keyed aggs + cohort rollup with one
+    # grouped exact percentile — ~linear
+    "event_time_to_convert",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
@@ -424,6 +434,9 @@ EMB_QUERIES = (
     # window — probe count grows with the replica (mod sampling), so
     # expect ~quadratic-in-copies wall; judge against probes×corpus
     "knn_label_agreement",
+    # round-16 batch 5: posexplode + vec-keyed 9dp-decimal agg + two
+    # grouped percentiles over the norm frame — ~linear
+    "embedding_norm_outlier_audit",
 )
 
 
