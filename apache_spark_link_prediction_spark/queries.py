@@ -14642,6 +14642,303 @@ def cross_source_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-16 batch 6: head-vocab churn, threshold-selection evidence,
+# privacy-utility curve, and per-snapshot length drift.
+# ---------------------------------------------------------------------------
+
+
+_TOPK_CHURN_K = 50
+
+_TOPK_CHURN_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS snap
+      FROM documents),
+    toks AS (
+      SELECT d.snap, unnest({_toks_sql('x.text')}) AS token
+      FROM d JOIN documents x USING (doc_id)),
+    c AS (SELECT snap, token, count(*) AS cnt FROM toks GROUP BY snap, token),
+    top AS (
+      SELECT snap, token FROM (
+        SELECT snap, token,
+               row_number() OVER (PARTITION BY snap
+                                  ORDER BY cnt DESC, token) AS rk
+        FROM c) WHERE rk <= {_TOPK_CHURN_K}),
+    n AS (SELECT snap, count(*) AS n_top FROM top GROUP BY snap),
+    shared AS (
+      SELECT a.snap AS snap_from, count(*) AS n_shared
+      FROM top a JOIN top b ON b.snap = a.snap + 1 AND b.token = a.token
+      GROUP BY a.snap)
+    SELECT CAST(na.snap AS INTEGER) AS snap_from,
+           CAST(nb.snap AS INTEGER) AS snap_to,
+           CAST(na.n_top AS BIGINT) AS n_top_from,
+           CAST(nb.n_top AS BIGINT) AS n_top_to,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(nb.n_top - COALESCE(s.n_shared, 0) AS BIGINT) AS n_entered,
+           CAST(na.n_top - COALESCE(s.n_shared, 0) AS BIGINT) AS n_exited,
+           CAST((1000000 * COALESCE(s.n_shared, 0))
+                // (na.n_top + nb.n_top - COALESCE(s.n_shared, 0))
+                AS BIGINT) AS jaccard_micro
+    FROM n na JOIN n nb ON nb.snap = na.snap + 1
+              LEFT JOIN shared s ON s.snap_from = na.snap
+"""
+
+
+@register("vocab_topk_churn", _TOPK_CHURN_ORACLE)
+def vocab_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary churn across arrival snapshots: the top-50
+    tokens per doc_id-quartile snapshot (count desc, token tiebreak)
+    compared between consecutive snapshots — entered/exited/shared
+    counts and the exact set-Jaccard. A stable corpus shows ~1.0
+    head-vocab Jaccard; a drifting crawl (new domain mix, new
+    language) churns its head first, and THIS is the three-row
+    early-warning gauge next to the distribution-level drift suite
+    (token_drift_js / ks_drift_sources). The oracle's `//` numerator
+    is a COALESCE'd count (non-negative); n_entered/n_exited are
+    plain columns, not division numerators.
+
+    Plan shape at 100 TB: the narrow doc_id ntile (the
+    ngram_novelty_by_snapshot posture), one (snap, token) agg, a
+    per-snap top-k window over the VOCAB frame, then joins between
+    4×50-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    snap = docs.select("doc_id", F.ntile(4).over(w).alias("snap"))
+    toks = (
+        docs.select("doc_id", "text")
+        .join(snap, "doc_id")
+        .select("snap", F.explode(tokenize("text")).alias("token"))
+    )
+    c = toks.groupBy("snap", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    wk = Window.partitionBy("snap").orderBy(F.col("cnt").desc(), "token")
+    top = (
+        c.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _TOPK_CHURN_K)
+        .select("snap", "token")
+    )
+    n = top.groupBy("snap").agg(F.count(F.lit(1)).alias("n_top"))
+    a = top.select(F.col("snap").alias("snap_from"), "token")
+    b = top.select((F.col("snap") - 1).alias("snap_from"), "token")
+    shared = (
+        a.join(b, ["snap_from", "token"])
+        .groupBy("snap_from")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n.select(F.col("snap").alias("snap_from"), F.col("n_top").alias("n_top_from"))
+    nb = n.select((F.col("snap") - 1).alias("snap_from"), F.col("n_top").alias("n_top_to"))
+    sh = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return (
+        na.join(nb, "snap_from")
+        .join(shared, "snap_from", "left")
+        .select(
+            F.col("snap_from").cast("int").alias("snap_from"),
+            (F.col("snap_from") + 1).cast("int").alias("snap_to"),
+            F.col("n_top_from").cast("long").alias("n_top_from"),
+            F.col("n_top_to").cast("long").alias("n_top_to"),
+            sh.alias("n_shared"),
+            (F.col("n_top_to") - sh).cast("long").alias("n_entered"),
+            (F.col("n_top_from") - sh).cast("long").alias("n_exited"),
+            micro_div(
+                sh, F.col("n_top_from") + F.col("n_top_to") - sh
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+_SENSITIVITY_ORACLE = f"""
+    WITH dd AS (
+      SELECT doc_id, source, list_distinct({_toks_sql('text')}) AS toks
+      FROM documents),
+    p AS (
+      SELECT (1000000 * len(list_intersect(a.toks, b.toks)))
+               // len(list_distinct(list_concat(a.toks, b.toks)))
+               AS j
+      FROM dd a JOIN dd b ON a.source = b.source AND b.doc_id > a.doc_id
+                          AND b.doc_id - a.doc_id <= 400
+      WHERE (1000000 * len(list_intersect(a.toks, b.toks)))
+            // len(list_distinct(list_concat(a.toks, b.toks))) >= 500000),
+    bands AS (SELECT j // 100000 AS band, count(*) AS n_pairs FROM p
+              GROUP BY j // 100000)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((1000000 * n_pairs) // SUM(n_pairs) OVER () AS BIGINT)
+             AS share_micro
+    FROM bands
+"""
+
+
+@register("neardup_threshold_sensitivity", _SENSITIVITY_ORACLE)
+def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection evidence for the near-dup tier: the exact
+    Jaccard histogram of candidate pairs in 0.1-wide bands from 0.5 up
+    (band = jaccard_micro div 100000), with each band's share of the
+    ≥0.5 mass. A bimodal histogram (organic tail vs near-1.0 template
+    spike) justifies the house 0.8 cut; mass piling AT 0.8 means the
+    threshold is doing real work and sensitivity analysis is due —
+    this is the plot every dedup writeup shows, as a 6-row table. Same
+    (source, id-window) blocking as dedup_token_jaccard with the
+    size-ratio prefilter relaxed to 0.5.
+
+    Plan shape at 100 TB: identical to the pair tier (corpus-linear
+    bucket join) plus a 6-row band agg and a window over those 6
+    rows."""
+    W = 400
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    a = base.select(
+        "source",
+        F.explode(
+            F.array(
+                (F.col("doc_id") / W).cast("long"),
+                (F.col("doc_id") / W).cast("long") + 1,
+            )
+        ).alias("bucket"),
+        F.col("doc_id").alias("src_id"),
+        F.col("toks").alias("ta"),
+    )
+    b = base.select(
+        "source",
+        (F.col("doc_id") / W).cast("long").alias("bucket"),
+        F.col("doc_id").alias("dst_id"),
+        F.col("toks").alias("tb"),
+    )
+    p = (
+        a.join(b, ["source", "bucket"])
+        .filter(
+            (F.col("dst_id") > F.col("src_id"))
+            & (F.col("dst_id") - F.col("src_id") <= W)
+            & (
+                F.least(F.size("ta"), F.size("tb"))
+                >= F.lit(0.5 - 1e-6) * F.greatest(F.size("ta"), F.size("tb"))
+            )
+        )
+        .select(jaccard_micro_tokens("ta", "tb").alias("j"))
+        .filter(F.col("j") >= 500_000)
+    )
+    bands = p.groupBy(exact_div(F.col("j"), F.lit(100_000)).alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return bands.select(
+        F.col("band").cast("long").alias("band"),
+        "n_pairs",
+        micro_div(
+            F.col("n_pairs"), F.sum("n_pairs").over(Window.partitionBy())
+        ).alias("share_micro"),
+    )
+
+
+_UTILITY_LEVELS = ("day", "week", "month")
+
+_UTILITY_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{lvl}' AS level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_released,
+           CAST(sum(CASE WHEN n >= 10 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_released,
+           CAST((1000000 * sum(CASE WHEN n >= 10 THEN n ELSE 0 END))
+                // sum(n) AS BIGINT) AS released_share_micro
+    FROM (
+      SELECT date_trunc('{lvl}', CAST(ts AS TIMESTAMP)) AS g,
+             CAST(floor(value / 50) AS BIGINT) AS vb, count(*) AS n
+      FROM events GROUP BY g, vb)
+    """
+    for lvl in _UTILITY_LEVELS
+)
+
+
+@register("anonymization_utility_curve", _UTILITY_ORACLE)
+def anonymization_utility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-utility tradeoff curve behind k_anonymity_release /
+    l_diversity_release: the SAME k=10 suppression rule applied at
+    three quasi-identifier granularities (day/week/month × value
+    bucket), reporting how much data survives each — generalizing the
+    quasi-id (coarser time) is THE standard k-anonymity lever, and
+    this 3-row curve is the evidence for choosing the release
+    granularity (finest level that keeps enough mass). Group keys
+    never leave the plan (only counts), so the engines only need to
+    PARTITION identically (ISO Monday weeks in both). Total per level
+    is the sum over its own groups — every row is in exactly one
+    group, no global-count scalar join needed.
+
+    Plan shape at 100 TB: three (granule, bucket) aggs over one scan
+    each (or one scan with grouping sets), group tables ≪ corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for lvl in _UTILITY_LEVELS:
+        g = ev.select(
+            F.date_trunc(lvl, F.col("ts").cast("timestamp")).alias("g"),
+            F.floor(F.col("value") / 50).cast("long").alias("vb"),
+        ).groupBy("g", "vb").agg(F.count(F.lit(1)).alias("n"))
+        rel = F.when(F.col("n") >= 10, F.col("n")).otherwise(F.lit(0))
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("n") >= 10).cast("int"))
+                .cast("long")
+                .alias("n_groups_released"),
+                F.sum(rel).cast("long").alias("n_rows_released"),
+                exact_div(
+                    F.lit(1_000_000).cast("long") * F.sum(rel), F.sum("n")
+                ).alias("released_share_micro"),
+            ).select(F.lit(lvl).alias("level"), "*")
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+_SNAP_QUARTILES_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS snap
+      FROM documents)
+    SELECT CAST(d.snap AS INTEGER) AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(x.n_chars, 0.25) AS q25,
+           quantile_cont(x.n_chars, 0.50) AS q50,
+           quantile_cont(x.n_chars, 0.75) AS q75
+    FROM d JOIN documents x USING (doc_id)
+    GROUP BY d.snap
+"""
+
+
+@register("length_quartiles_by_snapshot", _SNAP_QUARTILES_ORACLE)
+def length_quartiles_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length drift across arrival snapshots: exact dyadic
+    quartiles of n_chars per doc_id-quartile snapshot (the
+    length_quartiles_by_source machinery over the novelty-curve's
+    snapshot axis) — "is the new crawl systematically shorter" is a
+    length-distribution question, and quartiles answer it robustly
+    where means are outlier-hostage. No rounding anywhere (dyadic
+    p over BIGINT, see length_quartiles_by_source).
+
+    Plan shape at 100 TB: narrow doc_id ntile + join back (the
+    novelty posture; a real pipeline gets snap free from the crawl
+    partition), one grouped exact percentile."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    snap = docs.select("doc_id", F.ntile(4).over(w).alias("snap"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(snap, "doc_id")
+        .groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("percentile(n_chars, 0.25D)").alias("q25"),
+            F.expr("percentile(n_chars, 0.50D)").alias("q50"),
+            F.expr("percentile(n_chars, 0.75D)").alias("q75"),
+        )
+        .select(
+            F.col("snap").cast("int").alias("snapshot"),
+            "n_docs",
+            "q25",
+            "q50",
+            "q75",
+        )
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -14669,7 +14966,7 @@ def cross_source_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (281 entries: 259 oracle-backed, 22
+# Round-16 accounting (285 entries: 263 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
 #   TWENTY-FIVE round-16 registrations lead (batch 1:
 #   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
@@ -14685,8 +14982,10 @@ def cross_source_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 #   pairwise_winrate_matrix, l_diversity_release,
 #   knn_label_agreement; batch 5: temporal_split_audit,
 #   event_time_to_convert, embedding_norm_outlier_audit,
-#   length_quartiles_by_source, cross_source_neardup_incremental —
-#   all oracle-backed, never graded); the remaining 20 slots are pure
+#   length_quartiles_by_source, cross_source_neardup_incremental;
+#   batch 6: vocab_topk_churn, neardup_threshold_sensitivity,
+#   anonymization_utility_curve, length_quartiles_by_snapshot — all
+#   oracle-backed, never graded); the remaining 16 slots are pure
 #   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
@@ -14726,6 +15025,10 @@ _WINDOW_THIS_ROUND = [
     "embedding_norm_outlier_audit",  # never graded
     "length_quartiles_by_source",  # never graded
     "cross_source_neardup_incremental",  # never graded
+    "vocab_topk_churn",  # never graded
+    "neardup_threshold_sensitivity",  # never graded
+    "anonymization_utility_curve",  # never graded
+    "length_quartiles_by_snapshot",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -14742,10 +15045,6 @@ _WINDOW_THIS_ROUND = [
     "weighted_sample_ares",  # last green r11
     "ks_drift_sources",  # last green r11
     "gini_revenue_concentration",  # last green r11
-    "token_entropy",  # last green r11
-    "event_debounce",  # last green r11
-    "arrow_vec_norms",  # last green r11
-    "chi_square_independence",  # last green r11
 ]
 
 

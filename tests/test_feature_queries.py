@@ -756,3 +756,79 @@ def test_cross_source_incremental_equals_batch(spark, sf_dir):
         for r in QUERIES["cross_source_neardup_incremental"](spark, sf_dir).collect()
     }
     assert inc == batch
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 6 pins.
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_topk_churn_identities(spark, sf_dir):
+    rows = QUERIES["vocab_topk_churn"](spark, sf_dir).collect()
+    assert [(r["snap_from"], r["snap_to"]) for r in sorted(rows, key=lambda r: r["snap_from"])] == [
+        (1, 2), (2, 3), (3, 4)
+    ]
+    for r in rows:
+        assert r["n_entered"] == r["n_top_to"] - r["n_shared"]
+        assert r["n_exited"] == r["n_top_from"] - r["n_shared"]
+        union = r["n_top_from"] + r["n_top_to"] - r["n_shared"]
+        assert r["jaccard_micro"] == (1_000_000 * r["n_shared"]) // union
+        assert 0 <= r["n_shared"] <= min(r["n_top_from"], r["n_top_to"]) <= 50
+
+
+def test_neardup_threshold_sensitivity_matches_band_sum(spark, sf_dir):
+    """Band histogram totals must equal the >=0.8 pair tier on its
+    shared bands: the sum of bands 8..10 equals dedup_token_jaccard's
+    pair count (same blocking, same exact Jaccard)."""
+    bands = {r["band"]: r["n_pairs"] for r in
+             QUERIES["neardup_threshold_sensitivity"](spark, sf_dir).collect()}
+    assert set(bands) <= set(range(5, 11))
+    n_08 = QUERIES["dedup_token_jaccard"](spark, sf_dir).count()
+    assert sum(v for b, v in bands.items() if b >= 8) == n_08
+    total = sum(bands.values())
+    shares = {r["band"]: r["share_micro"] for r in
+              QUERIES["neardup_threshold_sensitivity"](spark, sf_dir).collect()}
+    for b, v in bands.items():
+        assert shares[b] == (1_000_000 * v) // total
+
+
+def test_anonymization_utility_monotone(spark, sf_dir, events_pd):
+    """Coarser quasi-ids can only merge groups, so released mass is
+    monotone non-decreasing day -> week -> month; pandas recompute
+    pins the day level exactly."""
+    rows = {r["level"]: r for r in
+            QUERIES["anonymization_utility_curve"](spark, sf_dir).collect()}
+    assert set(rows) == {"day", "week", "month"}
+    assert (
+        rows["day"]["n_rows_released"]
+        <= rows["week"]["n_rows_released"]
+        <= rows["month"]["n_rows_released"]
+    )
+    e = events_pd.copy()
+    e["g"] = e["ts"].dt.floor("D")
+    e["vb"] = np.floor(e["value"] / 50).astype(int)
+    sizes = e.groupby(["g", "vb"]).size()
+    assert rows["day"]["n_groups"] == len(sizes)
+    assert rows["day"]["n_groups_released"] == int((sizes >= 10).sum())
+    assert rows["day"]["n_rows_released"] == int(sizes[sizes >= 10].sum())
+    assert rows["day"]["released_share_micro"] == (
+        1_000_000 * int(sizes[sizes >= 10].sum())
+    ) // len(e)
+
+
+def test_length_quartiles_by_snapshot_matches_numpy(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values("doc_id")
+    n = len(docs)
+    # ntile(4) semantics: first (n mod 4) tiles get the extra row
+    base, extra = divmod(n, 4)
+    rows = {r["snapshot"]: r for r in
+            QUERIES["length_quartiles_by_snapshot"](spark, sf_dir).collect()}
+    start = 0
+    for t in range(1, 5):
+        size = base + (1 if t <= extra else 0)
+        v = docs["n_chars"].iloc[start:start + size].to_numpy()
+        start += size
+        assert rows[t]["n_docs"] == size
+        assert rows[t]["q25"] == float(np.percentile(v, 25))
+        assert rows[t]["q50"] == float(np.percentile(v, 50))
+        assert rows[t]["q75"] == float(np.percentile(v, 75))

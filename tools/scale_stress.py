@@ -339,6 +339,15 @@ DOCS_QUERIES = (
     # round-16 batch 5: base+delta partial-aggregate merge over the
     # cross-source pair tier — judge like the pair family
     "cross_source_neardup_incremental",
+    # round-16 batch 6: (snap, token) agg + per-snap top-k over the
+    # vocab frame — ~linear (vocab saturates under replication)
+    "vocab_topk_churn",
+    # round-16 batch 6: the 0.5-threshold pair tier + 6-row band agg —
+    # judge like the pair family (band mass densifies)
+    "neardup_threshold_sensitivity",
+    # round-16 batch 6: narrow ntile + grouped exact percentile —
+    # ~linear
+    "length_quartiles_by_snapshot",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -412,6 +421,8 @@ EVENTS_QUERIES = (
     # round-16 batch 5: two user-keyed aggs + cohort rollup with one
     # grouped exact percentile — ~linear
     "event_time_to_convert",
+    # round-16 batch 6: three (granule, bucket) aggs — ~linear
+    "anonymization_utility_curve",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
