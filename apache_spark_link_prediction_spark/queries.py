@@ -14939,6 +14939,111 @@ def length_quartiles_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-16 batch 7: seasonality telemetry + the curation showcase query.
+# ---------------------------------------------------------------------------
+
+
+_HOURLY_ORACLE = """
+    WITH c AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+             count(*) AS n_events
+      FROM events GROUP BY event_type, hour(CAST(ts AS TIMESTAMP)))
+    SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((1000000 * n_events)
+                // SUM(n_events) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_micro
+    FROM c
+"""
+
+
+@register("hourly_activity_profile", _HOURLY_ORACLE)
+def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type — the profile behind
+    capacity planning and anomaly baselines (event_rate_cusum flags
+    deviations FROM this shape): per (type, hour) the event count and
+    its exact micro-unit share within the type. Uniform shares ≈
+    41,666 micro say "no diurnal cycle" (this synthetic fixture);
+    production traffic shows the two-hump curve this table exists to
+    quantify.
+
+    Plan shape at 100 TB: one (type, hour) agg with map-side combine
+    (≤ 24·|types| groups), one window over that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return c.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        micro_div(
+            F.col("n_events"),
+            F.sum("n_events").over(Window.partitionBy("event_type")),
+        ).alias("share_micro"),
+    )
+
+
+_REP_DOCS_ORACLE = f"""
+    WITH RECURSIVE {_NEARDUP_COMP_CTES},
+    sz AS (SELECT comp, count(*) AS cs FROM labeled GROUP BY comp),
+    keepers AS (
+      SELECT d.doc_id, d.source, d.n_chars, sz.cs
+      FROM documents d JOIN labeled l ON l.doc_id = d.doc_id
+                       JOIN sz ON sz.comp = l.comp
+      WHERE l.comp = d.doc_id),
+    ranked AS (
+      SELECT source, doc_id, n_chars, cs,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM keepers)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cs AS BIGINT) AS cluster_size
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("representative_docs_per_source", _REP_DOCS_ORACLE)
+def representative_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-UI showcase query — "show me each source's best
+    exemplar documents, duplicates collapsed": near-dup cluster
+    KEEPERS only (min-id representative per token-Jaccard component,
+    the dedup_clusters tier), ranked per source by length (n_chars
+    desc, doc_id tiebreak), top 3, each carrying its cluster size so
+    the reviewer sees which exemplars stand for many near-copies.
+    Composes the pair tier → components → keeper filter → per-source
+    top-k — four registry tiers in one five-column answer.
+
+    Plan shape at 100 TB: components over the pair set, keeper filter
+    before anything wide moves, top-k window over the KEEPER frame
+    partitioned by source."""
+    from .operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_clusters(docs, dedup_token_jaccard(spark, sf_dir))
+    sz = comp.groupBy("keeper_id").agg(F.count(F.lit(1)).alias("cs"))
+    keepers = (
+        comp.filter(F.col("doc_id") == F.col("keeper_id"))
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .join(sz, "keeper_id")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        keepers.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("cs").cast("long").alias("cluster_size"),
+        )
+    )
+
+
 # NOT @register'ed: streaming.events.streaming_tws_running_stats covers
 # Spark 4's transformWithStateInPandas (the StatefulProcessor/ValueState
 # API superseding applyInPandasWithState), but its state protocol runs a
@@ -14966,7 +15071,7 @@ def length_quartiles_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (285 entries: 263 oracle-backed, 22
+# Round-16 accounting (287 entries: 265 oracle-backed, 22
 #   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
 #   TWENTY-FIVE round-16 registrations lead (batch 1:
 #   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
@@ -14984,8 +15089,9 @@ def length_quartiles_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   event_time_to_convert, embedding_norm_outlier_audit,
 #   length_quartiles_by_source, cross_source_neardup_incremental;
 #   batch 6: vocab_topk_churn, neardup_threshold_sensitivity,
-#   anonymization_utility_curve, length_quartiles_by_snapshot — all
-#   oracle-backed, never graded); the remaining 16 slots are pure
+#   anonymization_utility_curve, length_quartiles_by_snapshot;
+#   batch 7: hourly_activity_profile, representative_docs_per_source —
+#   all oracle-backed, never graded); the remaining 14 slots are pure
 #   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
@@ -15029,6 +15135,8 @@ _WINDOW_THIS_ROUND = [
     "neardup_threshold_sensitivity",  # never graded
     "anonymization_utility_curve",  # never graded
     "length_quartiles_by_snapshot",  # never graded
+    "hourly_activity_profile",  # never graded
+    "representative_docs_per_source",  # never graded
     "set_except_all",  # last green r11
     "set_intersect_all",  # last green r11
     "scd2_history",  # last green r11
@@ -15043,8 +15151,6 @@ _WINDOW_THIS_ROUND = [
     "udtf_chunk_text",  # last green r11
     "pandas_udf_cosine",  # last green r11
     "weighted_sample_ares",  # last green r11
-    "ks_drift_sources",  # last green r11
-    "gini_revenue_concentration",  # last green r11
 ]
 
 

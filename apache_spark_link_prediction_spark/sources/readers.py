@@ -276,6 +276,33 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: dict[str, tuple[int, int, str]],
+) -> DataFrame:
+    """Fixed-width text source — the mainframe/COBOL-adjacent format
+    that still feeds real lakes (bank extracts, legacy feeds). Spark
+    has no built-in fixed-width reader; the Spark-first form is the
+    ``text`` source (one row per line, splittable, predicate/limit
+    pushdown at the line level) plus a SELECT of ``substring`` slices —
+    all JVM-side codegen, no Python in the row path, and Catalyst
+    prunes unused columns before the slice work runs.
+
+    ``colspecs`` maps column name → (1-based start, length, cast type);
+    values are trimmed before the cast so right-padded numerics parse.
+    Slices past a short line yield empty string → NULL under the cast,
+    matching the permissive posture of the CSV reader."""
+    lines = spark.read.text(path)
+    cols = [
+        F.nullif(F.trim(F.substring("value", start, length)), F.lit(""))
+        .cast(dtype)
+        .alias(name)
+        for name, (start, length, dtype) in colspecs.items()
+    ]
+    return lines.select(*cols)
+
+
 def shard_for_write(
     docs: DataFrame,
     *,

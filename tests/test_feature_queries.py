@@ -832,3 +832,46 @@ def test_length_quartiles_by_snapshot_matches_numpy(spark, sf_dir):
         assert rows[t]["q25"] == float(np.percentile(v, 25))
         assert rows[t]["q50"] == float(np.percentile(v, 50))
         assert rows[t]["q75"] == float(np.percentile(v, 75))
+
+
+# ---------------------------------------------------------------------------
+# Round-16 batch 7 pins.
+# ---------------------------------------------------------------------------
+
+
+def test_hourly_activity_profile_matches_pandas(spark, sf_dir, events_pd):
+    e = events_pd.copy()
+    e["h"] = e["ts"].dt.hour
+    sizes = e.groupby(["event_type", "h"]).size()
+    totals = e.groupby("event_type").size()
+    rows = QUERIES["hourly_activity_profile"](spark, sf_dir).collect()
+    assert len(rows) == len(sizes)
+    for r in rows:
+        n = int(sizes[(r["event_type"], r["hour_of_day"])])
+        assert r["n_events"] == n
+        assert r["share_micro"] == (1_000_000 * n) // int(totals[r["event_type"]])
+
+
+def test_representative_docs_per_source_contract(spark, sf_dir):
+    """Exemplars are genuine keepers: ranked by length within source,
+    at most 3 per source, every row a cluster representative whose
+    cluster_size matches the soft-weights tier."""
+    rows = QUERIES["representative_docs_per_source"](spark, sf_dir).collect()
+    weights = {
+        r["doc_id"]: r["cluster_size"]
+        for r in QUERIES["dedup_soft_weights"](spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_chars = docs.set_index("doc_id")["n_chars"]
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+        assert r["cluster_size"] == weights[r["doc_id"]]
+        assert r["n_chars"] == int(n_chars[r["doc_id"]])
+    assert per_source
+    for src, rs in per_source.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        lens = [(r["n_chars"], -r["doc_id"]) for r in rs]
+        assert lens == sorted(lens, reverse=True)

@@ -475,3 +475,36 @@ def test_training_shard_scratch_prunes_on_heartbeat_not_dir_mtime(
                 shutil.rmtree(p, ignore_errors=True)
             elif os.path.exists(p):
                 os.unlink(p)
+
+
+def test_fixed_width_reader_roundtrip(spark, tmp_path):
+    """read_fixed_width parses a fixed-width render of region back to
+    the parquet truth: trimmed slices, typed casts, and short-line /
+    blank-field slices returning NULL (not empty string)."""
+    from conftest import SF_DIR
+
+    from apache_spark_link_prediction_spark.sources.readers import (
+        load_table,
+        read_fixed_width,
+    )
+
+    region = load_table(spark, SF_DIR, "region").collect()
+    path = tmp_path / "region.fw"
+    with open(path, "w") as f:
+        for r in region:
+            f.write(f"{r.r_regionkey:<4d}{r.r_name:<16s}{float(r.r_regionkey) * 1.5:<8.2f}\n")
+        f.write("9\n")  # short line: later slices -> NULL
+
+    out = read_fixed_width(
+        spark,
+        str(path),
+        {
+            "r_regionkey": (1, 4, "long"),
+            "r_name": (5, 16, "string"),
+            "score": (21, 8, "double"),
+        },
+    ).collect()
+    got = {r.r_regionkey: (r.r_name, r.score) for r in out}
+    assert got[9] == (None, None)
+    for r in region:
+        assert got[r.r_regionkey] == (r.r_name, float(r.r_regionkey) * 1.5)

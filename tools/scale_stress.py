@@ -348,6 +348,9 @@ DOCS_QUERIES = (
     # round-16 batch 6: narrow ntile + grouped exact percentile —
     # ~linear
     "length_quartiles_by_snapshot",
+    # round-16 batch 7: components + keeper filter + per-source top-k —
+    # judge like dedup_keep_best (pair densification)
+    "representative_docs_per_source",
 )
 
 # Registry queries stressed via a replicated sf_dir (vs the operator
@@ -423,6 +426,8 @@ EVENTS_QUERIES = (
     "event_time_to_convert",
     # round-16 batch 6: three (granule, bucket) aggs — ~linear
     "anonymization_utility_curve",
+    # round-16 batch 7: (type, hour) agg + tiny window — ~linear
+    "hourly_activity_profile",
 )
 
 # Registry queries over a replicated embeddings.parquet directory.
