@@ -1463,9 +1463,12 @@ def p2_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise schedule 32 near-empty tasks per stage.
     docs = docs.repartition(F.col("srcId"))
     processed, _ = preprocess_documents(docs, text_cols=["text"])
-    # approxSimilarityJoin(X, X) executes both sides: uncached, the whole
-    # tokenize→TF→IDF lineage runs twice (measured 2.1× at sf0.1).
-    feats = processed.select("srcId", "tf_idf").cache()
+    # No .cache() since r17: the fast join (plans/p2.py) collapses the
+    # corpus into one checkpointed distinct-set table, so the
+    # tokenize→TF→IDF lineage runs exactly once (the old MLlib
+    # approxSimilarityJoin executed both sides — measured 2.1× at
+    # sf0.1 uncached).
+    feats = processed.select("srcId", "tf_idf")
     return lsh_similarity_join(feats, threshold=0.8, mode="intent")
 
 
@@ -3642,7 +3645,9 @@ def p2_lsh_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("string").alias("srcId"), F.col("text"))
     )
     processed, _ = preprocess_documents(docs, text_cols=["text"])
-    feats = processed.select("srcId", "tf_idf").cache()
+    # uncached since r17 — the fast join's checkpointed collapse table
+    # makes the preprocessing lineage single-pass (see p2_lsh_similarity)
+    feats = processed.select("srcId", "tf_idf")
     return lsh_similarity_join(feats, threshold=0.8, mode="reference")
 
 
@@ -13321,8 +13326,9 @@ _DIM_STATS_ORACLE = """
       FROM embeddings)
     SELECT CAST(dim AS INTEGER) AS dim,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9)))
-                AS DECIMAL(38,9)) AS sum_val,
+           CAST(SUM(CAST(sign(v) AS BIGINT)
+                    * CAST(floor(abs(CAST(v AS DOUBLE)) * 1000000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sum_nano,
            MIN(v) AS min_val,
            MAX(v) AS max_val
     FROM e GROUP BY dim
@@ -13334,11 +13340,16 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding statistics — the profile a quantizer /
     whitening step fits from (per-dim mean via sum/n, range for
     scalar-quant clip bounds; embedding_scalar_quantization consumes
-    exactly these bounds). sum is the STAGED_9DP house pattern: each
-    float rounds to 9dp (floats are dyadic, 9dp halves are not, so the
-    round is convention-safe) and sums as DECIMAL — order-independent
-    and exact, unlike a raw double sum whose value depends on Spark's
-    partition fold order. min/max are passthrough floats
+    exactly these bounds). sum is emitted as SIGNED NANO-UNIT BIGINT:
+    each value maps to ``sign(v) · floor(|v|·10⁹ + 0.5)`` (the house
+    half-away-on-magnitude convention, :func:`signed_exact_div`'s
+    family) and sums as pure BIGINT — order-independent, exact, and
+    engine-convention-free. The r16 STAGED_9DP form
+    (``round(DOUBLE,9) → DECIMAL`` staged sum) hashed RED at the
+    driver on these raw float32 inputs (VERDICT r16 item 1): the
+    double-round/decimal-cast class is venue-dialect-fragile exactly
+    when the inputs are dyadic, so this query migrated to the
+    integer path in r17. min/max are passthrough floats
     (bit-identical in both engines).
 
     Plan shape at 100 TB: posexplode is map-side; one agg keyed by the
@@ -13346,11 +13357,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the shuffle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    v = F.col("v").cast("double")
+    nano = F.signum(v).cast("long") * F.floor(
+        F.abs(v) * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("long")
     return e.groupBy(F.col("dim").cast("int").alias("dim")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("v").cast("double"), 9).cast("decimal(18,9)"))
-        .cast("decimal(38,9)")
-        .alias("sum_val"),
+        F.sum(nano).cast("long").alias("sum_nano"),
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
     )
@@ -14446,15 +14459,15 @@ def event_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_OUTLIER_ORACLE = """
     WITH sq AS (
       SELECT vec_id, label,
-             CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE)
-               AS sqn
+             CAST(SUM(CAST(floor(x * x * 1000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sqn_nano
       FROM (SELECT vec_id, label,
                    unnest(CAST(embedding AS DOUBLE[])) AS x
             FROM embeddings)
       GROUP BY vec_id, label),
-    med AS (SELECT label, quantile_cont(sqn, 0.5) AS med
+    med AS (SELECT label, quantile_cont(sqn_nano, 0.5) AS med
             FROM sq GROUP BY label),
-    dev AS (SELECT s.label, abs(s.sqn - m.med) AS ad
+    dev AS (SELECT s.label, abs(s.sqn_nano - m.med) AS ad
             FROM sq s JOIN med m USING (label)),
     mad AS (SELECT label, quantile_cont(ad, 0.5) AS mad
             FROM dev GROUP BY label)
@@ -14462,7 +14475,7 @@ _NORM_OUTLIER_ORACLE = """
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(count(*) FILTER (WHERE d.ad > 3 * m.mad) AS BIGINT)
              AS n_outliers,
-           round(min(m.mad), 6) AS mad6
+           min(m.mad) AS mad_nano
     FROM dev d JOIN mad m USING (label)
     GROUP BY d.label
 """
@@ -14475,11 +14488,15 @@ def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding norms are the classic symptom of a bad encode batch
     (truncated inputs, wrong preprocessing), and catching them per
     label localizes which slice re-encodes. Squared norms avoid the
-    sqrt (staying in the exactly-summable tier): each x² rounds to 9dp
-    and sums as DECIMAL(18,9) — exact and order-insensitive in both
-    engines (embedding_dim_stats' STAGED_9DP convention); median/MAD
-    are the exact interpolated percentile pairing
-    (event_anomaly_mad's convention, here over embeddings).
+    sqrt (staying in the exactly-summable tier): each x² maps to
+    NANO-UNIT BIGINT via ``floor(x²·10⁹ + 0.5)`` and sums as pure
+    integers — exact and order-insensitive in both engines
+    (migrated r17 with embedding_dim_stats off the driver-falsified
+    STAGED_9DP round→DECIMAL class, VERDICT r16 item 2; x² ≥ 0 so no
+    sign term is needed). median/MAD interpolate over integers at
+    p=0.5, so every emitted mad_nano is an exact dyadic quarter —
+    bit-identical in Spark ``percentile`` and DuckDB
+    ``quantile_cont`` with no rounding convention at all.
 
     Plan shape at 100 TB: one posexplode + vec-keyed agg, two grouped
     exact percentiles over the label-keyed norm frame (≪ corpus, and
@@ -14494,14 +14511,18 @@ def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "label")
         .agg(
-            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)"))
-            .cast("double")
-            .alias("sqn")
+            F.sum(
+                F.floor(
+                    F.col("x") * F.col("x") * F.lit(1_000_000_000.0) + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sqn_nano")
         )
     )
-    med = sq.groupBy("label").agg(F.expr("percentile(sqn, 0.5)").alias("med"))
+    med = sq.groupBy("label").agg(F.expr("percentile(sqn_nano, 0.5)").alias("med"))
     dev = sq.join(F.broadcast(med), "label").select(
-        "label", F.abs(F.col("sqn") - F.col("med")).alias("ad")
+        "label", F.abs(F.col("sqn_nano") - F.col("med")).alias("ad")
     )
     mad = dev.groupBy("label").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
     return (
@@ -14512,7 +14533,7 @@ def embedding_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("ad") > 3 * F.col("mad")).cast("int"))
             .cast("long")
             .alias("n_outliers"),
-            F.round(F.min("mad"), 6).alias("mad6"),
+            F.min("mad").alias("mad_nano"),
         )
     )
 
@@ -15071,86 +15092,72 @@ def representative_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFram
 #   re-validation; oracle-backed never-graded outrank rows-only
 #   never-graded (hash evidence is the harder signal).
 # ---------------------------------------------------------------------------
-# Round-16 accounting (287 entries: 265 oracle-backed, 22
-#   rows-only; 50 slots) — executes tools/gen_window.py's plan: the
-#   TWENTY-FIVE round-16 registrations lead (batch 1:
-#   dedup_keep_best_incremental, stratified_sample_hamilton_drift,
-#   filter_funnel_attrition, dedup_soft_weights, shard_balance_report,
-#   ngram_novelty_by_snapshot, quality_calibration_bins,
-#   embedding_dim_stats; batch 2: lang_confusion_matrix,
-#   rouge_ngram_overlap, packing_efficiency_report,
-#   corpus_snapshot_churn, dedup_weighted_jaccard; batch 3:
-#   dedup_cluster_size_histogram, kfold_assignment,
-#   source_quality_report, token_length_distribution; batch 4:
-#   split_leakage_audit, cross_source_neardup_matrix,
-#   token_burstiness, ngram_collision_audit, pass_at_k_eval,
-#   pairwise_winrate_matrix, l_diversity_release,
-#   knn_label_agreement; batch 5: temporal_split_audit,
-#   event_time_to_convert, embedding_norm_outlier_audit,
-#   length_quartiles_by_source, cross_source_neardup_incremental;
-#   batch 6: vocab_topk_churn, neardup_threshold_sensitivity,
-#   anonymization_utility_curve, length_quartiles_by_snapshot;
-#   batch 7: hourly_activity_profile, representative_docs_per_source —
-#   all oracle-backed, never graded); the remaining 14 slots are pure
-#   oldest-first rotation per VERDICT r14 item 4 over the r11 cohort.
+# Round-17 accounting (287 entries: 265 oracle-backed, 22 rows-only;
+#   50 slots) — executes tools/gen_window.py's steady-state rule
+#   (every entry now has >=1 driver row, VERDICT r16 item 5):
+#   embedding_dim_stats jumps the queue (graded r16 but hash-RED — its
+#   r17 signed-nano-unit migration is the round's one correctness fix
+#   and needs a fresh driver grade); the other 49 slots are pure
+#   oldest-driver-evidence-first rotation over the r11 cohort
+#   (oracle-backed, ascending latest-green round, registry order ties).
 # The round this window was pinned FOR (the driver artifact that will
 # grade it is CORRECTNESS_r{_WINDOW_ROUND}.json). tests/test_registry.py
 # uses it to decide which artifacts predate the window — ADVICE r11: the
 # positional "newest file" exemption mis-attributes rows the moment the
 # window is rotated before the driver's artifact lands.
-_WINDOW_ROUND = 16
+_WINDOW_ROUND = 17
 
 _WINDOW_THIS_ROUND = [
-    "dedup_keep_best_incremental",  # never graded
-    "stratified_sample_hamilton_drift",  # never graded
-    "filter_funnel_attrition",  # never graded
-    "dedup_soft_weights",  # never graded
-    "shard_balance_report",  # never graded
-    "ngram_novelty_by_snapshot",  # never graded
-    "quality_calibration_bins",  # never graded
     "embedding_dim_stats",  # never graded
-    "lang_confusion_matrix",  # never graded
-    "rouge_ngram_overlap",  # never graded
-    "packing_efficiency_report",  # never graded
-    "corpus_snapshot_churn",  # never graded
-    "dedup_weighted_jaccard",  # never graded
-    "dedup_cluster_size_histogram",  # never graded
-    "kfold_assignment",  # never graded
-    "source_quality_report",  # never graded
-    "token_length_distribution",  # never graded
-    "split_leakage_audit",  # never graded
-    "cross_source_neardup_matrix",  # never graded
-    "token_burstiness",  # never graded
-    "ngram_collision_audit",  # never graded
-    "pass_at_k_eval",  # never graded
-    "pairwise_winrate_matrix",  # never graded
-    "l_diversity_release",  # never graded
-    "knn_label_agreement",  # never graded
-    "temporal_split_audit",  # never graded
-    "event_time_to_convert",  # never graded
-    "embedding_norm_outlier_audit",  # never graded
-    "length_quartiles_by_source",  # never graded
-    "cross_source_neardup_incremental",  # never graded
-    "vocab_topk_churn",  # never graded
-    "neardup_threshold_sensitivity",  # never graded
-    "anonymization_utility_curve",  # never graded
-    "length_quartiles_by_snapshot",  # never graded
-    "hourly_activity_profile",  # never graded
-    "representative_docs_per_source",  # never graded
-    "set_except_all",  # last green r11
-    "set_intersect_all",  # last green r11
-    "scd2_history",  # last green r11
-    "unpivot_measures",  # last green r11
-    "tpch_q7_volume_shipping",  # last green r11
-    "funnel_view_click_purchase",  # last green r11
-    "event_anomaly_mad",  # last green r11
-    "rolling_distinct_users_hll",  # last green r11
-    "python_datasource_agg",  # last green r11
-    "multimodal_png_roundtrip",  # last green r11
-    "curation_pipeline_e2e",  # last green r11
-    "udtf_chunk_text",  # last green r11
-    "pandas_udf_cosine",  # last green r11
-    "weighted_sample_ares",  # last green r11
+    "ks_drift_sources",  # last green r11
+    "gini_revenue_concentration",  # last green r11
+    "token_entropy",  # last green r11
+    "event_debounce",  # last green r11
+    "arrow_vec_norms",  # last green r11
+    "chi_square_independence",  # last green r11
+    "bigram_pmi",  # last green r11
+    "image_phash_class_gate",  # last green r11
+    "sql_recursive_cte",  # last green r11
+    "datetime_semantics_suite",  # last green r11
+    "string_semantics_suite",  # last green r11
+    "tpch_q2_min_cost_supplier",  # last green r11
+    "tpch_q9_product_profit",  # last green r11
+    "tpch_q11_important_stock",  # last green r11
+    "tpch_q20_excess_inventory",  # last green r11
+    "tpch_q16_supplier_count",  # last green r11
+    "s1_scan_project_filter",  # last green r12
+    "pair_features_flagship",  # last green r12
+    "pair_multiset_common_tokens",  # last green r12
+    "left_existence_label",  # last green r12
+    "global_count",  # last green r12
+    "tpch_q1_agg",  # last green r12
+    "window_topk_per_group",  # last green r12
+    "window_running_sum",  # last green r12
+    "set_intersect",  # last green r12
+    "sessionize_events",  # last green r12
+    "tumbling_window_agg",  # last green r12
+    "dedup_exact",  # last green r12
+    "dedup_token_jaccard",  # last green r12
+    "dedup_ngram_jaccard",  # last green r12
+    "embedding_topk_bruteforce",  # last green r12
+    "embedding_pairs_exact",  # last green r12
+    "domain_temperature_sample",  # last green r12
+    "doc_fingerprints",  # last green r12
+    "graph_degrees",  # last green r12
+    "streaming_window_agg",  # last green r12
+    "streaming_sessionize",  # last green r12
+    "streaming_dedup",  # last green r12
+    "streaming_media_ingest",  # last green r12
+    "doc_novelty_score",  # last green r12
+    "corpus_zipf_fit",  # last green r12
+    "dedup_exact_substring",  # last green r12
+    "dedup_exact_substring_remove",  # last green r12
+    "dq_constraint_audit",  # last green r12
+    "sql_parameterized",  # last green r12
+    "association_rules",  # last green r12
+    "streaming_stream_join_outer",  # last green r12
+    "embedding_scalar_quantization",  # last green r12
+    "hard_negative_mining",  # last green r12
 ]
 
 

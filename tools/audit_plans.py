@@ -69,6 +69,11 @@ ALLOW = {
     # relative threshold — the driver-collect-free way to use a global
     # count inside the plan
     "heavy_hitters_tokens": {"nested-loop join"},
+    # 1-row relative-min-support scalar crossJoin(F.broadcast(ms))
+    # (queries.py frequent_triples, r15 rework) — the same bounded
+    # global-scalar pattern as heavy_hitters_tokens; entry was missed
+    # when the rework landed (VERDICT r16 item 3, bookkeeping slip)
+    "frequent_triples": {"nested-loop join"},
     "tfidf_keywords": {"nested-loop join"},
     # 1-row x 1-row crossJoin of scalar aggregates (J4's contract is
     # two counts side by side; the funnel reports three step counts) —

@@ -112,9 +112,20 @@ def bare_rounds(sql: str) -> int:
 #                      (order noise ~1 ulp; the coarse round absorbs
 #                      it; residual half-zone ~1e-10 relative is the
 #                      documented accepted risk).
-#   STAGED_9DP         the house pattern: per-term round(x, 9) ->
-#                      DECIMAL(.,9) sum (order-independent, exact);
-#                      term-level residual risk as above.
+#   STAGED_9DP         per-term round(x, 9) -> DECIMAL(.,9) sum
+#                      (order-independent, exact). DEMOTED r17
+#                      (VERDICT r16 items 1-2): the driver hashed
+#                      embedding_dim_stats RED on raw float32 inputs —
+#                      round(DOUBLE,9)->DECIMAL is venue-dialect-
+#                      fragile exactly when the staged terms are DYADIC
+#                      (raw floats, x*x of floats). The class is now
+#                      admissible ONLY over TRANSCENDENTAL terms
+#                      (ln/exp/p·ln p — exact halves measure-zero),
+#                      and every remaining member below is
+#                      driver-proven green on that footing. Dyadic-
+#                      input sums must use signed nano-unit BIGINT
+#                      (sign(v)·floor(|v|·1e9+0.5), the
+#                      signed_exact_div family) instead.
 #   QUANTILE_CENTI     quantile_cont interpolation over 2-decimal
 #                      values: results are exact decimals at <= 6dp, so
 #                      round(., >=6) is the identity.
@@ -147,11 +158,8 @@ ROUND_ALLOWLIST = {
     "corr_by_group": "TRANSCENDENTAL (sqrt denominator)",
     "dsir_importance_select": "STAGED_9DP (ln ratio terms)",
     "embedding_binary_quant_topk": "TRANSCENDENTAL (cosine, 4dp)",
-    "embedding_dim_stats": (
-        "STAGED_9DP (per-value round(float→double, 9) -> DECIMAL(18,9) "
-        "sum; floats are dyadic and 9dp halves are not, so exact halves "
-        "cannot occur — CAST-pinned on both sides)"
-    ),
+    "embedding_dim_stats": "",  # migrated r17 — signed nano-unit BIGINT
+    # (the r16 driver red: STAGED_9DP over raw float32 falsified)
     "embedding_mrl_topk": "TRANSCENDENTAL (cosine, 4dp)",
     "embedding_pairs_exact": "TRANSCENDENTAL (cosine, 4dp)",
     "embedding_scalar_quantization": (
@@ -173,12 +181,9 @@ ROUND_ALLOWLIST = {
         "TRANSCENDENTAL (cosine, 4dp) — rank-only: the rounded cosine "
         "orders the top-k and never reaches the output columns"
     ),
-    "embedding_norm_outlier_audit": (
-        "STAGED_9DP (per-value round(x*x, 9) -> DECIMAL(18,9) sum, the "
-        "embedding_dim_stats convention) + QUANTILE (median/MAD of "
-        "those exactly-equal doubles, 6dp on the emitted mad6 — the "
-        "event_anomaly_mad pairing)"
-    ),
+    "embedding_norm_outlier_audit": "",  # migrated r17 — nano-unit BIGINT
+    # sqn (x² ≥ 0, no sign term); mad_nano is an exact dyadic quarter,
+    # emitted unrounded (same driver-red family as embedding_dim_stats)
     "hybrid_rank_fusion_rrf": "TRANSCENDENTAL (bm25 leg ranks on 6dp ln)",
     "incremental_agg_merge": "CENTI_IDENTITY (min/max passthrough)",
     "multimodal_audio_centroid_tone": (
