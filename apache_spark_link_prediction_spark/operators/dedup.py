@@ -265,7 +265,21 @@ def minhash_near_dup_pairs(
             .localCheckpoint(eager=False)
         )
         memb = g.select(F.explode("__ids").alias("__id"), "__rep")
-        base = g.select(F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles"))
+        # Re-spread the rep table after the checkpoint (r17): AQE
+        # rightly coalesces the small collapse shuffle to 1-3
+        # partitions, but every post-checkpoint consumer inherits that
+        # width — the 32-seed signature aggregation's explode+hash map
+        # stage (the pipeline's densest per-row work) was measured
+        # running as a 3-task stage at the 10× tier (~15 s/task,
+        # tasks=3 in the stage profile). One tiny keyed exchange
+        # (pinned to defaultParallelism so AQE cannot re-coalesce it;
+        # cluster-sized, not a local constant) restores full-width
+        # parallelism for the signature agg, both verify-join build
+        # sides, and the banding explode.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        base = g.select(
+            F.col("__rep").alias("__id"), F.col("__setarr").alias("__shingles")
+        ).repartition(par, F.col("__id"))
 
     # Signatures as plain columns behind an aggregation barrier (see
     # minhash_signature_cols — avoids CollapseProject's nested-HOF
@@ -273,17 +287,40 @@ def minhash_near_dup_pairs(
     # already-hashed long is a constant-time mix, not a per-byte pass.
     sig = minhash_signature_cols(base, "__id", F.col("__shingles"), num_hashes)
 
-    # Candidate generation is ids-only (plus one int, the shingle-set
-    # size): shingle sets (the wide payload — ~|doc| strings each) must
-    # NOT ride through the band explode, the bucket-cap shuffle, or the
-    # bucket self-join, where they'd be replicated ``bands``×. They
-    # rejoin once per side at verification.
-    # Band key = xxhash64 over the band's signature longs directly —
-    # no per-row string building (a concat_ws key allocates and
-    # re-encodes bands× strings per doc for no semantic gain).
-    banded = sig.select(
+    # σ-prefilter cut (needs num_hashes; decides whether the signature
+    # longs ride the banded rows below).
+    import math
+
+    cut = None
+    if prefilter_sigma is not None:
+        cut = threshold - prefilter_sigma * math.sqrt(
+            threshold * (1.0 - threshold) / num_hashes
+        )
+        if cut <= 0:
+            cut = None
+    hcols = [f"__h{i}" for i in range(num_hashes)] if cut is not None else []
+
+    # INLINE-VERIFY restructure (r17, the p2 fast-join lesson): the
+    # hashed shingle arrays ride the band explode and the ONE
+    # (band,key) exchange — replicated bands× there (~1.2 KB × bands
+    # per rep) — so the exact intersection runs INSIDE the bucket
+    # join and only SURVIVING pairs reach the pair-dedup shuffle.
+    # The old ids-only candidate path was cheaper per banded row but
+    # paid for it downstream: a candidate-pair shuffle (382 MB at the
+    # 10× tier), a re-exchange per verify join, and the second verify
+    # join's probe EXCHANGE carrying the attached src-side array for
+    # every candidate pair (~1.2 KB × |candidates| ≫ the banded
+    # exchange). Measured at the 10× tier: 14.8s → 6.9s solo-warm.
+    # The attach join below is exchange-free: sig's aggregation and
+    # the repartitioned base are both already hash-partitioned by
+    # __id. Band key = xxhash64 over the band's signature longs
+    # directly — no per-row string building.
+    sigarr = sig.join(base, on="__id")
+    banded = sigarr.select(
         "__id",
         "__nsh",
+        "__shingles",
+        *hcols,
         F.posexplode(
             F.array(
                 *[
@@ -306,20 +343,23 @@ def minhash_near_dup_pairs(
     # boilerplate variants sharing a band).
     banded = _drop_hot_buckets(banded, ["__band", "__key"], max_bucket_size)
 
-    # Size-ratio prefilter (LOSSLESS), applied inside the bucket join
-    # *before* the pair dropDuplicates shuffle: |A∩B| ≤ min(|A|,|B|)
-    # and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max — a pair failing
-    # min ≥ threshold·max can never verify. Two int compares kill a
-    # boilerplate mega-cluster's near-miss candidates before they cost
-    # a shuffle, a signature join, or an exact intersection. (The 1e-6
-    # slack mirrors the round(jaccard, 6) in the final filter.)
+    # Size-ratio prefilter (LOSSLESS), applied inside the bucket join:
+    # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≤ min/max —
+    # a pair failing min ≥ threshold·max can never verify. Two int
+    # compares kill a boilerplate mega-cluster's near-miss candidates
+    # before they cost an exact intersection. (The 1e-6 slack mirrors
+    # the micro_threshold convention in the final filter.)
     a = banded.select(
         F.col("__band"), F.col("__key"),
         F.col("__id").alias("src_id"), F.col("__nsh").alias("__na"),
+        F.col("__shingles").alias("__sh_a"),
+        *[F.col(h).alias(f"__a{h}") for h in hcols],
     )
     b = banded.select(
         F.col("__band"), F.col("__key"),
         F.col("__id").alias("dst_id"), F.col("__nsh").alias("__nb"),
+        F.col("__shingles").alias("__sh_b"),
+        *[F.col(h).alias(f"__b{h}") for h in hcols],
     )
     size_ok = F.least(F.col("__na"), F.col("__nb")) >= (
         F.lit(threshold - 1e-6) * F.greatest(F.col("__na"), F.col("__nb"))
@@ -328,88 +368,50 @@ def minhash_near_dup_pairs(
     # symmetric row streams with unique-ish keys — a sort-merge join
     # pays two O(n log n) sorts of bands×reps rows for no benefit,
     # while a shuffled hash join builds a per-partition hash table and
-    # streams the probe side (same shuffle, no sort). Physical-only:
-    # the inner equi-join's result set is identical (parity pinned by
-    # the collapse/banding pytests). Measured at the 10× bench replica:
-    # whole-pipeline 24.1s → 16.4s just from this hint (BASELINE.md
-    # Round 14). Scale contract: the build side's per-partition slice
-    # must fit in executor memory — it scales as bands·|reps|/shuffle
-    # partitions, the same per-partition-footprint contract as the
-    # hash aggregate one stage earlier, and doc-id keys are unskewed
-    # by construction.
-    candidates = (
-        a.join(b.hint("shuffle_hash"), on=["__band", "__key"], how="inner")
-        .filter((F.col("src_id") < F.col("dst_id")) & size_ok)
-        .select("src_id", "dst_id")
-        .dropDuplicates(["src_id", "dst_id"])
+    # streams the probe side (same shuffle, no sort; the hot-bucket
+    # cap bounds per-bucket output, so SHJ output skew is bounded too,
+    # unlike the uncapped p2 parity join where the hint had to go).
+    # Physical-only: the inner equi-join's result set is identical
+    # (parity pinned by the collapse/banding pytests). Measured at the
+    # 10× bench replica: whole-pipeline 24.1s → 16.4s just from this
+    # hint (BASELINE.md Round 14). Scale contract: the build side's
+    # per-partition slice must fit in executor memory — it now carries
+    # the shingle arrays (~1.2 KB × bands per rep / shuffle
+    # partitions), still the hash-aggregate footprint class.
+    joined = a.join(b.hint("shuffle_hash"), on=["__band", "__key"], how="inner").filter(
+        (F.col("src_id") < F.col("dst_id")) & size_ok
     )
 
     # Signature-agreement prefilter (probabilistic, ``prefilter_sigma``):
     # estimate J as the fraction of agreeing minhash values (already
-    # computed for banding) and drop candidates more than σ binomial
-    # std-devs below threshold — most false candidates from low-r band
-    # collisions never reach the exact array intersection.
-    import math
-
-    cut = None
-    if prefilter_sigma is not None:
-        cut = threshold - prefilter_sigma * math.sqrt(
-            threshold * (1.0 - threshold) / num_hashes
-        )
-    if cut is not None and cut > 0:
-        hcols = [f"__h{i}" for i in range(num_hashes)]
-        sa = sig.select(F.col("__id").alias("src_id"),
-                        *[F.col(h).alias(f"__a{h}") for h in hcols])
-        sb = sig.select(F.col("__id").alias("dst_id"),
-                        *[F.col(h).alias(f"__b{h}") for h in hcols])
+    # computed for banding, riding the banded rows when enabled) and
+    # drop candidates more than σ binomial std-devs below threshold —
+    # cheap long-compares ahead of the exact array intersection.
+    if hcols:
         est = sum(
             F.when(F.col(f"__a{h}") == F.col(f"__b{h}"), 1).otherwise(0)
             for h in hcols
         ) / F.lit(float(num_hashes))
-        candidates = (
-            candidates.join(sa, on="src_id")
-            .join(sb, on="dst_id")
-            .filter(est >= cut)
-            .select("src_id", "dst_id")
-        )
+        joined = joined.filter(est >= cut)
 
-    # Verify over the same 64-bit-hashed shingle sets the signatures
-    # used: the jaccard of the hash sets equals the jaccard of the
-    # string sets unless two distinct shingles collide in 64 bits
-    # within one pair (P ≈ |A|·|B|/2^64 ≈ 1e-16 for typical documents),
-    # and long-array intersection is both far cheaper per pair and a
-    # much smaller payload to carry through the two verification joins
-    # — measured 17.0s → 6.2s end-to-end at sf0.1 vs string verify.
-    # Both verification joins are hinted ``shuffle_hash`` for the same
-    # reason as the bucket join above, and with a bigger payoff: the
-    # sort-merge alternative SORTS the candidate-pair stream twice AND
-    # drags the second join's array payload (~100 longs/doc) through a
-    # sort. The hint sits on the shingle-set side, so IT is the hash
-    # build side (one row per distinct set — always the smaller side);
-    # candidates stream past it. Measured at the 10× bench replica:
-    # verify 33.7s → 13.3s (solo A/B; SMJ re-measured 34.8s after —
-    # BASELINE.md Round 14). An explicit broadcast() was A/B'd too
-    # (34.2s — worse: double 35 MB build) and would anyway be the
-    # unbounded-driver-memory anti-pattern _drop_hot_buckets documents.
-    shingle_sets = base
+    # Verify INLINE over the same 64-bit-hashed shingle sets the
+    # signatures used: the jaccard of the hash sets equals the jaccard
+    # of the string sets unless two distinct shingles collide in 64
+    # bits within one pair (P ≈ |A|·|B|/2^64 ≈ 1e-16 for typical
+    # documents). Verification before the pair dedup means a pair
+    # colliding in k bands is intersected k× (≤ bands, measured ~2× at
+    # the 10× tier) — strictly cheaper than shuffling EVERY candidate
+    # pair for dedup and then re-exchanging it twice through the old
+    # verify joins. Only pairs that PASS the threshold reach the
+    # dropDuplicates shuffle (tiny (src, dst, jaccard) rows, true-pair
+    # volume).
     pairs = (
-        candidates.join(
-            shingle_sets.select(
-                F.col("__id").alias("src_id"), F.col("__shingles").alias("__sh_a")
-            ).hint("shuffle_hash"),
-            on="src_id",
-        )
-        .join(
-            shingle_sets.select(
-                F.col("__id").alias("dst_id"), F.col("__shingles").alias("__sh_b")
-            ).hint("shuffle_hash"),
-            on="dst_id",
-        )
-        .withColumn(
+        joined.withColumn(
             "jaccard_micro", jaccard_micro_tokens(F.col("__sh_a"), F.col("__sh_b"))
         )
         .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
         .select("src_id", "dst_id", "jaccard_micro")
+        .dropDuplicates(["src_id", "dst_id"])
     )
     if memb is None:
         return pairs
@@ -1487,7 +1489,14 @@ def jaccard_prefix_join(
         )
         memb = g.select(F.explode("__ids").alias("__id"), "__rep")
         nonempty_reps = g.filter(F.size("__setk") > 0).select("__rep")
-        base = g.select(F.col("__rep").alias("__id"), "__toks")
+        # Re-spread after the checkpoint — same r17 fix as the minhash
+        # collapse tier: AQE coalesces the small collapse shuffle, and
+        # the token explode + df join + prefix window downstream would
+        # otherwise run 1-3 tasks wide.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        base = g.select(F.col("__rep").alias("__id"), "__toks").repartition(
+            par, F.col("__id")
+        )
 
     toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
