@@ -932,8 +932,11 @@ def signature_band_pairs(
             "dst_id",
             F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).alias("hamming"),
         )
-        .dropDuplicates(["src_id", "dst_id"])
+        # filter BEFORE the pair-dedup shuffle (r17): hamming is
+        # deterministic per pair, so dedup-then-filter ≡
+        # filter-then-dedup — but only surviving pairs shuffle.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["src_id", "dst_id"])
     )
     if memb is None:
         return pairs
@@ -1061,8 +1064,11 @@ def signature_incremental_pairs(
             # xor is symmetric, so canonicalizing ids leaves it intact
             F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).alias("hamming"),
         )
-        .dropDuplicates(["src_id", "dst_id"])
+        # filter BEFORE the pair-dedup shuffle (r17): hamming is
+        # deterministic per pair, so dedup-then-filter ≡
+        # filter-then-dedup — but only surviving pairs shuffle.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["src_id", "dst_id"])
     )
     if memb is None:
         return pairs
