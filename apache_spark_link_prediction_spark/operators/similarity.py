@@ -671,9 +671,14 @@ def ivf_pq_top_k(
     )
 
     def sq_dists_to_codebook(res_slice: Column, j: int) -> Column:
-        cb = F.array(
-            *[F.array(*[F.lit(v) for v in row]) for row in codebooks[j]]
-        )
+        # ONE nested-array Literal node, not ks×sub CreateArray/Literal
+        # nodes (r17): the codebook constants are plan DATA, not plan
+        # STRUCTURE — at m=8/ks=16/sub=8 the per-element form put ~1k
+        # expression nodes per subspace through analysis/optimization
+        # (×8 subspaces, ×2 consumers), a measurable driver-side
+        # planning term in the fit-chain constant. Same values, same
+        # semantics (Literal of array<array<double>>).
+        cb = F.lit([[float(v) for v in row] for row in codebooks[j]])
         return F.transform(
             cb,
             lambda crow: F.aggregate(
@@ -684,7 +689,8 @@ def ivf_pq_top_k(
         )
 
     rot_arr = (
-        F.array(*[F.array(*[F.lit(v) for v in row]) for row in rot])
+        # same single-Literal form (dim×dim = 4096 nodes otherwise)
+        F.lit([[float(v) for v in row] for row in rot])
         if rot is not None
         else None
     )

@@ -99,7 +99,13 @@ SF1_RECORDED: dict[str, float] = {
     "lang_id": 0.49,
     "text_quality": 0.38,
     "token_counts": 0.59,
-    "p2_lsh_similarity": 25.33,
+    # Re-pinned r17 (era split #2, the round-15 pattern): the r17
+    # hand-rolled ids-only LSH join (plans/p2.py) replaced the MLlib
+    # approxSimilarityJoin plan — solo-warm ~9.3s, in-bench clean-point
+    # 13.8s on the (throttled) r17 box. The round-10 first measurement
+    # 25.33 would let a silent revert to the MLlib wide-struct plan
+    # pass the gate.
+    "p2_lsh_similarity": 13.8,
     # Re-pinned r15 (era note above); round-10 first measurement was
     # 28.08 on the pre-r14 sort-merge plan.
     "p2_scale_path_jaccard_deep": 6.0,
