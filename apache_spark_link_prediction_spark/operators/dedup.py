@@ -1550,535 +1550,6 @@ def jaccard_prefix_join(
     # bound happens to lose zero pairs — rank gaps between shared
     # prefix tokens stay small there — but that is a property of the
     # data, not of the bound; the sound form costs nothing extra.)
-    # INLINE verification (r17, the p2/minhash lesson): the token
-    # arrays ride the PREFIX rows (Σ prefix sizes ≈ (1−t)·token stream
-    # — 12k rows at the 10× deep tier), so the exact jaccard runs
-    # inside the candidate join and only threshold-passing pairs reach
-    # the pair-dedup shuffle. The old ids-only candidate path paid a
-    # 208 MB candidate-pair shuffle plus two verify-join exchanges
-    # (the second carrying the src-side token array per candidate
-    # pair); the measured shared-prefix dup factor is 3.6× (4.8M
-    # joined rows → 1.33M distinct pairs), so at most 3.6× the exact
-    # intersections — strictly cheaper than the exchanges it replaces
-    # (stage profile: the two pair-stream stages were ~90% of the
-    # query's executor time).
-    prefix = prefix.join(base.select("__id", "__toks"), on="__id")
-    a = prefix.select(
-        "__tok", F.col("__id").alias("src_id"),
-        F.col("__sz").alias("__sa"), F.col("__rn").alias("__ra"),
-        F.col("__toks").alias("__ta"),
-    )
-    b = prefix.select(
-        "__tok", F.col("__id").alias("dst_id"),
-        F.col("__sz").alias("__sb"), F.col("__rn").alias("__rb"),
-        F.col("__toks").alias("__tb"),
-    )
-    overlap_needed = F.ceil(
-        F.lit(t_eff / (1.0 + t_eff)) * (F.col("__sa") + F.col("__sb")) - F.lit(_EPS)
-    )
-    overlap_bound = (
-        F.least(F.col("__ra"), F.col("__rb"))
-        - 1
-        + F.least(F.col("__sa") - F.col("__ra"), F.col("__sb") - F.col("__rb"))
-        + 1
-    )
-    # shuffle_hash on the inverted-list self-join (round 14): sort-merge
-    # sorted the prefix stream for a join feeding an unsorted dedup.
-    # Prefix lists are rarest-first by construction, so per-key output
-    # is bounded (no p2-style mega-bucket to serialize).
-    pairs = (
-        a.join(b.hint("shuffle_hash"), on="__tok")
-        .filter(F.col("src_id") < F.col("dst_id"))
-        .filter(
-            (F.col("__sb") >= F.ceil(F.lit(t_eff) * F.col("__sa") - F.lit(_EPS)))
-            & (F.col("__sa") >= F.ceil(F.lit(t_eff) * F.col("__sb") - F.lit(_EPS)))
-        )
-        .filter(overlap_bound >= overlap_needed)
-        .withColumn("jaccard_micro", jaccard_micro_tokens(F.col("__ta"), F.col("__tb")))
-        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
-        .select("src_id", "dst_id", "jaccard_micro")
-        .dropDuplicates(["src_id", "dst_id"])
-    )
-    if memb is None:
-        return pairs
-
-    ma = memb.select(
-        F.col("__rep").alias("src_id"),
-        F.col("__id").alias("__a"), F.col("__mnew").alias("__an"),
-    )
-    mb = memb.select(
-        F.col("__rep").alias("dst_id"),
-        F.col("__id").alias("__b"), F.col("__mnew").alias("__bn"),
-    )
-    cross = (
-        pairs.join(ma, "src_id")
-        .join(mb, "dst_id")
-        .filter(F.col("__an") | F.col("__bn"))
-        .select(
-            F.least("__a", "__b").alias("src_id"),
-            F.greatest("__a", "__b").alias("dst_id"),
-            "hamming",
-        )
-    )
-    intra = (
-        memb.alias("x")
-        .join(memb.alias("y"), "__rep")
-        .filter(
-            (F.col("x.__id") < F.col("y.__id"))
-            & (F.col("x.__mnew") | F.col("y.__mnew"))
-        )
-        .select(
-            F.col("x.__id").alias("src_id"),
-            F.col("y.__id").alias("dst_id"),
-            F.lit(0).cast("integer").alias("hamming"),
-        )
-    )
-    return cross.unionByName(intra)
-
-
-# ---------------------------------------------------------------------------
-# n-gram Jaccard with blocking
-# ---------------------------------------------------------------------------
-
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    block_col: str | None = None,
-    ngram: int = 2,
-    threshold: float = 0.2,
-    window: int | None = None,
-    allow_quadratic: bool = False,
-) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity over blocked candidate
-    pairs: pairs share ``block_col`` (e.g. source/partition key) and —
-    optionally — have ids within ``window`` of each other. Fully
-    SQL-expressible (the oracle-checkable exact-similarity operator;
-    MinHash above approximates exactly this).
-
-    Without ``window`` the pair count is O(block²) and block size grows
-    with the corpus — correct as the small-scale ground-truth twin for
-    MinHash recall checks, catastrophic as a production dedup path at
-    100 TB. Callers must therefore either bound pairs with ``window``
-    or state the intent with ``allow_quadratic=True``.
-
-    Emits (src_id, dst_id, jaccard) with src_id < dst_id, jaccard ≥
-    threshold, rounded to 6 decimals.
-    """
-    if window is None and not allow_quadratic:
-        raise ValueError(
-            "ngram_jaccard_pairs without a `window` bound is O(block²) per "
-            "block — pass window=N to bound candidate pairs, or "
-            "allow_quadratic=True if this is a deliberate small-scale "
-            "ground-truth run (use minhash_near_dup_pairs in production)."
-        )
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),
-        word_shingles(text_col, ngram).alias("__grams"),
-    )
-    a = base.select(F.col("__blk"), F.col("__id").alias("src_id"), F.col("__grams").alias("__ga"))
-    b = base.select(F.col("__blk"), F.col("__id").alias("dst_id"), F.col("__grams").alias("__gb"))
-    pairs = a.join(b, on="__blk", how="inner").filter(F.col("src_id") < F.col("dst_id"))
-    if window is not None:
-        pairs = pairs.filter(F.col("dst_id") - F.col("src_id") <= window)
-    # NOTE: no size-ratio prefilter here, deliberately. At this
-    # operator's low default threshold the min/max-size bound prunes
-    # almost nothing, and A/B measurement showed the extra per-pair
-    # predicate made the blocked join 1.7× SLOWER at sf0.1 (45s vs
-    # 26s) — the bound only pays off at high thresholds on pre-shuffle
-    # candidate streams (see minhash_near_dup_pairs).
-    return (
-        pairs.withColumn(
-            "jaccard_micro", jaccard_micro_tokens(F.col("__ga"), F.col("__gb"))
-        )
-        .filter(F.col("jaccard_micro") >= micro_threshold(threshold))
-        .select("src_id", "dst_id", "jaccard_micro")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Duplicate clustering: pairs → connected components → keeper per cluster
-# ---------------------------------------------------------------------------
-
-def connected_components(
-    pairs: DataFrame,
-    *,
-    src: str = "src_id",
-    dst: str = "dst_id",
-    max_iterations: int = 20,
-) -> DataFrame:
-    """Connected components by iterative min-label propagation over
-    DataFrames (GraphX has no Python API; this is the PySpark-native
-    formulation, SURVEY.md §7-6).
-
-    Each node's component starts as its own id; every round each node
-    adopts the min component among itself and its neighbors; converged
-    when no label changes. Rounds are O(diameter) — near-dup clusters
-    are dense and shallow, so few rounds in practice (cap asserts).
-    ``localCheckpoint`` truncates lineage each round (an iterative plan
-    would otherwise grow exponentially and re-execute from the scan).
-
-    Returns (node_id, component) with component = min node id reachable.
-    """
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.select(F.col("a").alias("node_id"))
-        .dropDuplicates()
-        .withColumn("component", F.col("node_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node_id"])
-            .groupBy(F.col("a").alias("node_id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="node_id", how="left")
-            .select(
-                "node_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
-    return labels
-
-
-def dedup_clusters(
-    docs: DataFrame,
-    pairs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    src: str = "src_id",
-    dst: str = "dst_id",
-) -> DataFrame:
-    """Near-dup pairs → duplicate clusters: every doc mapped to its
-    cluster representative (min doc id in the component); singletons map
-    to themselves. The output drives the actual dedup filter
-    (``keep iff doc_id == keeper_id``)."""
-    comp = connected_components(pairs, src=src, dst=dst)
-    return (
-        docs.select(F.col(id_col))
-        .join(comp, docs[id_col] == comp["node_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_id"),
-        )
-    )
-
-
-def dedup_clusters_incremental(
-    assignment: DataFrame,
-    new_ids: DataFrame,
-    new_pairs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    src: str = "src_id",
-    dst: str = "dst_id",
-    max_iterations: int = 20,
-) -> DataFrame:
-    """Incremental keeper maintenance — the step a daily ingest runs
-    AFTER :func:`minhash_incremental_pairs` (or the signature/embedding
-    twins): update a persisted ``(doc_id, keeper_id)`` assignment with
-    the pairs touching a new batch, without recomputing connected
-    components over the accumulated corpus.
-
-    Exactness by cluster contraction: the persisted assignment's
-    clusters are the components of the old pair set, so mapping each
-    old endpoint of a new pair to its keeper (new endpoints map to
-    themselves) yields a contracted graph whose components are exactly
-    the merged old∪new components; and because every old keeper is the
-    MIN id of its old cluster, the contracted component's min node id
-    IS the min id of the merged cluster. Hence
-    ``dedup_clusters_incremental(assign(old), new, inc_pairs)`` equals
-    ``dedup_clusters(old ∪ new, old_pairs ∪ inc_pairs)`` row-for-row
-    (pinned by tests/test_operators.py::
-    test_dedup_clusters_incremental_matches_full; requires
-    ``assignment`` = the full clustering of the old corpus and
-    ``new_pairs`` ⊇ every pair with ≥1 new id — exactly the
-    ``*_incremental_pairs`` contract).
-
-    Scale shape: the iterative CC runs on the CONTRACTED batch graph —
-    O(|new_pairs|) nodes, not the corpus — and the corpus-sized work is
-    two broadcast-able equi-joins (pair endpoints → keepers, then
-    touched keepers → new components). Returns the full updated
-    ``(doc_id, keeper_id)`` over old ∪ new; at 100 TB, write it back
-    as the next ingest's ``assignment``.
-    """
-    keeper = assignment.select(
-        F.col(id_col).alias("__n"), F.col("keeper_id").alias("__k")
-    )
-    p = new_pairs.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    contracted = (
-        p.join(keeper.withColumnRenamed("__n", "__s").withColumnRenamed("__k", "__ks"),
-               on="__s", how="left")
-        .join(keeper.withColumnRenamed("__n", "__d").withColumnRenamed("__k", "__kd"),
-              on="__d", how="left")
-        .select(
-            F.coalesce(F.col("__ks"), F.col("__s")).alias(src),
-            F.coalesce(F.col("__kd"), F.col("__d")).alias(dst),
-        )
-        .filter(F.col(src) != F.col(dst))  # intra-cluster pairs are no-ops
-    )
-    comp = connected_components(
-        contracted, src=src, dst=dst, max_iterations=max_iterations
-    )
-    old_updated = (
-        assignment.join(comp, assignment["keeper_id"] == comp["node_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col("keeper_id")).alias("keeper_id"),
-        )
-    )
-    new_assign = (
-        new_ids.select(F.col(id_col))
-        .join(comp, new_ids[id_col] == comp["node_id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("keeper_id"),
-        )
-    )
-    return old_updated.unionByName(new_assign)
-
-
-def keep_best_incremental(
-    assignment: DataFrame,
-    old_keepers: DataFrame,
-    new_scored: DataFrame,
-    new_pairs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    src: str = "src_id",
-    dst: str = "dst_id",
-    max_iterations: int = 20,
-) -> DataFrame:
-    """Incremental QUALITY-keeper maintenance (round 16, VERDICT r15
-    item 4) — :func:`dedup_clusters_incremental` extended from min-id
-    keepers to ``dedup_keep_best``'s quality policy (keep the
-    highest-scored member, ties to the lowest id), without ever
-    re-scanning the old corpus's scores.
-
-    Inputs: ``assignment`` = the persisted (id, keeper_id) MIN-LABEL
-    clustering of the old corpus; ``old_keepers`` = (comp, keeper_doc,
-    keeper_score), the persisted quality keeper PER OLD CLUSTER (comp
-    is the min-label id); ``new_scored`` = (id, score) for the new
-    batch; ``new_pairs`` ⊇ every pair with ≥1 new endpoint (the
-    ``*_incremental_pairs`` contract).
-
-    Exactness: clusters merge via cluster contraction (see
-    dedup_clusters_incremental); within a merged cluster the quality
-    argmax is ASSOCIATIVE — each old cluster's keeper dominates every
-    member of its cluster under the total order (score DESC, id ASC),
-    so argmax over {old keepers of the merged comps} ∪ {new members}
-    equals argmax over all members. Hence the output is row-for-row
-    the from-scratch ``dedup_keep_best`` of old ∪ new (the registry
-    entry hash-gates exactly this).
-
-    KEEPER STABILITY (the contract VERDICT r15 pinned): a new
-    duplicate scored BELOW the incumbent keeper can never steal
-    keeper-ship (it loses the argmax), and an EQUAL-scored newcomer
-    loses the id tiebreak to any older (lower-id) incumbent — only a
-    strictly better variant, or a cluster merge that imports a better
-    keeper, changes the keeper
-    (tests/test_operators.py::test_keep_best_incremental_stability).
-
-    Scale shape: the iterative CC runs on the contracted batch graph;
-    corpus-sized work is the two broadcast-able keeper-remap joins of
-    dedup_clusters_incremental plus ONE broadcast join of the final
-    per-comp keeper back onto the assignment. Scores are read only for
-    old KEEPERS (|clusters| rows, persisted) and the new batch.
-    Returns (id, keeper_id, kept) over old ∪ new with keeper_id = the
-    QUALITY keeper."""
-    assign2 = dedup_clusters_incremental(
-        assignment,
-        new_scored.select(F.col(id_col)),
-        new_pairs,
-        id_col=id_col,
-        src=src,
-        dst=dst,
-        max_iterations=max_iterations,
-    )
-    comp2 = assign2.select(
-        F.col(id_col).alias("__m"), F.col("keeper_id").alias("__c2")
-    )
-    cand_old = old_keepers.join(
-        comp2, old_keepers["keeper_doc"] == comp2["__m"]
-    ).select(
-        F.col("__c2").alias("__comp"),
-        F.col("keeper_doc").alias("__cand"),
-        F.col("keeper_score").alias("__score"),
-    )
-    cand_new = new_scored.join(
-        comp2, new_scored[id_col] == comp2["__m"]
-    ).select(
-        F.col("__c2").alias("__comp"),
-        F.col(id_col).alias("__cand"),
-        F.col("score").alias("__score"),
-    )
-    w = Window.partitionBy("__comp").orderBy(
-        F.col("__score").desc(), F.col("__cand")
-    )
-    best = (
-        cand_old.unionByName(cand_new)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("__comp", F.col("__cand").alias("__q_keeper"))
-    )
-    return (
-        assign2.join(best, assign2["keeper_id"] == best["__comp"])
-        .select(
-            F.col(id_col),
-            F.col("__q_keeper").alias("keeper_id"),
-            (F.col(id_col) == F.col("__q_keeper")).cast("int").alias("kept"),
-        )
-    )
-
-
-def jaccard_prefix_join(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
-    collapse_exact: bool = True,
-) -> DataFrame:
-    """EXACT token-Jaccard ≥ threshold self-join with NO blocking key
-    and no id-window — prefix filtering (the PPJoin family's core
-    idea) replaces :func:`ngram_jaccard_pairs`'s required blocking.
-
-    Soundness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A| (and ≥ t·|B|), so if A and
-    B share no token among A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens under
-    a GLOBAL token order, their overlap is < t·|A| and the pair cannot
-    match. Ordering tokens by ascending corpus frequency (rarest
-    first, token string tie-break) makes prefixes land in the
-    *smallest* inverted lists, so the candidate join is driven by rare
-    tokens — the standard trick that keeps candidate volume near the
-    true-pair volume instead of the stopword cross-product.
-
-    Plan shape at scale: token-frequency agg (vocab-sized), per-doc
-    rank window (one doc-keyed shuffle), prefix explode (Σ prefix
-    sizes ≤ Σ (1−t)·|doc| rows — e.g. ≤20% of the token stream at
-    t=0.8), token-keyed candidate equi-join carrying ids only, pair
-    dedupe, then one verification join back to the token arrays. The
-    ``t·|A| ≤ |B| ≤ |A|/t`` size bound prunes candidates before
-    verification. Never O(n²), no caller-supplied blocking contract.
-
-    Emits (src_id, dst_id, jaccard_micro) with src_id < dst_id in exact
-    BIGINT micro-units — same contract as ngram_jaccard_pairs(ngram=1) run
-    unblocked.
-    """
-    from pyspark.sql import Window
-
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(tokenize(text_col)).alias("__toks"),
-    )
-
-    # Exact-collapse first tier (the production sequence for replicated
-    # corpora, same contract as minhash_near_dup_pairs): identical token
-    # SETS collapse to one representative before the prefix machinery,
-    # grouped on the sorted array itself (exact equality, no collision
-    # class). Prefix-filter soundness holds under ANY consistent global
-    # token order, so computing document frequencies over
-    # representatives instead of raw documents changes candidates but
-    # not the verified output. Intra-group pairs are jaccard 1.0 — but
-    # ONLY for non-empty sets (two empty token sets have jaccard 0.0 by
-    # the union>0 rule and must stay excluded, as in the uncollapsed
-    # path); cross-group pairs inherit the representative jaccard.
-    memb = None
-    if collapse_exact:
-        # localCheckpoint, not cache() — see the minhash collapse tier
-        # (ADVICE r06: unbounded cache-manager accumulation).
-        # Membership via collect_list→explode in the same aggregation —
-        # one shuffle, no second array-keyed join.
-        g = (
-            base.select("__id", "__toks", F.array_sort("__toks").alias("__setk"))
-            .groupBy("__setk")
-            .agg(
-                F.min("__id").alias("__rep"),
-                F.first("__toks").alias("__toks"),
-                F.collect_list("__id").alias("__ids"),
-            )
-            .localCheckpoint()
-        )
-        memb = g.select(F.explode("__ids").alias("__id"), "__rep")
-        nonempty_reps = g.filter(F.size("__setk") > 0).select("__rep")
-        # Re-spread after the checkpoint — same r17 fix as the minhash
-        # collapse tier: AQE coalesces the small collapse shuffle, and
-        # the token explode + df join + prefix window downstream would
-        # otherwise run 1-3 tasks wide.
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        base = g.select(F.col("__rep").alias("__id"), "__toks").repartition(
-            par, F.col("__id")
-        )
-
-    toks = base.select("__id", F.size("__toks").alias("__sz"), F.explode("__toks").alias("__tok"))
-    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("__id").orderBy("__df", "__tok")
-    # Every pruning bound below must be STRICTLY PERMISSIVE w.r.t. the
-    # verification predicate round(jaccard, 6) >= threshold, which
-    # admits true J down to threshold − 5e-7 (HALF_UP). Two epsilon
-    # guards make that hold (ADVICE r10, high):
-    #   * t_eff relaxes each bound to the rounded predicate's floor
-    #     (matters only for corpora with 10^6-token docs, but costs
-    #     nothing);
-    #   * _EPS subtracted inside every ceil() defeats IEEE-double
-    #     overshoot — e.g. 0.8/1.8 > 4/9 in doubles, so
-    #     t·(sa+sb)/(1+t) at exact-integer points (sa+sb = 63, 117,
-    #     126, … at t = 0.8) ceils one too high and silently drops a
-    #     true pair sitting at exactly J = threshold. The same
-    #     overshoot family hits ceil(t·sz) (prefix one token too
-    #     short at sz = 35, 70, … for t = 0.8) and the size filter
-    #     (ceil(0.8·35) = 29 in doubles, dropping a legal
-    #     |A|=35,|B|=28 pair at J = 0.8), so all three sites use it.
-    t_eff = threshold - 1e-6
-    _EPS = 1e-9
-    prefix_len = F.col("__sz") - F.ceil(F.lit(t_eff) * F.col("__sz") - F.lit(_EPS)) + 1
-    prefix = (
-        toks.join(freq, on="__tok")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= prefix_len)
-        .select("__tok", "__id", "__sz", "__rn")
-    )
-    # Positional filter (PPJoin, Xiao et al. WWW'08): for a shared
-    # token at global-order rank i of A and j of B, common tokens
-    # strictly before it number ≤ min(i−1, j−1) (a common token
-    # earlier in the global order ranks earlier in BOTH docs) and
-    # strictly after it ≤ min(|A|−i, |B|−j), so
-    #   overlap(A,B) ≤ min(i−1, j−1) + 1 + min(|A|−i, |B|−j).
-    # J ≥ t needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉; candidates whose
-    # bound falls short die BEFORE the pair-dedup shuffle. Per-row
-    # soundness (pairs survive via ANY row): for a true pair the
-    # earliest SHARED-prefix token row's bound dominates its real
-    # overlap, so that row always clears the filter. The before-term
-    # is required for worst-case soundness — the pair's globally-
-    # earliest common token may sit inside one prefix but beyond the
-    # other, leaving the earliest joined row with genuine commons
-    # before it. (Measured on the test corpora the tighter no-before
-    # bound happens to lose zero pairs — rank gaps between shared
-    # prefix tokens stay small there — but that is a property of the
-    # data, not of the bound; the sound form costs nothing extra.)
     a = prefix.select(
         "__tok", F.col("__id").alias("src_id"),
         F.col("__sz").alias("__sa"), F.col("__rn").alias("__ra"),
