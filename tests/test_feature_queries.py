@@ -705,7 +705,7 @@ def test_embedding_norm_outlier_audit_contract(spark, sf_dir):
     rows = QUERIES["embedding_norm_outlier_audit"](spark, sf_dir).collect()
     assert sum(r["n_vectors"] for r in rows) == len(emb)
     assert all(0 <= r["n_outliers"] < r["n_vectors"] for r in rows)
-    assert all(r["mad6"] >= 0 for r in rows)
+    assert all(r["mad_nano"] >= 0 for r in rows)
     # the 3xMAD screen actually fires somewhere on this fixture
     assert sum(r["n_outliers"] for r in rows) > 0
     # independent integer-nano recompute of one label's outlier count

@@ -204,21 +204,23 @@ def test_exact_substring_remove_single_kept_eval(spark, sf_dir):
     assert plan.count("exists(") == 1, plan.count("exists(")
 
 
-def test_minhash_verify_joins_are_shuffled_hash(spark, sf_dir):
-    """dedup_minhash's bucket self-join and both exact-verify joins are
-    hinted ``shuffle_hash`` (Round 14): sort-merge sorted the 7.7M-row
-    candidate stream twice and dragged the shingle-array payload
-    through a sort — measured 33.7s vs 13.3s for the verify stage at
-    the 10x bench replica. Pins the physical strategy so a hint
-    regression (or a Catalyst change that starts ignoring it) shows up
-    as a plan diff, not a silent 2.5x bench slide. Output parity is
-    separately pinned by the banding/collapse pytests — the hint is
-    physical-only."""
+def test_minhash_bucket_join_is_shuffled_hash_inline_verify(spark, sf_dir):
+    """dedup_minhash's bucket self-join stays hinted ``shuffle_hash``
+    (Round 14: sort-merge sorted the banded stream for a join feeding
+    an unsorted dedup; the hot-bucket cap bounds per-key output so the
+    hint is safe here, unlike the uncapped p2 join). Since r17 the
+    exact verification runs INLINE in that join — the shingle arrays
+    ride the banded rows and the old per-candidate verify joins are
+    gone, so exactly ONE hinted hash join remains and SMJ must not
+    reappear anywhere. Output parity is separately pinned by the
+    banding/collapse pytests — the strategy pin is physical-only."""
     plan = plan_of(QUERIES["dedup_minhash"](spark, sf_dir))
-    # bucket join + 2 verify joins (the expansion/intra joins stay
-    # planner-chosen); SMJ must not reappear anywhere in the pipeline
-    assert plan.count("ShuffledHashJoin") >= 3, plan[:3000]
+    assert plan.count("ShuffledHashJoin") >= 1, plan[:3000]
     assert "SortMergeJoin" not in plan
+    # the old ids-only candidate tier is gone: the exact-jaccard
+    # expression (array_intersect) must sit in the SAME plan as the
+    # banded join, not behind later verify joins
+    assert "array_intersect" in plan
 
 
 def test_boilerplate_hot_join_broadcasts_via_aqe(spark, sf_dir):
