@@ -185,7 +185,15 @@ def minhash_near_dup_pairs(
     low-r band collisions never reach the exact array intersection. At
     5σ the probability of dropping a true ≥threshold pair is ~3e-7 per
     pair; set ``prefilter_sigma=None`` to disable (strictly all-candidate
-    verification).
+    verification). Memory note (ADVICE r17): with the r17 inline-verify
+    shape the banded rows carry the hashed shingle arrays PLUS — when
+    the σ-prefilter is on — 2×``num_hashes`` signature longs through
+    the shuffle_hash bucket join's build side; ``max_bucket_size`` is
+    the guard on per-partition build memory at larger tiers, and
+    setting ``prefilter_sigma=None`` shrinks banded-row width by
+    2×``num_hashes`` longs if build-side memory becomes the binding
+    constraint (results unchanged — the prefilter only discards
+    candidates the exact verify would reject).
 
     Spark-first replacement for the reference's
     ``MinHashLSH.approxSimilarityJoin`` (Predictor.scala:394-405) with

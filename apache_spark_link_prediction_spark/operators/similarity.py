@@ -670,15 +670,23 @@ def ivf_pq_top_k(
         )
     )
 
+    import numpy as np
+
     def sq_dists_to_codebook(res_slice: Column, j: int) -> Column:
-        # ONE nested-array Literal node, not ks×sub CreateArray/Literal
-        # nodes (r17): the codebook constants are plan DATA, not plan
-        # STRUCTURE — at m=8/ks=16/sub=8 the per-element form put ~1k
-        # expression nodes per subspace through analysis/optimization
-        # (×8 subspaces, ×2 consumers), a measurable driver-side
-        # planning term in the fit-chain constant. Same values, same
-        # semantics (Literal of array<array<double>>).
-        cb = F.lit([[float(v) for v in row] for row in codebooks[j]])
+        # Codebook constants are plan DATA, not plan STRUCTURE: each
+        # ROW goes through the np.ndarray branch of F.lit — ONE JVM
+        # array Literal per row — so a ks-row codebook is ks Literals +
+        # one CreateArray instead of ks×sub scalar Literal/CreateArray
+        # nodes through analysis/optimization (×m subspaces, ×2
+        # consumers). NOTE (ADVICE r17): plain F.lit(list) does NOT do
+        # this — classic PySpark recurses lit(list) into
+        # array(*[lit(item) ...]), reproducing the full per-element
+        # tree; only the 1-D ndarray path builds a single Literal.
+        # Values identical (np.float64 is exact on Python floats),
+        # type identical (array<array<double>>).
+        cb = F.array(
+            *[F.lit(np.asarray(row, dtype=np.float64)) for row in codebooks[j]]
+        )
         return F.transform(
             cb,
             lambda crow: F.aggregate(
@@ -689,8 +697,9 @@ def ivf_pq_top_k(
         )
 
     rot_arr = (
-        # same single-Literal form (dim×dim = 4096 nodes otherwise)
-        F.lit([[float(v) for v in row] for row in rot])
+        # same per-row single-Literal form (dim×dim scalar nodes
+        # otherwise; dim Literals + 1 CreateArray this way)
+        F.array(*[F.lit(np.asarray(row, dtype=np.float64)) for row in rot])
         if rot is not None
         else None
     )

@@ -278,8 +278,15 @@ def lsh_similarity_join(
             )
         )
         # Intra-group pairs: identical index sets ⇒ keyDistance 0.0
-        # exactly ⇒ similarity 1.0 − 0.0 (always < the distance
-        # threshold, so every such pair is in the MLlib output).
+        # exactly ⇒ similarity 1.0 − 0.0. MLlib's join filter is
+        # ``dist < 1 − threshold`` STRICT, so dist-0.0 pairs clear it
+        # only when 1 − threshold > 0 — the guard below (ADVICE r17,
+        # the mirror of reference-mode's ``threshold > 0.0`` guard)
+        # keeps pair-for-pair parity at the threshold ≥ 1.0 edge,
+        # where MLlib emits nothing (callers use 0.97/0.8/0.5; this
+        # edge is latent there).
+        if not (1.0 - threshold > 0.0):
+            return cross
         intra = (
             memb.alias("x")
             .join(memb.alias("y"), "__rep")

@@ -179,3 +179,42 @@ def test_sf1_recorded_not_stale():
         "SF1_RECORDED stale vs the shipped plans — re-pin and era-note "
         "in BASELINE.md: " + "; ".join(stale)
     )
+
+
+def test_bench_control_drift_grading():
+    """Pins bench.py's r18 host-throttle self-certification (VERDICT
+    r17 item 1): the 1× tier doubles as an untouched control group —
+    the MEDIAN per-query ratio vs the recorded clean band grades the
+    point warn_host above HOST_DRIFT_RATIO, but ONLY at the band's
+    reference core count (the driver's low-cpu scaling rerun is
+    legitimately slower and must not self-flag)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    band = bench.SF01_RECORDED
+    assert set(band) == set(bench.HEADLINE), "control band must cover headline"
+    # clean run: ratios ~1.0 -> no drift
+    clean = {n: v * 1.02 for n, v in band.items()}
+    ratio, drifted = bench.control_drift(clean, 32)
+    assert ratio is not None and ratio < bench.HOST_DRIFT_RATIO and not drifted
+    # throttled run: everything 1.5x -> warn_host at the band cpus
+    slow = {n: v * 1.5 for n, v in band.items()}
+    ratio, drifted = bench.control_drift(slow, 32)
+    assert ratio is not None and ratio > bench.HOST_DRIFT_RATIO and drifted
+    # same ratios at the driver's 8-core scaling rerun: telemetry only
+    ratio8, drifted8 = bench.control_drift(slow, 8)
+    assert ratio8 == ratio and not drifted8
+    # a genuinely-optimized minority can't mask drift (median, not mean):
+    # 5 queries 10x faster, the rest 1.5x slower -> still flagged
+    mixed = dict(slow)
+    for n in list(band)[:5]:
+        mixed[n] = band[n] / 10.0
+    _, drifted_mixed = bench.control_drift(mixed, 32)
+    assert drifted_mixed
+    # nothing to compare -> None, not a crash
+    assert bench.control_drift({}, 32) == (None, False)
