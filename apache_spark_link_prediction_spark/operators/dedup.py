@@ -1506,7 +1506,11 @@ def jaccard_prefix_join(
         # Re-spread after the checkpoint — same r17 fix as the minhash
         # collapse tier: AQE coalesces the small collapse shuffle, and
         # the token explode + df join + prefix window downstream would
-        # otherwise run 1-3 tasks wide.
+        # otherwise run 1-3 tasks wide. Bracketed solo A/B at the 10×
+        # tier (r18, quiet box): with 7.06s / without 10.51s / with
+        # 7.64s (mins of 3) — the repartition pays ~3s here; the r17
+        # in-bench regression vs r16 (6.6→8.5s) tracked the throttled
+        # window, not this exchange.
         par = docs.sparkSession.sparkContext.defaultParallelism
         base = g.select(F.col("__rep").alias("__id"), "__toks").repartition(
             par, F.col("__id")
