@@ -590,6 +590,19 @@ def minhash_incremental_pairs(
         num_hashes=num_hashes,
         bands=bands,
     )
+    # Checkpoint the new batch's index rows (r18): all_idx below feeds
+    # FIVE consumers (collapse agg, two σ-prefilter joins, two verify
+    # joins), and each would re-run the batch's shingle+signature
+    # lineage — the pipeline's densest per-row work — from the text.
+    # One ingest batch is bounded by contract, so materializing it is
+    # scale-safe (unlike the accumulated index side, which at 100 TB
+    # must stay a pruned-column parquet re-read, never a copy). The
+    # pinned-count keyed repartition BEFORE the checkpoint fixes the
+    # materialized width — AQE rightly coalesces the small signature
+    # aggregation, and every consumer would inherit 1-3 partitions
+    # (the r17 checkpoint-pins-AQE-width lesson).
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_idx = new_idx.repartition(par, "doc_id").localCheckpoint(eager=False)
     # Pre-r08 index-format tolerance (ADVICE r08): ``set_key`` is
     # recomputed from the stored shingles with the exact
     # :func:`minhash_index` expression; a missing ``sig`` disables the
@@ -646,10 +659,14 @@ def minhash_incremental_pairs(
         memb = g.select("__rep", F.explode("__members").alias("m")).select(
             "__rep", F.col("m.i").alias("__id"), F.col("m.n").alias("__mnew")
         )
+        # Re-spread after the collapse checkpoint (r18, the r17 minhash
+        # full-run fix applied here too): AQE coalesces the small
+        # collapse shuffle and the banding explode + hot-bucket count +
+        # bucket join would otherwise inherit 1-3 task slots.
         work = g.select(
             F.col("__rep").alias("doc_id"), "nsh", "band_keys",
             F.col("__has_new").alias("__new"),
-        )
+        ).repartition(par, F.col("doc_id"))
     else:
         work = all_idx.select("doc_id", "nsh", "band_keys", "__new")
 
