@@ -804,8 +804,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "doc_id")
         .localCheckpoint(eager=False)
     )
+    # prefilter_sigma off (r18): the dedup_minhash rationale applies to
+    # the incremental shape too — its σ tier is two extra
+    # broadcast-joins of stored 32-long signatures over the candidate
+    # stream, and at unigram/0.8 the in-join size-ratio filter already
+    # removes ~97% of what the agreement estimate would (bracketed A/B
+    # at the 10× tier: 6.5s with σ vs 3.1-4.7s without, identical
+    # output; σ only drops candidates the exact verify rejects anyway).
     return minhash_incremental_pairs(
-        idx, docs.filter(F.col("doc_id") % 5 == 0), shingle_n=1, threshold=0.8
+        idx,
+        docs.filter(F.col("doc_id") % 5 == 0),
+        shingle_n=1,
+        threshold=0.8,
+        prefilter_sigma=None,
     )
 
 
@@ -1039,7 +1050,21 @@ def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semdedup_incremental, semdedup_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = semdedup_index(emb.filter(F.col("vec_id") % 5 != 0), eps=0.6)
+    # Simulate the PERSISTED index honestly (r18, the
+    # dedup_minhash_incremental pattern): built inline, the index
+    # lineage — the full semdedup decision DAG plus the vector
+    # join-back — would re-run once per consumer (_cell_means and the
+    # old-kept anchor side). One pinned-width localCheckpoint stands in
+    # for the parquet read the operator contract assumes; within-run
+    # only, recomputed from the source tables every invocation.
+    # Physical-only: rows identical (python-reference parity pinned in
+    # pytest).
+    par = spark.sparkContext.defaultParallelism
+    idx = (
+        semdedup_index(emb.filter(F.col("vec_id") % 5 != 0), eps=0.6)
+        .repartition(par, "vec_id")
+        .localCheckpoint(eager=False)
+    )
     return semdedup_incremental(idx, emb.filter(F.col("vec_id") % 5 == 0), eps=0.6)
 
 
@@ -2281,7 +2306,16 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_clusters, minhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.9)
+    # prefilter_sigma off (r18): the dedup_minhash rationale, stronger at
+    # 0.9 — the lossless in-join size-ratio filter (min >= 0.9*max) is
+    # MORE selective than at 0.8, so the 2x32-long signature columns and
+    # their per-candidate agreement sum cost far more than the handful of
+    # exact verifications they save (bracketed A/B at sf0.1: 6.3-19.5s
+    # with sigma vs 3.6s without, identical output). The prefilter only
+    # discards candidates the exact hashed-shingle verify rejects anyway.
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=1, threshold=0.9, prefilter_sigma=None
+    )
     return dedup_clusters(docs, pairs)
 
 
@@ -2306,11 +2340,17 @@ def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
+    # prefilter_sigma off on both tiers (r18) — see dedup_clusters.
     assignment = dedup_clusters(
-        old, minhash_near_dup_pairs(old, shingle_n=1, threshold=0.9)
+        old,
+        minhash_near_dup_pairs(
+            old, shingle_n=1, threshold=0.9, prefilter_sigma=None
+        ),
     )
     idx = minhash_index(old, shingle_n=1)
-    inc = minhash_incremental_pairs(idx, new, shingle_n=1, threshold=0.9)
+    inc = minhash_incremental_pairs(
+        idx, new, shingle_n=1, threshold=0.9, prefilter_sigma=None
+    )
     return dedup_clusters_incremental(assignment, new.select("doc_id"), inc)
 
 
@@ -2395,11 +2435,17 @@ def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
+    # prefilter_sigma off on both tiers (r18) — see dedup_clusters.
     assignment = dedup_clusters(
-        old, minhash_near_dup_pairs(old, shingle_n=1, threshold=0.9)
+        old,
+        minhash_near_dup_pairs(
+            old, shingle_n=1, threshold=0.9, prefilter_sigma=None
+        ),
     )
     idx = minhash_index(old, shingle_n=1)
-    inc = minhash_incremental_pairs(idx, new, shingle_n=1, threshold=0.9)
+    inc = minhash_incremental_pairs(
+        idx, new, shingle_n=1, threshold=0.9, prefilter_sigma=None
+    )
     updated = dedup_clusters_incremental(assignment, new.select("doc_id"), inc)
     kept_new = new.join(
         updated.filter(F.col("keeper_id") == F.col("doc_id")).select("doc_id"),
@@ -10193,7 +10239,12 @@ def neardup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
-    pairs = minhash_near_dup_pairs(docs, shingle_n=1, threshold=0.8)
+    # prefilter_sigma off (r18): same measured rationale as dedup_minhash
+    # (unigram sets at 0.8 — the size-ratio filter already removes ~97%
+    # of what the signature estimate would).
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=1, threshold=0.8, prefilter_sigma=None
+    )
     comp = connected_components(pairs)
     labeled = docs.join(
         comp, docs.doc_id == comp.node_id, "left"
